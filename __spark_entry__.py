@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` are backed by the engine's declared
+query registry (data_pipeline_001_spark.plans.queries et al.), one
+entry per implemented operator from SURVEY.md §2. ``entry`` runs the
+flagship pricing-summary aggregation at sf0.001.
 """
 
 from __future__ import annotations
@@ -14,25 +13,28 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    # importing the satellite modules populates the shared REGISTRY
+    from data_pipeline_001_spark.plans import queries as base
+    from data_pipeline_001_spark.plans import queries_llm  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_scalar  # noqa: F401
+
+    return base.REGISTRY, base.ORACLES
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    registry, _ = _registry()
+    return registry["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    registry, _ = _registry()
+    return dict(registry)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle for each SQL-expressible query."""
+    _, oracles = _registry()
+    return dict(oracles)

@@ -1,0 +1,279 @@
+"""Deduplication operators over a text corpus (SURVEY.md §2.13).
+
+Four tiers, all shuffle-conscious:
+
+- exact        — hash-groupBy on a text fingerprint. One shuffle on
+                 the fingerprint; survivor = min doc_id.
+- minhash_lsh  — shingles → k MinHash signatures → band buckets →
+                 candidate pairs via per-bucket self-join → Jaccard
+                 verify. Never computes the O(n²) cross join; at 100 TB
+                 the band-bucket join is the only shuffle and skewed
+                 buckets are AQE-split.
+- simhash      — 64-bit SimHash from token hashes; near-dups = equal
+                 bucket keys on rotated prefixes (hamming ≤ k proxy).
+- ngram_jaccard— exact Jaccard on character n-grams for candidate
+                 pairs produced by any blocking key.
+
+MinHash here is hand-rolled (a·h+b mod p over murmur3 token hashes)
+rather than ``ml.feature.MinHashLSH`` so signatures are deterministic
+column expressions — no ML pipeline fit step, no vector assembly, and
+the whole thing stays inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.functions.text import (
+    char_ngrams,
+    fingerprint,
+    word_shingles,
+)
+
+# Mersenne prime 2^31-1: with base hashes and coefficients < 2^31 the
+# products stay under 2^62 — no long overflow under Spark 4 ANSI mode
+_MERSENNE = (1 << 31) - 1
+
+
+def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k universal hash functions."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(k)]
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: fingerprint → min id survives.
+
+    Returns (fingerprint, n_copies, keep_id) for every distinct text.
+    """
+    return (
+        docs.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return the deduplicated corpus (one row per distinct text)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return docs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) — MinHash over word shingles.
+
+    Token base hash = murmur3 (``F.hash``) mapped to non-negative;
+    sig_i = min over shingles of (aᵢ·h + bᵢ) mod p.
+    """
+    params = _hash_params(num_hashes, seed)
+    shingles = word_shingles(F.col(text_col), shingle_words)
+    base = F.transform(
+        shingles, lambda s: (F.abs(F.hash(s)).cast("long") % F.lit(_MERSENNE))
+    )
+
+    def _minhash(a: int, b: int):
+        # closure factory: Spark's transform() infers lambda arity, so
+        # the lambda must take exactly one argument
+        return F.array_min(
+            F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
+        )
+
+    sig = F.array(*[_minhash(a, b) for a, b in params])
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH, verified
+    with exact shingle Jaccard. Returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_words, seed)
+
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at("sig", i * rows_per_band + j + 1).cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
+    )
+    return (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash from murmur3 token hashes, as a column expression.
+
+    For each bit position, sum +1/-1 over tokens by that bit of the
+    token hash; the sign of the sum is the signature bit.
+    """
+    from data_pipeline_001_spark.functions.text import whitespace_tokens, normalize_text
+
+    toks = whitespace_tokens(normalize_text(text))
+    hashes = F.transform(toks, lambda t: F.hash(t).cast("long"))
+
+    def _bit_sum(i: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        # shiftleft instead of a (1 << i) literal — bit 63 overflows a
+        # long literal but is fine as a JVM shift
+        sig = sig.bitwiseOR(
+            F.when(
+                _bit_sum(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates: documents sharing a SimHash prefix block.
+
+    Blocking on 4 rotated prefix blocks approximates hamming ≤ 3 over
+    64 bits (pigeonhole); returns (id_a, id_b, hamming).
+    """
+    sigs = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    blocks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned("sig", i * prefix_bits)
+                        .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(64 // prefix_bits)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.block", "bk.key")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.35,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard over blocked pairs.
+
+    ``block_col`` limits the self-join (e.g. ``lang``); without it the
+    corpus self-joins — acceptable only on small inputs, and the
+    reason the LSH paths above exist.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    l, r = grams.alias("l"), grams.alias("r")
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("l.g", "r.g")).cast("double")
+            / F.size(F.array_union("l.g", "r.g")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

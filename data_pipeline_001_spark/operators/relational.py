@@ -1,0 +1,79 @@
+"""Relational operators beyond stock DataFrame methods: as-of join,
+range join, guarded reconciliation join (SURVEY.md §2.3/§2.4).
+
+As-of join is implemented as union + last(ignorenulls) over an
+ordered window — one shuffle on the partition key, no range
+cross-product. This is the idiomatic Spark shape for "latest right
+row ≤ left time"; a broadcast nested-loop range join would not
+survive a 100× scale-up, this does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_time <= left_time`` (optionally matched on ``by`` keys).
+
+    Implementation: tag both sides, union by name, sort within the
+    ``by`` partition by (time, right-first) and carry right columns
+    forward with ``last(..., ignorenulls=True)``; keep left rows.
+    """
+    value_cols = [c for c in right.columns if c != right_time and c not in by]
+    left_cols = [c for c in left.columns]
+
+    l = left.select(
+        *by,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_cols if c not in by],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+    )
+    r = right.select(
+        *by,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by],
+        *[F.col(c) for c in value_cols],
+        F.col(right_time).alias("_rt"),
+    )
+    u = l.unionByName(r)
+    # right rows sort before left rows at equal times (_side 0 < 1), so a
+    # right row at exactly left_time is visible to that left row (<=).
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = u.withColumn("asof_time", F.last("_rt", ignorenulls=True).over(w))
+    return u.where(F.col("_side") == 1).drop("_t", "_side", "_rt")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Interval/range join ``a.join(b, (a.s < b.e) & (b.s < a.e))``.
+
+    When the right side is a bounded spine (windows, buckets) it is
+    broadcast so the plan is a broadcast nested-loop scan of the big
+    side — linear, no shuffle. For two large sides, pre-bucket both
+    on a coarse time grain and join bucket-equal + range instead.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, condition, how)

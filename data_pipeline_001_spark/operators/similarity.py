@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (SURVEY.md §2.13).
+
+- ``brute_force_topk``: exact cosine top-k. The query side is small
+  and explicitly broadcast; the corpus side streams — one pass, no
+  shuffle of the corpus. This is the correctness baseline.
+- ``lsh_topk``: random-hyperplane LSH bucketing. Corpus and queries
+  hash to sign-bit buckets (with multi-probe on the query side); only
+  same-bucket pairs are scored. This is the 100 TB path: the bucket
+  key becomes the join/shuffle key and candidate count per query is
+  ~corpus/2^bits · probes instead of the whole corpus.
+- ``numpy_topk_batches``: Arrow-batched ``mapInPandas`` variant that
+  does the matmul in NumPy per batch — the pattern for when the score
+  function outgrows column expressions (e.g. learned metrics).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.functions.vectors import cosine_similarity, dot, norm
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine) — k rows per query.
+
+    ``queries`` is broadcast; ties broken by neighbor id for
+    determinism. Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    probes: int = 9,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane bucketing.
+
+    Corpus rows land in one bucket; each query probes its own bucket
+    plus the ``probes-1`` single-bit-flip neighbors (multi-probe LSH),
+    so recall degrades gracefully instead of falling off a cliff.
+    """
+    from data_pipeline_001_spark.functions.vectors import random_projection_signature
+
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        random_projection_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q_sig = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        random_projection_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    probe_buckets = F.array(
+        F.col("sig"),
+        *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(min(probes - 1, bits))],
+    )
+    q = q_sig.select(
+        "query_id", "q_vec", F.explode(probe_buckets).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def numpy_topk_batches(
+    corpus: DataFrame,
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched exact top-k: per-partition NumPy matmul, then a
+    global top-k reduction. ``query_vectors`` ship with the closure
+    (broadcast by value) — the corpus never shuffles; only per-batch
+    partial top-k rows (batches · queries · k) hit the final reduce.
+    """
+    import numpy as np
+
+    qids = [q[0] for q in query_vectors]
+    qmat = np.array([q[1] for q in query_vectors], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qnorm == 0, 1, qnorm)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0, 1, norms)
+            sims = qmat @ mat.T  # queries × batch
+            ids = pdf[id_col].to_numpy()
+            rows = []
+            for qi, qid in enumerate(qids):
+                order = np.argsort(-sims[qi])[: k + 1]
+                for j in order:
+                    if ids[j] != qid:
+                        rows.append((qid, int(ids[j]), float(sims[qi, j])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .withColumn("cosine", F.round("cosine", 6))
+    )

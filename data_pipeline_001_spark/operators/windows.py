@@ -1,0 +1,172 @@
+"""Window-function transforms — W1..W5 of SURVEY.md §2.5.
+
+The reference implements these as pandas scan-line loops; here each is
+a reusable Spark transform over ``Window.partitionBy(day).orderBy(start)``.
+Partitioning by day keeps the sort local to a partition — at 100 TB the
+spine is still millions of small rows/day, never a global sort.
+
+- W1 gap detection           (reference: core/state_manager.py:820-884)
+- W2 overlap detection       (reference: state_manager.py:906-925,
+                              utils/time_utils.py:253-268)
+- W3 duplicate prioritization (reference: state_manager.py:937-982)
+- W4 continuity check        (reference: utils/time_utils.py:233-251)
+- W5 priority-ordered selection (reference: core/pending_records_selector.py:20-23)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def detect_gaps(
+    windows: DataFrame,
+    start_col: str = "window_start",
+    end_col: str = "window_end",
+    day_col: str = "window_day",
+    day_bounds: bool = True,
+) -> DataFrame:
+    """W1: find uncovered intervals between sorted windows within a day.
+
+    Returns (window_day, gap_start, gap_end) for every interior gap
+    (next_start > current_end) and — when ``day_bounds`` — edge gaps
+    between start-of-day/first window and last window/end-of-day.
+    """
+    w = Window.partitionBy(day_col).orderBy(start_col)
+    s, e, d = F.col(start_col), F.col(end_col), F.col(day_col)
+
+    interior = (
+        windows.withColumn("_next_start", F.lead(start_col).over(w))
+        .where(F.col("_next_start") > e)
+        .select(d.alias("window_day"), e.alias("gap_start"), F.col("_next_start").alias("gap_end"))
+    )
+    if not day_bounds:
+        return interior
+
+    day_start = F.to_timestamp(d)
+    day_end = F.to_timestamp(d) + F.expr("interval 1 day")
+    per_day = windows.groupBy(d.alias("window_day")).agg(
+        F.min(s).alias("_first_start"), F.max(e).alias("_last_end")
+    )
+    leading = per_day.where(F.col("_first_start") > F.to_timestamp("window_day")).select(
+        "window_day",
+        F.to_timestamp("window_day").alias("gap_start"),
+        F.col("_first_start").alias("gap_end"),
+    )
+    trailing = per_day.where(
+        F.col("_last_end") < F.to_timestamp("window_day") + F.expr("interval 1 day")
+    ).select(
+        "window_day",
+        F.col("_last_end").alias("gap_start"),
+        (F.to_timestamp("window_day") + F.expr("interval 1 day")).alias("gap_end"),
+    )
+    return interior.unionByName(leading).unionByName(trailing)
+
+
+def detect_overlaps(
+    windows: DataFrame,
+    start_col: str = "window_start",
+    end_col: str = "window_end",
+    day_col: str = "window_day",
+) -> DataFrame:
+    """W2: adjacent-pair overlaps — next_start < current_end.
+
+    Returns the *pair*: (window_day, first_start, first_end,
+    second_start, second_end). Adjacent-pair semantics match the
+    reference's sorted scan (time_utils.py:253-268).
+    """
+    w = Window.partitionBy(day_col).orderBy(start_col, end_col)
+    return (
+        windows.withColumn("_next_start", F.lead(start_col).over(w))
+        .withColumn("_next_end", F.lead(end_col).over(w))
+        .where(F.col("_next_start") < F.col(end_col))
+        .select(
+            F.col(day_col).alias("window_day"),
+            F.col(start_col).alias("first_start"),
+            F.col(end_col).alias("first_end"),
+            F.col("_next_start").alias("second_start"),
+            F.col("_next_end").alias("second_end"),
+        )
+    )
+
+
+def check_continuity(
+    windows: DataFrame,
+    start_col: str = "window_start",
+    end_col: str = "window_end",
+    partition_cols: tuple[str, ...] = ("window_day",),
+) -> DataFrame:
+    """W4: missing intervals where sorted ``current_end != next_start``.
+
+    Emits (partition cols…, missing_start, missing_end).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(start_col)
+    return (
+        windows.withColumn("_next_start", F.lead(start_col).over(w))
+        .where(F.col("_next_start").isNotNull() & (F.col("_next_start") != F.col(end_col)))
+        .select(
+            *partition_cols,
+            F.col(end_col).alias("missing_start"),
+            F.col("_next_start").alias("missing_end"),
+        )
+    )
+
+
+def resolve_duplicates(
+    records: DataFrame,
+    key_cols: tuple[str, ...],
+    status_col: str = "pipeline_status",
+    updated_col: str = "record_last_updated_time",
+    started_col: str = "pipeline_start_time",
+    inserted_col: str = "record_first_inserted_time",
+) -> DataFrame:
+    """W3: keep exactly one record per key by the reference's 4-level rule:
+
+    1. completed beats non-completed
+    2. latest ``record_last_updated_time``
+    3. latest ``pipeline_start_time``
+    4. **oldest** ``record_first_inserted_time``  (inverted final key,
+       state_manager.py:966-973)
+
+    Returns the input plus ``_keep boolean`` — callers filter
+    ``_keep`` to get survivors or ``~_keep`` for deletions (M6).
+    """
+    rank = F.when(F.col(status_col) == "completed", 1).otherwise(0)
+    w = Window.partitionBy(*key_cols).orderBy(
+        rank.desc(),
+        F.col(updated_col).desc_nulls_last(),
+        F.col(started_col).desc_nulls_last(),
+        F.col(inserted_col).asc_nulls_last(),
+    )
+    return records.withColumn("_keep", F.row_number().over(w) == 1)
+
+
+def select_pending(
+    records: DataFrame,
+    limit: int,
+    start_col: str = "source_query_window_start_time",
+    retry_col: str = "pipeline_retry_count",
+    priority_col: str = "pipeline_priority",
+) -> DataFrame:
+    """W5/O1: pending-work selection — oldest window first, then most
+    retried, then lowest priority value; LIMIT n.
+
+    (reference: pending_records_selector.py:20-23). Catalyst plans this
+    as TakeOrderedAndProject — no global sort materialization.
+    """
+    return (
+        records.where(F.col("pipeline_status") == "pending")
+        .orderBy(
+            F.col(start_col).asc(), F.col(retry_col).desc(), F.col(priority_col).asc()
+        )
+        .limit(limit)
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, partition_cols: tuple[str, ...], order_by: list[Column], k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Generic ranked top-k per group (engine surface beyond the reference)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)

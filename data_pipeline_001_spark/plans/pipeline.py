@@ -1,0 +1,343 @@
+"""Windowed pipeline orchestrator — the Spark-native re-expression of
+the reference's ``MainPipelineOrchestrator`` + ``StateManager`` flow
+(core/main_pipeline_orchestrator.py:51-208, core/state_manager.py:169-196).
+
+Lifecycle per run (reference step numbers preserved):
+  0. populate          — fresh-start spine or backfill (gaps, missing
+                         days, duplicate resolution)
+  1. validate progress — reset stale in_progress records (R5 reaping)
+  2. concurrency guard — exit if valid in_progress work exists
+  3. pending selection — priority-ordered LIMIT n (W5)
+  4. safe boundary     — drop windows newer than now - x_time_back (P7)
+  5. per-window stages — discovery → source→stage → stage→target → audit
+
+Stage work is DataFrame transforms against pluggable Source/Sink
+connectors; control state lives in the ControlTable. The per-window
+loop is driver-side (as in the reference) but each window's work is a
+distributed Spark job; at very large window counts the same stages
+compose into one job via ``groupBy(window)`` — see ``extract_all_windows``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.functions import time_fns
+from data_pipeline_001_spark.functions.hash_fns import percentage_difference
+from data_pipeline_001_spark.operators.windows import (
+    detect_gaps,
+    resolve_duplicates,
+    select_pending,
+)
+from data_pipeline_001_spark.plans.control_table import (
+    STAGES,
+    ControlTable,
+    default_record,
+)
+from data_pipeline_001_spark.sources.base import Sink, Source
+
+
+@dataclass
+class PipelineConfig:
+    """Layered config (reference: hanlder_script.py:117-194 merge of
+    drive defaults < index config < Airflow vars)."""
+
+    pipeline_name: str = "pipeline"
+    granularity: str = "1h"
+    x_time_back: str = "1d"
+    max_pipeline_runs: int = 5
+    tolerance_pct: float = 1.0
+    timezone: str = "UTC"
+    source_desc: tuple[str, str, str] = ("events", "file", "parquet")
+    target_desc: tuple[str, str, str] = ("target", "file", "parquet")
+    audit_max_retries: int = 3
+    audit_retry_wait_s: float = 0.0  # reference waits 60s for Snowpipe; sync sinks need 0
+    extras: dict = field(default_factory=dict)
+
+    @classmethod
+    def merged(cls, *layers: dict) -> "PipelineConfig":
+        """Merge config layers, later layers win (hanlder_script.py:117-132)."""
+        final: dict = {}
+        for layer in layers:
+            final.update({k: v for k, v in layer.items() if v is not None})
+        known = {f for f in cls.__dataclass_fields__ if f != "extras"}
+        kwargs = {k: v for k, v in final.items() if k in known}
+        kwargs["extras"] = {k: v for k, v in final.items() if k not in known}
+        return cls(**kwargs)
+
+
+@dataclass
+class RunResult:
+    processed: int = 0
+    completed: int = 0
+    failed: int = 0
+    reset: int = 0
+    skipped_existing: int = 0
+    exited_for_concurrency: bool = False
+
+
+class WindowPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: PipelineConfig,
+        source: Source,
+        stage_sink: Sink,
+        target_sink: Sink,
+        control: ControlTable,
+    ):
+        self.spark = spark
+        self.config = config
+        self.source = source
+        self.stage_sink = stage_sink
+        self.target_sink = target_sink
+        self.control = control
+
+    # ------------------------------------------------------------------ #
+    # Step 0 — populate (state_manager.populate_pipeline_batches)
+    # ------------------------------------------------------------------ #
+
+    def populate(self, start: datetime, end: datetime) -> int:
+        """Plan windows over [start, end): insert control rows for any
+        window not already present (fresh start AND backfill collapse
+        into one anti-join — J1 — instead of the reference's two code
+        paths, state_manager.py:268-294 / 679-753)."""
+        spine = time_fns.window_spine(
+            self.spark, start, end, self.config.granularity
+        )
+        existing = self.control.read().select(
+            F.col("source_query_window_start_time").alias("window_start")
+        )
+        missing = spine.join(existing, "window_start", "left_anti")
+        rows = missing.collect()  # spine rows only — bounded, never data-plane
+        from data_pipeline_001_spark.sources.file_connectors import window_dir_name
+
+        records = [
+            default_record(
+                self.config.pipeline_name,
+                self.config.source_desc,
+                self.config.target_desc,
+                r["window_start"],
+                r["window_end"],
+                stage_path=window_dir_name(r["window_start"]),
+                tolerance_pct=self.config.tolerance_pct,
+            )
+            for r in rows
+        ]
+        return self.control.append_records(records)
+
+    def fill_gaps(self) -> int:
+        """Backfill: detect per-day coverage gaps in the control table
+        (W1) and insert windows at the pipeline granularity (M7)."""
+        ct = self.control.read().select(
+            F.col("source_query_window_start_time").alias("window_start"),
+            F.col("source_query_window_end_time").alias("window_end"),
+            F.col("query_window_start_day").alias("window_day"),
+        )
+        if ct.isEmpty():
+            return 0
+        gaps = detect_gaps(ct, day_bounds=False).collect()
+        inserted = 0
+        for g in gaps:
+            inserted += self.populate(g["gap_start"], g["gap_end"])
+        return inserted
+
+    def resolve_duplicate_windows(self) -> int:
+        """W3 + M6: delete all but the best record per window key."""
+        ct = self.control.read()
+        flagged = resolve_duplicates(
+            ct, key_cols=("source_query_window_start_time",)
+        )
+        losers = [
+            r["unique_source_id"]
+            for r in flagged.where(~F.col("_keep"))
+            .select("unique_source_id")
+            .collect()
+        ]
+        self.control.delete_records(losers)
+        return len(losers)
+
+    # ------------------------------------------------------------------ #
+    # Step 1/2 — progress validation & concurrency guard
+    # ------------------------------------------------------------------ #
+
+    def _acceptable_runtime_minutes(self, row) -> float:
+        """Σ expected stage durations, floor 10 min
+        (progress_validator.py:82-159 semantics)."""
+        total = 0
+        for s in STAGES:
+            total += row[f"{s}_expected_duration_minutes"] or 0
+        return max(float(total), 10.0)
+
+    def validate_in_progress(self, now: datetime | None = None) -> tuple[int, int]:
+        """Returns (valid_count, reset_count). Stale rows (runtime >
+        acceptable) get the selective M5 reset."""
+        now = now or datetime.utcnow()
+        rows = (
+            self.control.read()
+            .where(F.col("pipeline_status") == "in_progress")
+            .collect()
+        )
+        stale, valid = [], 0
+        for r in rows:
+            started = r["pipeline_start_time"]
+            runtime_min = (
+                (now - started).total_seconds() / 60.0 if started else float("inf")
+            )
+            if runtime_min > self._acceptable_runtime_minutes(r):
+                stale.append(r["unique_source_id"])
+            else:
+                valid += 1
+        self.control.reset_stale_in_progress(stale)
+        return valid, len(stale)
+
+    # ------------------------------------------------------------------ #
+    # Step 3/4 — pending selection + safe boundary
+    # ------------------------------------------------------------------ #
+
+    def pending_records(self, now: datetime | None = None) -> list:
+        boundary = time_fns.rounded_past_timestamp(self.config.x_time_back, now)
+        ct = self.control.read().where(
+            F.col("source_query_window_start_time") <= F.lit(boundary)
+        )
+        return select_pending(ct, self.config.max_pipeline_runs).collect()
+
+    # ------------------------------------------------------------------ #
+    # Step 5 — per-window stage execution
+    # ------------------------------------------------------------------ #
+
+    def run_window(self, record) -> str:
+        """Execute the 4-stage pipeline for one control row. Returns
+        final status: 'completed' | 'failed' | 'reset'."""
+        sid = record["unique_source_id"]
+        start = record["source_query_window_start_time"]
+        end = record["source_query_window_end_time"]
+        self.control.claim(sid)
+
+        try:
+            # Stage 1 — source discovery: count + duration estimates
+            t0 = datetime.utcnow()
+            src_count = self.source.count(start, end)
+            self.control.complete_stage(
+                sid, "source_discovery", t0, extra={"source_count": src_count}
+            )
+
+            # Stage 2 — source → stage (idempotence short-circuit S3,
+            # clean S4, extract S2)
+            t0 = datetime.utcnow()
+            if self.stage_sink.exists(start, end):
+                self.stage_sink.clean(start, end)
+            self.stage_sink.load(self.source.extract(start, end), start, end)
+            self.control.complete_stage(sid, "source_to_stage", t0)
+
+            # Stage 3 — stage → target (S6/S7/S5): read back the staged
+            # window (one pruned directory) and load it into the target
+            t0 = datetime.utcnow()
+            if self.target_sink.exists(start, end):
+                self.target_sink.clean(start, end)
+            staged_df = self.spark.read.parquet(
+                self.stage_sink._window_path(start)  # type: ignore[attr-defined]
+            )
+            self.target_sink.load(staged_df, start, end)
+            self.control.complete_stage(sid, "stage_to_target", t0)
+
+            # Stage 4 — audit (A4 recount, A5 reconciliation, R3 retry)
+            t0 = datetime.utcnow()
+            status = self._audit(sid, start, end, src_count, t0)
+            return status
+        except Exception as exc:  # noqa: BLE001 — reference records any stage error
+            self.control.fail_stage(sid, "source_discovery", str(exc))
+            return "failed"
+
+    def _audit(self, sid, start, end, src_count, t0) -> str:
+        """A5 + R3: recount target until match/tolerance or retries
+        exhausted; mismatch → clean both sinks + full reset (M4)."""
+        tol = self.config.tolerance_pct
+        attempts = 0
+        prev = -1
+        while True:
+            tgt_count = self.target_sink.count(start, end)
+            diff = tgt_count - src_count
+            pct = (
+                0.0
+                if (src_count == 0 and tgt_count == 0)
+                else (100.0 if src_count == 0 else diff / src_count * 100.0)
+            )
+            if abs(pct) <= tol:
+                self.control.complete_stage(
+                    sid,
+                    "audit",
+                    t0,
+                    extra={
+                        "target_count": tgt_count,
+                        "count_difference": diff,
+                        "count_difference_percentage": pct,
+                        "count_match_status": "matched",
+                    },
+                )
+                return "completed"
+            improving = tgt_count > prev
+            prev = tgt_count
+            attempts += 1
+            if attempts >= self.config.audit_max_retries or not improving:
+                break
+            if self.config.audit_retry_wait_s:
+                time.sleep(self.config.audit_retry_wait_s)
+        # mismatch → clean + full reset (audit_manager.py:435-516)
+        self.stage_sink.clean(start, end)
+        self.target_sink.clean(start, end)
+        self.control.reset_after_audit_mismatch(sid)
+        return "reset"
+
+    # ------------------------------------------------------------------ #
+    # the full run loop
+    # ------------------------------------------------------------------ #
+
+    def run(
+        self,
+        plan_start: datetime,
+        plan_end: datetime,
+        now: datetime | None = None,
+    ) -> RunResult:
+        result = RunResult()
+        self.populate(plan_start, plan_end)
+        valid, reset = self.validate_in_progress(now)
+        result.reset = reset
+        if valid:
+            result.exited_for_concurrency = True
+            return result
+        for record in self.pending_records(now):
+            status = self.run_window(record)
+            result.processed += 1
+            if status == "completed":
+                result.completed += 1
+            elif status == "failed":
+                result.failed += 1
+            else:
+                result.reset += 1
+        return result
+
+    # ------------------------------------------------------------------ #
+    # scale path: all windows in ONE job (no driver loop)
+    # ------------------------------------------------------------------ #
+
+    def extract_all_windows(self, start: datetime, end: datetime) -> DataFrame:
+        """The 100 TB shape of stage 2: one distributed job that tags
+        every source row with its window and writes all windows at
+        once, partitioned by day/window — replacing the per-window
+        driver loop when window count is large. Audit counts for every
+        window come back as one aggregation, not N count() jobs."""
+        df = self.source.extract(start, end)
+        ts = F.col(getattr(self.source, "ts_col", "ts"))
+        gran_min = time_fns.parse_granularity_minutes(self.config.granularity)
+        return (
+            df.withColumn("window_start", F.timestamp_seconds(
+                (F.floor(ts.cast("double") / (gran_min * 60)) * (gran_min * 60)).cast("long")
+            ))
+            .withColumn("window_day", F.to_date("window_start"))
+        )

@@ -1,0 +1,828 @@
+"""Declared query surface (SURVEY.md §2) — every entry is a pair:
+a Spark DataFrame program and (where SQL-expressible) a DuckDB oracle
+over the same parquet tables. The driver hash-compares them at sf0.01.
+
+Conventions that make hashes match:
+- every computed column aliased identically on both sides;
+- double aggregates rounded identically (sums→2dp, ratios→6dp) so
+  cross-engine summation-order noise can't flip a bit;
+- DuckDB integer aggregates cast to BIGINT (DuckDB SUM(int)→HUGEINT);
+- rankings ordered by rounded values with an id tiebreak so near-ties
+  rank identically in both engines;
+- timestamps compared at microsecond precision (both engines read the
+  same parquet; Spark session TZ pinned to UTC).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.session import load_tables
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# =====================================================================
+# A. TPC-H-flavored analytics (joins + aggregations, SURVEY §2.3/§2.4)
+# =====================================================================
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                          AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                     AS avg_price,
+           ROUND(AVG(l_discount), 6)                          AS avg_disc,
+           COUNT(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape — the flagship scan+agg (reference A1/A2 analog)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q03_shipping_priority",
+    """
+    SELECT o_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    cut = F.lit("1998-06-15 00:00:00").cast("timestamp")
+    return (
+        t["customer"]
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"].where(F.col("o_orderdate") < cut),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"].where(F.col("l_shipdate") > cut),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q05_nation_revenue",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q05(spark, sf_dir):
+    """Six-table star join; dims broadcast (small sides never shuffle
+    the fact table)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "part_type_revenue",
+    """
+    SELECT p_type,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type
+    """,
+)
+def part_type_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# =====================================================================
+# B. Join surface (SURVEY §2.3 — inner/left/right/full/semi/anti/cross)
+# =====================================================================
+
+@query(
+    "join_left_customer_orders",
+    """
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """J1 semantics: expected-vs-existing anti-join
+    (reference state_manager.py:720-723 in-Python version)."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_full_nation_activity",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_customers")
+    )
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return (
+        c.join(s, "nk", "full")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "join_cross_region_nation",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["region"].crossJoin(t["nation"]).select("r_name", "n_name")
+
+
+@query(
+    "join_range_events_buckets",
+    """
+    SELECT bucket_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    JOIN (SELECT range AS bucket_start
+          FROM range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', INTERVAL 6 HOUR)) b
+      ON ts >= bucket_start AND ts < bucket_start + INTERVAL 6 HOUR
+    GROUP BY bucket_start
+    """,
+)
+def join_range(spark, sf_dir):
+    """Range join against a bounded bucket spine — the spine is
+    broadcast, so the plan is a single scan of events (no shuffle of
+    the fact side before the aggregate)."""
+    from data_pipeline_001_spark.functions.time_fns import window_spine
+    from data_pipeline_001_spark.operators.relational import range_join
+
+    t = load_tables(spark, sf_dir)
+    spine = window_spine(spark, "2024-01-01 00:00:00", "2024-02-01 00:00:00", "6h")
+    joined = range_join(
+        t["events"],
+        spine.select(F.col("window_start").alias("bucket_start"),
+                     F.col("window_end").alias("bucket_end")),
+        (F.col("ts") >= F.col("bucket_start")) & (F.col("ts") < F.col("bucket_end")),
+    )
+    return joined.groupBy("bucket_start").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "join_asof_events_spine",
+    """
+    SELECT event_id, ts, asof_time
+    FROM events ASOF JOIN (
+      SELECT range AS asof_time
+      FROM range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', INTERVAL 7 HOUR)
+    ) s ON ts >= asof_time
+    """,
+)
+def join_asof(spark, sf_dir):
+    """AS-OF join (engine extension): latest spine tick ≤ event time,
+    via union + last(ignorenulls) — one shuffle, no range scan."""
+    from data_pipeline_001_spark.functions.time_fns import window_spine
+    from data_pipeline_001_spark.operators.relational import asof_join
+
+    t = load_tables(spark, sf_dir)
+    spine = window_spine(spark, "2024-01-01 00:00:00", "2024-02-01 00:00:00", "7h")
+    ticks = spine.select(F.col("window_start").alias("tick"))
+    out = asof_join(
+        t["events"].select("event_id", "ts"), ticks, left_time="ts", right_time="tick"
+    )
+    return out.select("event_id", "ts", "asof_time")
+
+
+# =====================================================================
+# C. Aggregations (SURVEY §2.4 — A1..A6, rollup/cube extension)
+# =====================================================================
+
+@query(
+    "agg_orders_histogram",
+    """
+    SELECT o_orderpriority, COUNT(*) AS cnt,
+           MIN(o_orderdate) AS min_day, MAX(o_orderdate) AS max_day,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """A1: grouped multi-agg histogram (state_manager.py:205-218)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.min("o_orderdate").alias("min_day"),
+        F.max("o_orderdate").alias("max_day"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "agg_distinct_days",
+    """
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_day FROM orders
+    """,
+)
+def agg_distinct_days(spark, sf_dir):
+    """A3: DISTINCT day extraction (state_manager.py:683-691)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(F.to_date("o_orderdate").alias("order_day")).distinct()
+
+
+@query(
+    "agg_dominant_argmax",
+    """
+    SELECT o_orderstatus,
+           arg_max(o_orderpriority, o_totalprice) AS top_priority,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_argmax(spark, sf_dir):
+    """A2: argmax/dominant-pattern reduction (state_manager.py:238-242)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.max_by("o_orderpriority", "o_totalprice").alias("top_priority"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "agg_rollup_region_nation",
+    """
+    SELECT r_name, n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return base.rollup("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["orders"].cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_count_reconciliation",
+    """
+    SELECT hour_start,
+           COUNT(*) AS source_count,
+           CAST(COUNT(user_id) AS BIGINT) AS target_count,
+           CAST(COUNT(user_id) AS BIGINT) - COUNT(*) AS count_difference,
+           ROUND(CASE WHEN COUNT(*) = 0 AND COUNT(user_id) = 0 THEN 0.0
+                      WHEN COUNT(*) = 0 THEN 100.0
+                      ELSE (COUNT(user_id) - COUNT(*)) * 100.0 / COUNT(*)
+                 END, 6) AS count_difference_percentage,
+           (ABS(CASE WHEN COUNT(*) = 0 AND COUNT(user_id) = 0 THEN 0.0
+                     WHEN COUNT(*) = 0 THEN 100.0
+                     ELSE (COUNT(user_id) - COUNT(*)) * 100.0 / COUNT(*)
+                END) <= 5.0) AS count_match_status
+    FROM (SELECT date_trunc('hour', ts) AS hour_start, user_id FROM events)
+    GROUP BY hour_start
+    """,
+)
+def agg_reconciliation(spark, sf_dir):
+    """A5 columnar: per-window source/target counts + guarded pct diff
+    (audit_manager.py:385-392,43-48) — the audit join at scale: ONE
+    aggregation for every window instead of N scalar count() jobs."""
+    from data_pipeline_001_spark.functions.hash_fns import percentage_difference
+
+    t = load_tables(spark, sf_dir)
+    agg = (
+        t["events"]
+        .select(F.date_trunc("hour", "ts").alias("hour_start"), "user_id")
+        .groupBy("hour_start")
+        .agg(
+            F.count("*").alias("source_count"),
+            F.count("user_id").alias("target_count"),
+        )
+    )
+    pct = percentage_difference(F.col("source_count"), F.col("target_count"))
+    return agg.select(
+        "hour_start",
+        "source_count",
+        "target_count",
+        (F.col("target_count") - F.col("source_count")).alias("count_difference"),
+        F.round(pct, 6).alias("count_difference_percentage"),
+        (F.abs(pct) <= 5.0).alias("count_match_status"),
+    )
+
+
+@query("agg_approx_distinct_users")  # approximate — rows-only check
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL) — engine extension surface; sketch
+    values are engine-specific so there is no exact oracle."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("cnt"),
+    )
+
+
+# =====================================================================
+# D. Window functions (SURVEY §2.5 — W1..W5 + frames/ranking surface)
+# =====================================================================
+
+@query(
+    "window_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk(spark, sf_dir):
+    from data_pipeline_001_spark.operators.windows import top_k_per_group
+
+    t = load_tables(spark, sf_dir)
+    return top_k_per_group(
+        t["orders"].select("o_custkey", "o_orderkey", "o_totalprice"),
+        ("o_custkey",),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+
+
+@query(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "window_moving_avg_daily_revenue",
+    """
+    SELECT order_day, ROUND(rev, 2) AS daily_revenue,
+           ROUND(AVG(rev) OVER (ORDER BY order_day
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+    FROM (SELECT CAST(o_orderdate AS DATE) AS order_day, SUM(o_totalprice) AS rev
+          FROM orders GROUP BY 1)
+    """,
+)
+def window_moving_avg(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    daily = t["orders"].groupBy(
+        F.to_date("o_orderdate").alias("order_day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("order_day").rowsBetween(-3, Window.currentRow)
+    return daily.select(
+        "order_day",
+        F.round("rev", 2).alias("daily_revenue"),
+        F.round(F.avg("rev").over(w), 6).alias("moving_avg"),
+    )
+
+
+@query(
+    "window_gap_detection",
+    """
+    WITH hours AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h FROM events WHERE event_type = 'signup')
+    SELECT CAST(h AS DATE) AS gap_day,
+           h + INTERVAL 1 HOUR AS gap_start, next_h AS gap_end
+    FROM (SELECT h, LEAD(h) OVER (PARTITION BY CAST(h AS DATE) ORDER BY h) AS next_h
+          FROM hours)
+    WHERE next_h > h + INTERVAL 1 HOUR
+    """,
+)
+def window_gap_detection(spark, sf_dir):
+    """W1: lead-vs-end gap detection (state_manager.py:820-884) over
+    the hours that contain signup events."""
+    t = load_tables(spark, sf_dir)
+    hours = (
+        t["events"]
+        .where(F.col("event_type") == "signup")
+        .select(F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(F.to_date("h")).orderBy("h")
+    return (
+        hours.withColumn("next_h", F.lead("h").over(w))
+        .where(F.col("next_h") > F.col("h") + F.expr("interval 1 hour"))
+        .select(
+            F.to_date("h").alias("gap_day"),
+            (F.col("h") + F.expr("interval 1 hour")).alias("gap_start"),
+            F.col("next_h").alias("gap_end"),
+        )
+    )
+
+
+@query(
+    "window_overlap_detection",
+    """
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS iv_start,
+             o_orderdate + CAST(o_orderkey % 5 + 1 AS INT) * INTERVAL 1 DAY AS iv_end
+      FROM orders)
+    SELECT o_custkey, o_orderkey AS first_key, next_key AS second_key,
+           iv_end AS first_end, next_start AS second_start
+    FROM (SELECT o_custkey, o_orderkey, iv_start, iv_end,
+                 LEAD(iv_start)   OVER w AS next_start,
+                 LEAD(o_orderkey) OVER w AS next_key
+          FROM iv WINDOW w AS (PARTITION BY o_custkey ORDER BY iv_start, o_orderkey))
+    WHERE next_start < iv_end
+    """,
+)
+def window_overlap_detection(spark, sf_dir):
+    """W2: adjacent-interval overlap (state_manager.py:906-925) over
+    synthetic per-customer order intervals."""
+    t = load_tables(spark, sf_dir)
+    iv = t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("iv_start"),
+        F.expr(
+            "o_orderdate + CAST(o_orderkey % 5 + 1 AS INT) * INTERVAL '1' DAY"
+        ).alias("iv_end"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("iv_start", "o_orderkey")
+    return (
+        iv.withColumn("next_start", F.lead("iv_start").over(w))
+        .withColumn("next_key", F.lead("o_orderkey").over(w))
+        .where(F.col("next_start") < F.col("iv_end"))
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_key"),
+            F.col("next_key").alias("second_key"),
+            F.col("iv_end").alias("first_end"),
+            F.col("next_start").alias("second_start"),
+        )
+    )
+
+
+@query(
+    "window_dedup_priority_rule",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY (source = 'src0') DESC, n_chars DESC, doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def window_dedup_rule(spark, sf_dir):
+    """W3 shape: multi-level keep-rule with an inverted final key
+    (state_manager.py:937-982's completed>latest>latest>oldest chain)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("source") == "src0").desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        t["documents"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "window_ntile_customer_quartiles",
+    """
+    SELECT c_custkey, CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+    FROM customer
+    """,
+)
+def window_ntile(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return t["customer"].select(
+        "c_custkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "window_dense_rank_parts",
+    """
+    SELECT p_brand, p_partkey,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS INT) AS size_rank
+    FROM part
+    """,
+)
+def window_dense_rank(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return t["part"].select(
+        "p_brand", "p_partkey", F.dense_rank().over(w).alias("size_rank")
+    )
+
+
+@query(
+    "window_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def window_sessionization(spark, sf_dir):
+    """Session windows in batch: lag-gap flag + per-user session count
+    (streaming variant uses session_window in streaming/)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = t["events"].withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800,
+            1,
+        ).otherwise(0),
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# =====================================================================
+# E. Set operations (SURVEY §2.7)
+# =====================================================================
+
+@query(
+    "set_union_all_keys",
+    """
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def set_union_all(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = t["supplier"].select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "set_intersect_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["customer"].select(F.col("c_nationkey").alias("nationkey")).intersect(
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "set_except_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["customer"].select(F.col("c_nationkey").alias("nationkey")).subtract(
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+# =====================================================================
+# F. Sorts / limits (SURVEY §2.6 — O1 multi-key top-k)
+# =====================================================================
+
+@query(
+    "sort_topk_multikey",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def sort_topk(spark, sf_dir):
+    """O1/W5: priority-ordered LIMIT — Catalyst plans
+    TakeOrderedAndProject (no global sort materialization)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(25)
+    )

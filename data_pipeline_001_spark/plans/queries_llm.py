@@ -1,0 +1,263 @@
+"""LLM training-data pipeline query surface (SURVEY.md §2.13):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search (brute-force + LSH), text analysis, multimodal plumbing.
+Registers into the shared REGISTRY in ``plans.queries``.
+
+Oracle notes: the fingerprint/statistics/Jaccard/cosine queries have
+exact DuckDB oracles; the murmur3-based sketches (MinHash, SimHash)
+are deterministic but engine-specific (Spark's F.hash), so the driver
+records rows-only checks for those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.plans.queries import query
+from data_pipeline_001_spark.session import load_tables
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_exact_fingerprint",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fp,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup: one shuffle on the text fingerprint; min-id survivor."""
+    from data_pipeline_001_spark.operators.dedup import exact_duplicates
+
+    t = load_tables(spark, sf_dir)
+    return exact_duplicates(t["documents"])
+
+
+@query(
+    "text_stats_by_lang",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(LENGTH(text)), 6) AS avg_chars,
+           ROUND(AVG(len(string_split_regex(trim(text), '\\s+'))), 6) AS avg_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+               AS total_regex_tokens,
+           ROUND(AVG((LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0)), 6) AS avg_punct_ratio
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Text analysis rollup: chars / tokens / regex tokens / punct."""
+    from data_pipeline_001_spark.functions import text as TX
+
+    t = load_tables(spark, sf_dir)
+    tc = F.col("text")
+    return t["documents"].groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(TX.char_len(tc)), 6).alias("avg_chars"),
+        F.round(F.avg(TX.token_count(tc)), 6).alias("avg_tokens"),
+        F.sum(TX.regex_token_count(tc)).alias("total_regex_tokens"),
+        F.round(F.avg(TX.punct_ratio(tc)), 6).alias("avg_punct_ratio"),
+    )
+
+
+_STOP = {
+    "de": "('der','die','das','und','ist','ein','zu','den')",
+    "en": "('the','and','of','to','in','is','a','that')",
+    "es": "('el','la','de','que','y','en','un','es')",
+    "fr": "('le','la','de','et','un','une','est','que')",
+}
+_RATIO = {
+    lang: (
+        f"ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"t -> t IN {words})) AS DOUBLE) / GREATEST(len(string_split_regex(trim(lower(text)), "
+        f"'\\s+')), 1), 6)"
+    )
+    for lang, words in _STOP.items()
+}
+
+
+@query(
+    "text_language_id",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             {_RATIO['de']} AS r_de, {_RATIO['en']} AS r_en,
+             {_RATIO['es']} AS r_es, {_RATIO['fr']} AS r_fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN GREATEST(r_de, r_en, r_es, r_fr) = 0 THEN 'und'
+                WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
+                WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+                WHEN r_en >= r_de THEN 'en'
+                ELSE 'de' END AS predicted_lang,
+           GREATEST(r_de, r_en, r_es, r_fr) AS lang_score
+    FROM r
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Heuristic language ID: argmax stopword-hit ratio (ties resolve
+    to the alphabetically-last language in both engines)."""
+    from data_pipeline_001_spark.operators.text_analysis import language_id
+
+    t = load_tables(spark, sf_dir)
+    return language_id(t["documents"])
+
+
+@query(
+    "text_quality_scores",
+    """
+    SELECT doc_id, lang,
+           ROUND(GREATEST(LEAST(
+             0.5 * LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+             + 0.5 * (CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE)
+                      / GREATEST(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+             - ((LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0))
+             - ((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0)),
+           1.0), 0.0), 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Corpus quality scoring (C4/Gopher-style length+stopword-punct
+    heuristic) as a pure column expression."""
+    from data_pipeline_001_spark.operators.text_analysis import quality_scores
+
+    t = load_tables(spark, sf_dir)
+    return quality_scores(t["documents"])
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct([substr(t, i, 3) for i in range(1, GREATEST(LENGTH(t) - 2, 1) + 1)]) AS grams
+      FROM (SELECT doc_id, lang, {_NORM_SQL} AS t FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.62
+    """,
+)
+def ngram_jaccard_q(spark, sf_dir):
+    """Character-3-gram Jaccard near-dup pairs, blocked by lang.
+
+    The lang block bounds the self-join; the LSH variants below are
+    the unblocked-scale path."""
+    from data_pipeline_001_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        t["documents"], n=3, threshold=0.62, block_col="lang"
+    )
+
+
+@query("dedup_minhash_lsh")  # murmur3-based sketch — rows-only check
+def dedup_minhash_q(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (banded signatures →
+    bucket join → exact Jaccard verify ≥ 0.5)."""
+    from data_pipeline_001_spark.operators.dedup import minhash_lsh_pairs
+
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(t["documents"], num_hashes=32, bands=8, jaccard_threshold=0.5)
+
+
+@query("dedup_simhash")  # murmur3-based sketch — rows-only check
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash near-dup candidates: 64-bit signatures, prefix-block
+    candidates, hamming distance ≤ 6."""
+    from data_pipeline_001_spark.operators.dedup import simhash_near_duplicates
+
+    t = load_tables(spark, sf_dir)
+    return simhash_near_duplicates(t["documents"]).where(F.col("hamming") <= 6)
+
+
+@query(
+    "similarity_bruteforce_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+           FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def similarity_bruteforce(spark, sf_dir):
+    """Exact cosine top-k — queries broadcast, corpus streamed once."""
+    from data_pipeline_001_spark.operators.similarity import brute_force_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@query("similarity_lsh_topk")  # approximate — rows-only check
+def similarity_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN: bucketed candidates + multi-probe.
+    The scale path — candidates/query ≈ corpus/2^bits · probes."""
+    from data_pipeline_001_spark.operators.similarity import lsh_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return lsh_topk(e, e.where(F.col("vec_id") < 10), k=5, bits=8, probes=9)
+
+
+@query(
+    "similarity_numpy_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+           FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def similarity_numpy(spark, sf_dir):
+    """Arrow-batched mapInPandas top-k (NumPy matmul per batch) — the
+    Pandas-UDF pattern for score functions beyond column expressions."""
+    from data_pipeline_001_spark.operators.similarity import numpy_topk_batches
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    qvecs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.where(F.col("vec_id") < 5).collect()
+    ]
+    return numpy_topk_batches(e, qvecs, k=5)
+
+
+@query("multimodal_binary_features")  # mapInPandas plumbing — rows-only check
+def multimodal_features(spark, sf_dir):
+    """Binary-column multimodal plumbing: payload + typed metadata →
+    Arrow-batched feature extraction (decode step stubbed; byte-level
+    features real)."""
+    from data_pipeline_001_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    t = load_tables(spark, sf_dir)
+    media = attach_binary_payload(t["documents"])
+    return extract_features(media)

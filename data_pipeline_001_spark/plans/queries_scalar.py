@@ -1,0 +1,299 @@
+"""Scalar-function and time-kernel query surface (SURVEY.md §2.8,
+§2.10): window spines, floor/ceil/round, tumbling aggregation, safe
+boundary, JSON extraction, hash ids, math curves, granularity strings.
+Registers into the shared REGISTRY in ``plans.queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.plans.queries import query
+from data_pipeline_001_spark.session import load_tables
+
+
+@query(
+    "time_spine_hourly",
+    """
+    SELECT range AS window_start,
+           range + INTERVAL 1 HOUR AS window_end,
+           CAST(60 AS INT) AS duration_minutes,
+           CAST(range AS DATE) AS window_day
+    FROM range(TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-04 00:00:00',
+               INTERVAL 1 HOUR)
+    """,
+)
+def time_spine(spark, sf_dir):
+    """F1: distributed tumbling-window spine (time_utils.py:178-217)."""
+    from data_pipeline_001_spark.functions.time_fns import window_spine
+
+    return window_spine(spark, "2024-01-03 00:00:00", "2024-01-04 00:00:00", "1h")
+
+
+@query(
+    "time_floor_ceil_round",
+    """
+    SELECT event_id,
+           date_trunc('hour', ts) AS hour_floor,
+           CASE WHEN date_trunc('hour', ts) = ts THEN ts
+                ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END AS hour_ceil,
+           CASE WHEN epoch_us(ts) - epoch_us(date_trunc('hour', ts)) >= 1800000000
+                THEN date_trunc('hour', ts) + INTERVAL 1 HOUR
+                ELSE date_trunc('hour', ts) END AS hour_round
+    FROM events
+    """,
+)
+def time_floor_ceil_round(spark, sf_dir):
+    """F2/F3/F4: floor, ceil, midpoint-round (time_utils.py:8-139)."""
+    from data_pipeline_001_spark.functions.time_fns import (
+        ceil_timestamp,
+        floor_timestamp,
+        round_timestamp,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ts = F.col("ts")
+    return t["events"].select(
+        "event_id",
+        floor_timestamp(ts, "hour").alias("hour_floor"),
+        ceil_timestamp(ts, "hour").alias("hour_ceil"),
+        round_timestamp(ts, "hour").alias("hour_round"),
+    )
+
+
+@query(
+    "time_tumbling_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def time_tumbling(spark, sf_dir):
+    """Tumbling-window aggregation — the batch form of the streaming
+    window() group (SURVEY §2.10)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy(
+        F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "time_safe_boundary_filter",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+    FROM events
+    WHERE date_trunc('hour', ts) <= TIMESTAMP '2024-01-28 00:00:00'
+    GROUP BY 1
+    """,
+)
+def time_safe_boundary(spark, sf_dir):
+    """P7: anti-future safe-boundary filter (x_time_back semantics,
+    main_pipeline_orchestrator.py:242-300) with proper timestamp
+    comparison instead of the reference's ISO-string compare."""
+    t = load_tables(spark, sf_dir)
+    boundary = F.lit("2024-01-28 00:00:00").cast("timestamp")
+    return (
+        t["events"]
+        .select(F.date_trunc("hour", "ts").alias("window_start"))
+        .where(F.col("window_start") <= boundary)
+        .groupBy("window_start")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract(spark, sf_dir):
+    """JSON scalar surface over the opaque document body
+    (events.props) — get_json_object pushed into the scan."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return t["events"].groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "hash_composite_ids",
+    """
+    SELECT o_orderkey,
+           md5(concat_ws('_', 'cust:' || CAST(o_custkey AS VARCHAR),
+                              'order:' || CAST(o_orderkey AS VARCHAR))) AS unique_source_id,
+           sha256(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus)) AS record_hash
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def hash_ids(spark, sf_dir):
+    """F9/F10: deterministic MD5 composite ids + SHA-256 record hashes
+    (state_manager.py:419-484, utils/hash_id_generation.py:4-7)."""
+    from data_pipeline_001_spark.functions.hash_fns import (
+        composite_md5_id,
+        sha256_record_hash,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            composite_md5_id(
+                {"cust": F.col("o_custkey"), "order": F.col("o_orderkey")}
+            ).alias("unique_source_id"),
+            sha256_record_hash(F.col("o_orderkey"), F.col("o_orderstatus")).alias(
+                "record_hash"
+            ),
+        )
+    )
+
+
+@query(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTR(p_name, 1, 10) AS name_prefix,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           REPLACE(p_type, ' ', '_') AS type_slug,
+           (p_name LIKE '%a%') AS has_a
+    FROM part
+    """,
+)
+def scalar_strings(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.col("p_name").like("%a%").alias("has_a"),
+    )
+
+
+@query(
+    "scalar_duration_curves",
+    """
+    WITH g AS (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1)
+    SELECT o_orderpriority, cnt,
+           ROUND(GREATEST(10.0 * (cnt / 300.0), 10.0) * 1.5, 6)            AS est_linear,
+           ROUND(GREATEST(10.0 * (1 + LN(1 + cnt / 300.0)), 10.0) * 1.5, 6) AS est_log,
+           ROUND(GREATEST(10.0 * SQRT(cnt / 300.0), 10.0) * 1.5, 6)         AS est_sqrt,
+           ROUND(GREATEST(10.0 * POW(cnt / 300.0, 0.6), 10.0) * 1.5, 6)     AS est_power
+    FROM g
+    """,
+)
+def scalar_curves(spark, sf_dir):
+    """F12: the reference's duration-estimate scaling curves
+    (source_discovery_manager.py:186-271) as column expressions."""
+    from data_pipeline_001_spark.functions.hash_fns import scaled_duration_estimate
+
+    t = load_tables(spark, sf_dir)
+    g = t["orders"].groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+    c = F.col("cnt")
+    return g.select(
+        "o_orderpriority",
+        "cnt",
+        F.round(scaled_duration_estimate(c, 300, 10, "linear"), 6).alias("est_linear"),
+        F.round(scaled_duration_estimate(c, 300, 10, "log"), 6).alias("est_log"),
+        F.round(scaled_duration_estimate(c, 300, 10, "sqrt"), 6).alias("est_sqrt"),
+        F.round(scaled_duration_estimate(c, 300, 10, "power"), 6).alias("est_power"),
+    )
+
+
+@query(
+    "scalar_granularity_string",
+    """
+    SELECT minutes,
+           (CASE WHEN minutes // 1440 > 0 THEN (minutes // 1440) || 'd' ELSE '' END)
+        || (CASE WHEN (minutes % 1440) // 60 > 0 THEN ((minutes % 1440) // 60) || 'h' ELSE '' END)
+        || (CASE WHEN minutes % 60 > 0 OR minutes // 60 = 0 THEN (minutes % 60) || 'm' ELSE '' END)
+           AS granularity
+    FROM (SELECT DISTINCT CAST(o_orderkey % 3000 + 1 AS INT) AS minutes FROM orders)
+    """,
+)
+def scalar_granularity(spark, sf_dir):
+    """F11: minutes → '2d', '1h30m', '45m' (state_manager.py:1139-1152)."""
+    from data_pipeline_001_spark.functions.hash_fns import minutes_to_granularity
+
+    t = load_tables(spark, sf_dir)
+    m = t["orders"].select(
+        (F.col("o_orderkey") % 3000 + 1).cast("int").alias("minutes")
+    ).distinct()
+    return m.select("minutes", minutes_to_granularity(F.col("minutes")).alias("granularity"))
+
+
+@query(
+    "filter_predicate_stack",
+    """
+    SELECT event_id, ts, user_id, value FROM events
+    WHERE user_id IS NOT NULL
+      AND event_type = 'purchase'
+      AND value > 50.0
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00:00'
+    """,
+)
+def filter_stack(spark, sf_dir):
+    """P1+P2+P3+P6 predicate stack — all pushed to the parquet scan
+    (verify with .explain: PushedFilters)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .where(F.col("event_type") == "purchase")
+        .where(F.col("value") > 50.0)
+        .where(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        )
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+
+@query(
+    "derived_projection_window_day",
+    """
+    SELECT event_id,
+           CAST(ts AS DATE) AS window_day,
+           CAST((epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+                 - epoch_us(date_trunc('hour', ts))) / 60000000 AS INT) AS duration_minutes
+    FROM events WHERE event_id < 200
+    """,
+)
+def derived_projection(spark, sf_dir):
+    """P8: per-row derived projection — day + duration columns
+    (state_manager.py:548-549, time_utils.py:221-231)."""
+    from data_pipeline_001_spark.functions.time_fns import window_duration_minutes
+
+    t = load_tables(spark, sf_dir)
+    start = F.date_trunc("hour", "ts")
+    end = start + F.expr("interval 1 hour")
+    return (
+        t["events"]
+        .where(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.to_date("ts").alias("window_day"),
+            window_duration_minutes(start, end).alias("duration_minutes"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]``; the conf below is chosen so the
+same logical plans survive a 1000-executor / 100 TB deployment:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast-join demotion/promotion from runtime stats).
+- ``spark.sql.shuffle.partitions`` sized for the local core count;
+  on a real cluster AQE coalesces, so a high static value is safe.
+- Arrow enabled for the Pandas-UDF paths (dedup/similarity/multimodal).
+- Session timezone pinned to UTC so window math matches the DuckDB
+  oracle and is DST-free unless a pipeline config overrides it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_pipeline_001_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type — read as long and convert in
+        # load_tables (µs truncation matches DuckDB's read of the file)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Load every testdata parquet table from ``sf_dir``.
+
+    Returns name → DataFrame and registers each as a temp view so the
+    same queries run via the DataFrame API or ``spark.sql``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # the caller may hand us a session built without our factory (the
+    # correctness driver does); nanosAsLong is a runtime SQLConf, so
+    # pin it here — events.parquet stores TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    out = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            # nanos-as-long columns (events.ts) → microsecond timestamps,
+            # matching DuckDB's truncating read of TIMESTAMP(NANOS)
+            if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+                # integer division — double division loses precision on
+                # 19-digit nanosecond epochs (53-bit mantissa)
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

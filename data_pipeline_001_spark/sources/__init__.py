@@ -1,0 +1,8 @@
+"""Connector protocol: pluggable sources and sinks (SURVEY.md §7 step 6)."""
+
+from data_pipeline_001_spark.sources.base import Sink, Source  # noqa: F401
+from data_pipeline_001_spark.sources.file_connectors import (  # noqa: F401
+    FileSource,
+    MockAsyncSink,
+    PartitionedParquetSink,
+)

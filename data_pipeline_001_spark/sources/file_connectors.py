@@ -1,0 +1,161 @@
+"""File-backed Source/Sink implementations.
+
+- ``FileSource``: parquet/json/csv directory with a timestamp column —
+  the test stand-in for the reference's Elasticsearch source. Counts
+  are pushed-down filters over the columnar scan (no full read).
+- ``PartitionedParquetSink``: day/window-partitioned parquet target.
+  Idempotence = deterministic window path + overwrite, replacing the
+  reference's head_object-check → delete → rewrite dance
+  (stage/data_checker.py:6-60, stage/stage_cleaner.py:6-59).
+- ``MockAsyncSink``: wraps a sink and makes ``load`` lag behind
+  (visible counts converge over successive ``count`` calls) to
+  exercise the audit adaptive-retry semantics (R3) that exist in the
+  reference only because Snowpipe is fire-and-forget
+  (target/ingestion_engine.py:25-35, audit_manager.py:123-383).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.sources.base import Sink, Source
+
+
+def window_predicate(ts_col: str, start: datetime, end: datetime):
+    """P1: half-open timestamp range ``ts >= start AND ts < end``
+    (elasticsearch_counter.py:110-118)."""
+    return (F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end))
+
+
+def window_dir_name(start: datetime) -> str:
+    """F15: deterministic window path segment ``YYYY-MM-DD/HH-mm``
+    (stage/ingestion_engine.py:62-99)."""
+    return start.strftime("%Y-%m-%d/%H-%M")
+
+
+class FileSource(Source):
+    """Parquet/JSON/CSV directory source with window predicates.
+
+    ``must_exist`` / ``exclude_null`` filter fields mirror the ES
+    query options (elasticsearch_counter.py:124-131) — both collapse
+    to ``isNotNull`` in a relational engine (P2/P3).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        ts_col: str = "ts",
+        fmt: str = "parquet",
+        must_exist: tuple[str, ...] = (),
+        exclude_null: tuple[str, ...] = (),
+        schema=None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.ts_col = ts_col
+        self.fmt = fmt
+        self.must_exist = must_exist
+        self.exclude_null = exclude_null
+        self.schema = schema
+
+    def _read(self) -> DataFrame:
+        reader = self.spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        df = reader.format(self.fmt).load(self.path)
+        for f in (*self.must_exist, *self.exclude_null):
+            df = df.where(F.col(f).isNotNull())
+        return df
+
+    def count(self, start: datetime, end: datetime) -> int:
+        return self._read().where(window_predicate(self.ts_col, start, end)).count()
+
+    def extract(self, start: datetime, end: datetime) -> DataFrame:
+        return self._read().where(window_predicate(self.ts_col, start, end))
+
+
+class PartitionedParquetSink(Sink):
+    """Idempotent window-partitioned parquet sink.
+
+    Layout: ``{root}/{YYYY-MM-DD}/{HH-mm}/*.parquet`` — same
+    day/window path discipline as the reference's S3 layout, which is
+    what makes partition pruning work at 100 TB: a window recount
+    reads exactly one directory.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        ts_col: str = "ts",
+        max_records_per_file: int = 1_000_000,
+    ):
+        self.spark = spark
+        self.root = root
+        self.ts_col = ts_col
+        self.max_records_per_file = max_records_per_file
+
+    def _window_path(self, start: datetime) -> str:
+        return os.path.join(self.root, window_dir_name(start))
+
+    def load(self, df: DataFrame, start: datetime, end: datetime) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("maxRecordsPerFile", self.max_records_per_file)
+            .parquet(self._window_path(start))
+        )
+
+    def exists(self, start: datetime, end: datetime) -> bool:
+        p = self._window_path(start)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def count(self, start: datetime, end: datetime) -> int:
+        if not self.exists(start, end):
+            return 0
+        return self.spark.read.parquet(self._window_path(start)).count()
+
+    def clean(self, start: datetime, end: datetime) -> None:
+        shutil.rmtree(self._window_path(start), ignore_errors=True)
+
+    def read_all(self) -> DataFrame:
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(self.root)
+
+
+class MockAsyncSink(Sink):
+    """Sink whose writes become visible gradually over ``count`` calls.
+
+    Each ``count()`` reveals another ``reveal_fraction`` of the loaded
+    rows, simulating Snowpipe's asynchronous load so the audit
+    manager's recount/improvement-detection loop (R3) has something
+    real to converge on.
+    """
+
+    def __init__(self, inner: Sink, reveal_steps: int = 3):
+        self.inner = inner
+        self.reveal_steps = reveal_steps
+        self._calls: dict[str, int] = {}
+
+    def load(self, df: DataFrame, start: datetime, end: datetime) -> None:
+        self.inner.load(df, start, end)
+        self._calls[start.isoformat()] = 0
+
+    def exists(self, start: datetime, end: datetime) -> bool:
+        return self.inner.exists(start, end)
+
+    def clean(self, start: datetime, end: datetime) -> None:
+        self.inner.clean(start, end)
+        self._calls.pop(start.isoformat(), None)
+
+    def count(self, start: datetime, end: datetime) -> int:
+        full = self.inner.count(start, end)
+        k = self._calls.get(start.isoformat(), self.reveal_steps)
+        self._calls[start.isoformat()] = min(k + 1, self.reveal_steps)
+        return int(full * min(k + 1, self.reveal_steps) / self.reveal_steps)
