@@ -1,0 +1,82 @@
+"""Benchmark harness: timed headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully via the no-op sink (forces the whole plan —
+scan, shuffles, aggregation — without driver-side collection cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_nation_revenue",
+    "q10_returned_revenue",
+    "join_range_events_buckets",
+    "join_asof_events_spine",
+    "agg_count_reconciliation",
+    "agg_rollup_region_nation",
+    "window_topk_orders_per_customer",
+    "window_sessionization",
+    "time_tumbling_agg",
+    "json_extract_props",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "text_stats_by_lang",
+    "similarity_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from data_pipeline_001_spark.session import get_spark, load_tables
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # warm the JVM + file listing once so per-query times measure the
+    # plans, not session startup
+    load_tables(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

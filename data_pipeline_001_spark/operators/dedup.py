@@ -79,22 +79,25 @@ def minhash_signatures(
 
     Token base hash = murmur3 (``F.hash``) mapped to non-negative;
     sig_i = min over shingles of (aᵢ·h + bᵢ) mod p.
+
+    Shape note: shingles are exploded ONCE and all k minhashes are
+    computed in a single groupBy pass. The tempting pure-expression
+    form (k × transform+array_min over the shingle array) re-evaluates
+    the tokenize/shingle subtree k times — CollapseProject inlines the
+    alias — which measured ~20× slower at 5k docs and grows with k.
     """
     params = _hash_params(num_hashes, seed)
-    shingles = word_shingles(F.col(text_col), shingle_words)
-    base = F.transform(
-        shingles, lambda s: (F.abs(F.hash(s)).cast("long") % F.lit(_MERSENNE))
+    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_words))
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
+    ).select("id", (F.abs(F.hash("sh")).cast("long") % F.lit(_MERSENNE)).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return exploded.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig")
     )
-
-    def _minhash(a: int, b: int):
-        # closure factory: Spark's transform() infers lambda arity, so
-        # the lambda must take exactly one argument
-        return F.array_min(
-            F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
-        )
-
-    sig = F.array(*[_minhash(a, b) for a, b in params])
-    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -106,10 +109,19 @@ def minhash_lsh_pairs(
     shingle_words: int = 3,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_size: int = 100,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH, verified
     with exact shingle Jaccard. Returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold.
+
+    ``max_bucket_size`` drops band-buckets larger than the cap before
+    the self-join: an oversized bucket means a near-universal shingle
+    pattern (low information) and is exactly what makes naive LSH
+    quadratic on skewed corpora. True near-dup pairs collide in
+    *multiple* bands, so dropping one bloated band rarely loses them —
+    and at 100 TB this cap is the difference between a bounded
+    per-bucket join and an O(n²) blowup.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_words, seed)
@@ -134,6 +146,16 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+    if max_bucket_size:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(wb))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -165,35 +187,42 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash from murmur3 token hashes, as a column expression.
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, sig long) — 64-bit SimHash from murmur3 token hashes.
 
     For each bit position, sum +1/-1 over tokens by that bit of the
-    token hash; the sign of the sum is the signature bit.
+    token hash; the sign of the sum is the signature bit. Tokens are
+    exploded once and all 64 bit-sums aggregate in one groupBy pass
+    (same de-duplication-of-work rationale as minhash_signatures).
     """
-    from data_pipeline_001_spark.functions.text import whitespace_tokens, normalize_text
+    from data_pipeline_001_spark.functions.text import normalize_text, whitespace_tokens
 
-    toks = whitespace_tokens(normalize_text(text))
-    hashes = F.transform(toks, lambda t: F.hash(t).cast("long"))
-
-    def _bit_sum(i: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    ).select("id", F.hash("tok").cast("long").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agged = exploded.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
     for i in range(bits):
         # shiftleft instead of a (1 << i) literal — bit 63 overflows a
         # long literal but is fine as a JVM shift
         sig = sig.bitwiseOR(
             F.when(
-                _bit_sum(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
             ).otherwise(F.lit(0).cast("long"))
         )
-    return sig
+    return agged.select("id", sig.alias("sig"))
 
 
 def simhash_near_duplicates(
@@ -201,13 +230,15 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_bits: int = 16,
+    max_block_size: int = 200,
 ) -> DataFrame:
     """Near-dup candidates: documents sharing a SimHash prefix block.
 
     Blocking on 4 rotated prefix blocks approximates hamming ≤ 3 over
-    64 bits (pigeonhole); returns (id_a, id_b, hamming).
+    64 bits (pigeonhole); returns (id_a, id_b, hamming). Oversized
+    blocks are dropped (same skew-cap rationale as minhash_lsh_pairs).
     """
-    sigs = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    sigs = simhash_signatures(docs, text_col, id_col)
     blocks = sigs.select(
         "id",
         "sig",
@@ -225,6 +256,15 @@ def simhash_near_duplicates(
             )
         ).alias("bk"),
     ).select("id", "sig", "bk.block", "bk.key")
+    if max_block_size:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("block", "key")
+        blocks = (
+            blocks.withColumn("_bsz", F.count("*").over(wb))
+            .where(F.col("_bsz") <= max_block_size)
+            .drop("_bsz")
+        )
     l, r = blocks.alias("l"), blocks.alias("r")
     pairs = (
         l.join(

@@ -175,11 +175,11 @@ def dedup_minhash_q(spark, sf_dir):
 @query("dedup_simhash")  # murmur3-based sketch — rows-only check
 def dedup_simhash_q(spark, sf_dir):
     """SimHash near-dup candidates: 64-bit signatures, prefix-block
-    candidates, hamming distance ≤ 6."""
+    candidates, hamming distance ≤ 3."""
     from data_pipeline_001_spark.operators.dedup import simhash_near_duplicates
 
     t = load_tables(spark, sf_dir)
-    return simhash_near_duplicates(t["documents"]).where(F.col("hamming") <= 6)
+    return simhash_near_duplicates(t["documents"]).where(F.col("hamming") <= 3)
 
 
 @query(

@@ -68,12 +68,20 @@ TABLES = (
 )
 
 
+_TABLE_CACHE: dict[tuple[int, str], dict] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Load every testdata parquet table from ``sf_dir``.
 
     Returns name → DataFrame and registers each as a temp view so the
-    same queries run via the DataFrame API or ``spark.sql``.
+    same queries run via the DataFrame API or ``spark.sql``. The
+    DataFrames (lazy plans) are memoized per (session, dir) so
+    repeated queries skip the footer/schema reads.
     """
+    key = (id(spark), sf_dir)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -95,4 +103,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             df.createOrReplaceTempView(name)
             out[name] = df
+    _TABLE_CACHE[key] = out
     return out
