@@ -71,40 +71,56 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     bits: int = 8,
+    tables: int = 4,
     probes: int = 9,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane bucketing.
+    """Approximate cosine top-k: multi-table random-hyperplane LSH.
 
-    Corpus rows land in one bucket; each query probes its own bucket
-    plus the ``probes-1`` single-bit-flip neighbors (multi-probe LSH),
-    so recall degrades gracefully instead of falling off a cliff.
+    ``tables`` independent hyperplane sets (the standard L-tables
+    construction): a true neighbor only needs to collide in ONE table,
+    so recall compounds as 1-(1-p)^L. Each query additionally probes
+    its ``probes-1`` single-bit-flip buckets per table (multi-probe).
+    Candidate volume ≈ corpus · tables · probes / 2^bits per query —
+    the knob that trades recall for work at 100 TB.
     """
     from data_pipeline_001_spark.functions.vectors import random_projection_signature
 
-    planes = _hyperplanes(dim, bits, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        random_projection_signature(F.col(vec_col), planes).alias("bucket"),
-    )
-    q_sig = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        random_projection_signature(F.col(vec_col), planes).alias("sig"),
-    )
-    probe_buckets = F.array(
-        F.col("sig"),
-        *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(min(probes - 1, bits))],
-    )
-    q = q_sig.select(
-        "query_id", "q_vec", F.explode(probe_buckets).alias("bucket")
-    )
+    c_parts, q_parts = [], []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + 1000 * t)
+        sig = random_projection_signature(F.col(vec_col), planes)
+        c_parts.append(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                F.lit(t).alias("tbl"),
+                sig.alias("bucket"),
+            )
+        )
+        probe_buckets = F.array(
+            sig, *[sig.bitwiseXOR(F.lit(1 << i)) for i in range(min(probes - 1, bits))]
+        )
+        q_parts.append(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                F.lit(t).alias("tbl"),
+                F.explode(probe_buckets).alias("bucket"),
+            )
+        )
+    c = c_parts[0]
+    for p in c_parts[1:]:
+        c = c.unionByName(p)
+    q = q_parts[0]
+    for p in q_parts[1:]:
+        q = q.unionByName(p)
+
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)

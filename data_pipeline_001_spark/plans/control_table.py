@@ -115,6 +115,8 @@ def default_record(
     now = _utcnow()
     base = {f.name: None for f in CONTROL_SCHEMA.fields}
     dur = int((window_end - window_start).total_seconds() // 60)
+    # placeholder — append_records derives the real md5 ids (F9)
+    base["unique_source_id"] = ""
     base.update(
         triggered_by=triggered_by,
         pipeline_name=pipeline_name,

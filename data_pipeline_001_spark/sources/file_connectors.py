@@ -65,10 +65,19 @@ class FileSource(Source):
         self.schema = schema
 
     def _read(self) -> DataFrame:
+        from pyspark.sql import types as T
+
         reader = self.spark.read
         if self.schema is not None:
             reader = reader.schema(self.schema)
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = reader.format(self.fmt).load(self.path)
+        # TIMESTAMP(NANOS) parquet columns arrive as long under
+        # nanosAsLong — convert to µs timestamps (integer division)
+        if isinstance(df.schema[self.ts_col].dataType, T.LongType):
+            df = df.withColumn(
+                self.ts_col, F.timestamp_micros(F.expr(f"{self.ts_col} div 1000"))
+            )
         for f in (*self.must_exist, *self.exclude_null):
             df = df.where(F.col(f).isNotNull())
         return df

@@ -1,0 +1,60 @@
+"""F9..F13 scalar function tests: hash determinism vs hashlib, guard
+clauses, curve floors (SURVEY.md §5.1)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.functions.hash_fns import (
+    composite_md5_id,
+    minutes_to_granularity,
+    percentage_difference,
+    scaled_duration_estimate,
+    sha256_record_hash,
+)
+
+
+def test_composite_md5_matches_hashlib(spark):
+    df = spark.createDataFrame([("p1", "2024-01-01 00:00:00")], "name string, start string")
+    got = df.select(
+        composite_md5_id({"pipeline": F.col("name"), "start": F.col("start")}).alias("h")
+    ).first()["h"]
+    expected = hashlib.md5(b"pipeline:p1_start:2024-01-01 00:00:00").hexdigest()
+    assert got == expected
+
+
+def test_sha256_record_hash(spark):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    got = df.select(sha256_record_hash(F.col("a"), F.col("b")).alias("h")).first()["h"]
+    assert got == hashlib.sha256(b"1|x").hexdigest()
+
+
+def test_minutes_to_granularity(spark):
+    df = spark.createDataFrame([(1440,), (90,), (45,), (2880,), (0,)], "m int")
+    got = [r["g"] for r in df.select(minutes_to_granularity(F.col("m")).alias("g")).collect()]
+    assert got == ["1d", "1h30m", "45m", "2d", "0m"]
+
+
+def test_percentage_difference_guards(spark):
+    # audit_manager.py:385-392: 0/0 → 0, source 0 → 100
+    df = spark.createDataFrame([(0, 0), (0, 5), (100, 99), (100, 101)], "s long, t long")
+    got = [
+        r["p"]
+        for r in df.select(
+            percentage_difference(F.col("s"), F.col("t")).alias("p")
+        ).collect()
+    ]
+    assert got == [0.0, 100.0, -1.0, 1.0]
+
+
+def test_scaling_curve_floor_and_skew(spark):
+    # ratio < 1 → floored at base; ×1.5 skew (source_discovery_manager.py:186-271)
+    df = spark.createDataFrame([(100,), (600,)], "cnt long")
+    got = [
+        r["e"]
+        for r in df.select(
+            scaled_duration_estimate(F.col("cnt"), 300, 10, "linear").alias("e")
+        ).collect()
+    ]
+    assert got[0] == 15.0          # floor: max(10*100/300, 10)*1.5
+    assert abs(got[1] - 30.0) < 1e-9   # 10*2*1.5

@@ -1,0 +1,153 @@
+"""End-to-end pipeline slice (SURVEY.md §5.3, t1): events parquet as
+"Elasticsearch", plan windows, run the 4 stages per window, audit,
+verify drive-table transitions + idempotence + backfill + stale reset
++ the mock-async audit retry (R3)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.plans.control_table import ControlTable
+from data_pipeline_001_spark.plans.pipeline import PipelineConfig, WindowPipeline
+from data_pipeline_001_spark.sources.file_connectors import (
+    FileSource,
+    MockAsyncSink,
+    PartitionedParquetSink,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+DAY = datetime(2024, 1, 2)
+DAY_END = datetime(2024, 1, 3)
+
+
+@pytest.fixture()
+def pipe(spark, tmp_path):
+    source = FileSource(spark, f"{SF_DIR}/events.parquet", ts_col="ts")
+    stage = PartitionedParquetSink(spark, str(tmp_path / "stage"))
+    target = PartitionedParquetSink(spark, str(tmp_path / "target"))
+    control = ControlTable(spark, str(tmp_path / "control"))
+    cfg = PipelineConfig(
+        pipeline_name="e2e", granularity="6h", max_pipeline_runs=4, tolerance_pct=1.0
+    )
+    return WindowPipeline(spark, cfg, source, stage, target, control)
+
+
+def test_full_slice_completes_and_audits(pipe, spark):
+    result = pipe.run(DAY, DAY_END)
+    assert result.processed == 4
+    assert result.completed == 4
+    assert result.failed == 0
+
+    ct = pipe.control.read().collect()
+    assert len(ct) == 4
+    for r in ct:
+        assert r["pipeline_status"] == "completed"
+        assert r["completed_stage_number"] == 4
+        assert r["count_match_status"] == "matched"
+        assert r["source_count"] == r["target_count"]
+        assert r["count_difference"] == 0
+
+    # target holds exactly the day's events (DuckDB-checkable invariant)
+    src_cnt = pipe.source.count(DAY, DAY_END)
+    tgt_cnt = pipe.target_sink.read_all().count()
+    assert src_cnt == tgt_cnt > 0
+
+
+def test_idempotent_rerun_is_noop(pipe):
+    first = pipe.run(DAY, DAY_END)
+    assert first.completed == 4
+    second = pipe.run(DAY, DAY_END)
+    # nothing pending: all windows already completed
+    assert second.processed == 0
+    assert pipe.control.read().count() == 4
+
+
+def test_gap_backfill(pipe):
+    pipe.run(DAY, DAY_END)
+    # simulate a lost window record
+    victim = pipe.control.read().collect()[1]["unique_source_id"]
+    pipe.control.delete_records([victim])
+    assert pipe.control.read().count() == 3
+    # replan: anti-join restores exactly the missing window as pending
+    inserted = pipe.populate(DAY, DAY_END)
+    assert inserted == 1
+    statuses = {
+        r["pipeline_status"] for r in pipe.control.read().collect()
+    }
+    assert statuses == {"completed", "pending"}
+
+
+def test_stale_in_progress_reset_then_rerun(pipe):
+    pipe.populate(DAY, DAY_END)
+    rec = pipe.control.read().collect()[0]
+    sid = rec["unique_source_id"]
+    pipe.control.claim(sid)
+    # no expected durations set → acceptable runtime floors at 10 min;
+    # pretend "now" is 2 hours later → stale
+    from datetime import timedelta
+
+    now = datetime.utcnow() + timedelta(hours=2)
+    valid, reset = pipe.validate_in_progress(now)
+    assert (valid, reset) == (0, 1)
+    r = [x for x in pipe.control.read().collect() if x["unique_source_id"] == sid][0]
+    assert r["pipeline_status"] == "pending"
+    assert r["pipeline_retry_count"] == 1
+
+
+def test_concurrency_guard_exits(pipe):
+    pipe.populate(DAY, DAY_END)
+    sid = pipe.control.read().collect()[0]["unique_source_id"]
+    pipe.control.claim(sid)  # fresh claim → valid in_progress
+    result = pipe.run(DAY, DAY_END)
+    assert result.exited_for_concurrency
+    assert result.processed == 0
+
+
+def test_audit_retry_converges_on_async_sink(spark, tmp_path):
+    """R3: the mock-async sink reveals counts gradually; the audit
+    loop recounts while improving and completes once within tolerance
+    (audit_manager.py:123-383 contract, minus the wall-clock sleeps)."""
+    source = FileSource(spark, f"{SF_DIR}/events.parquet", ts_col="ts")
+    stage = PartitionedParquetSink(spark, str(tmp_path / "stage"))
+    target = MockAsyncSink(
+        PartitionedParquetSink(spark, str(tmp_path / "target")), reveal_steps=3
+    )
+    control = ControlTable(spark, str(tmp_path / "control"))
+    cfg = PipelineConfig(
+        pipeline_name="async", granularity="6h", max_pipeline_runs=1,
+        audit_max_retries=5,
+    )
+    pipe = WindowPipeline(spark, cfg, source, stage, target, control)
+    pipe.populate(DAY, datetime(2024, 1, 2, 6))
+    rec = pipe.control.read().collect()[0]
+    assert pipe.run_window(rec) == "completed"
+    r = pipe.control.read().collect()[0]
+    assert r["count_match_status"] == "matched"
+
+
+def test_audit_mismatch_resets_pipeline(spark, tmp_path):
+    """A sink that never converges → clean + full reset (M4)."""
+
+    class LossySink(PartitionedParquetSink):
+        def count(self, start, end):  # always half the data "arrived"
+            return super().count(start, end) // 2
+
+    source = FileSource(spark, f"{SF_DIR}/events.parquet", ts_col="ts")
+    stage = PartitionedParquetSink(spark, str(tmp_path / "stage"))
+    target = LossySink(spark, str(tmp_path / "target"))
+    control = ControlTable(spark, str(tmp_path / "control"))
+    cfg = PipelineConfig(
+        pipeline_name="lossy", granularity="6h", max_pipeline_runs=1,
+        audit_max_retries=2,
+    )
+    pipe = WindowPipeline(spark, cfg, source, stage, target, control)
+    pipe.populate(DAY, datetime(2024, 1, 2, 6))
+    rec = pipe.control.read().collect()[0]
+    assert pipe.run_window(rec) == "reset"
+    r = pipe.control.read().collect()[0]
+    assert r["pipeline_status"] == "pending"
+    assert r["count_match_status"] == "not_matched"
+    assert r["pipeline_retry_count"] == 1
+    # stage output cleaned
+    assert not stage.exists(DAY, datetime(2024, 1, 2, 6))

@@ -1,0 +1,54 @@
+"""As-of / range join operator tests with hand-checked fixtures."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.operators.relational import asof_join, range_join
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00"), (2, "2024-01-01 11:00:00"), (3, "2024-01-01 09:59:59")],
+        "id long, t string",
+    ).select("id", F.to_timestamp("t").alias("t"))
+    right = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "a"), ("2024-01-01 11:00:00", "b")],
+        "tick string, tag string",
+    ).select(F.to_timestamp("tick").alias("tick"), "tag")
+
+    out = {r["id"]: (r["tag"], r["asof_time"]) for r in
+           asof_join(left, right, "t", "tick").collect()}
+    assert out[1] == ("a", datetime(2024, 1, 1, 10, 0))
+    assert out[2] == ("b", datetime(2024, 1, 1, 11, 0))  # equal time matches
+    assert out[3] == (None, None)  # nothing at or before
+
+
+def test_asof_join_with_by_keys(spark):
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 10:30:00"), ("u2", "2024-01-01 10:30:00")],
+        "user string, t string",
+    ).select("user", F.to_timestamp("t").alias("t"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", 1.0), ("u2", "2024-01-01 10:15:00", 2.0)],
+        "user string, tick string, px double",
+    ).select("user", F.to_timestamp("tick").alias("tick"), "px")
+    out = {r["user"]: r["px"] for r in
+           asof_join(left, right, "t", "tick", by=("user",)).collect()}
+    assert out == {"u1": 1.0, "u2": 2.0}
+
+
+def test_range_join_buckets(spark):
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (2, "2024-01-01 01:30:00"), (3, "2024-01-01 01:45:00")],
+        "id long, t string",
+    ).select("id", F.to_timestamp("t").alias("t"))
+    buckets = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         ("2024-01-01 01:00:00", "2024-01-01 02:00:00")],
+        "s string, e string",
+    ).select(F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    out = range_join(events, buckets, (F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts[datetime(2024, 1, 1, 0)] == 1
+    assert counts[datetime(2024, 1, 1, 1)] == 2
