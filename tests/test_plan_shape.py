@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the optimizations we rely on at
+scale must be visible in the plan, not assumed — predicate pushdown
+to the parquet scan, column pruning, broadcast dimension joins,
+map-side partial aggregation, TakeOrderedAndProject for top-k.
+(SURVEY.md §4: 'built-in, free — but verify'.)"""
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, registry):
+    plan = _plan(registry["filter_predicate_stack"](spark, SF))
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(event_type,purchase)" in pushed
+    assert "GreaterThan(value,50.0)" in pushed
+    assert "IsNotNull(user_id)" in pushed
+
+
+def test_column_pruning_in_read_schema(spark, registry):
+    plan = _plan(registry["agg_distinct_days"](spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "o_orderdate:timestamp"
+
+
+def test_dimension_joins_are_broadcast(spark, registry):
+    plan = _plan(registry["q05_nation_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregation_has_partial_phase(spark, registry):
+    # map-side combine: the pre-shuffle HashAggregate carries
+    # partial_sum/partial_avg (node order in the tree is
+    # HashAggregate(partial) → Exchange → HashAggregate(final))
+    plan = _plan(registry["q01_pricing_summary"](spark, SF))
+    assert "partial_sum" in plan and "partial_avg" in plan
+
+
+def test_topk_uses_take_ordered(spark, registry):
+    # ORDER BY + LIMIT must not materialize a global sort
+    plan = _plan(registry["sort_topk_multikey"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_row_python_udfs_anywhere(spark, registry):
+    """Hot paths stay JVM-side; Python appears only via Arrow
+    (mapInPandas → MapInPandas/ArrowEvalPython, never BatchEvalPython)."""
+    for name in [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_language_id",
+        "similarity_bruteforce_topk",
+        "multimodal_binary_features",
+    ]:
+        plan = _plan(registry[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
