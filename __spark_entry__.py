@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _registry():
     # importing the satellite modules populates the shared REGISTRY
     from data_pipeline_001_spark.plans import queries as base
+    from data_pipeline_001_spark.plans import queries_agg2  # noqa: F401
     from data_pipeline_001_spark.plans import queries_llm  # noqa: F401
     from data_pipeline_001_spark.plans import queries_scalar  # noqa: F401
     from data_pipeline_001_spark.plans import queries_udf  # noqa: F401

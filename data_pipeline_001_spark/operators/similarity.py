@@ -138,6 +138,112 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 2000,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Deterministic mini k-means on a driver-side sample → centroid
+    list (the IVF coarse quantizer). The sample is bounded (``sample``
+    rows); Lloyd iterations run in NumPy on the driver. At 100 TB the
+    sample is still a tiny fixed-size sketch of the corpus — the
+    centroids ship to executors as literals.
+    """
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample).collect()
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1, norms)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(iters):
+        sims = mat @ centroids.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                centroids[c] = v / (n if n else 1)
+    return centroids.tolist()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: assign corpus rows to their nearest
+    centroid (inverted lists); each query scores only the rows in its
+    ``nprobe`` nearest lists.
+
+    The centroid id is the partition/join key — candidates per query ≈
+    corpus · nprobe / n_centroids, and the corpus assignment is
+    computed once and reusable across query batches (the classic IVF
+    trade: one cheap coarse quantization pass buys a bounded fine
+    search).
+    """
+    import numpy as np
+
+    cents = kmeans_centroids(corpus, k=n_centroids, seed=seed, vec_col=vec_col)
+    cmat = np.array(cents)
+
+    def nearest_centroids(df: DataFrame, out_col: str, n: int) -> DataFrame:
+        out_schema = f"{id_col} long, {out_col} array<int>"
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                mat = mat / np.where(norms == 0, 1, norms)
+                sims = mat @ cmat.T
+                top = np.argsort(-sims, axis=1)[:, :n].astype("int32")
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(), out_col: list(top)}
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+    c_assign = nearest_centroids(corpus, "lists", 1).select(
+        F.col(id_col).alias("neighbor_id"), F.explode("lists").alias("list_id")
+    )
+    q_assign = nearest_centroids(queries, "probes", nprobe).select(
+        F.col(id_col).alias("query_id"), F.explode("probes").alias("list_id")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")).join(
+        c_assign, "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).join(
+        q_assign, "query_id"
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
 def numpy_topk_batches(
     corpus: DataFrame,
     query_vectors: list[tuple[int, list[float]]],

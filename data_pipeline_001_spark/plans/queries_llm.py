@@ -251,6 +251,17 @@ def similarity_numpy(spark, sf_dir):
     return numpy_topk_batches(e, qvecs, k=5)
 
 
+@query("similarity_ivf_topk")  # approximate — rows-only check
+def similarity_ivf(spark, sf_dir):
+    """IVF ANN: mini-kmeans coarse quantizer → inverted lists →
+    nprobe-bounded fine search. The second scale path next to LSH."""
+    from data_pipeline_001_spark.operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=6)
+
+
 @query("multimodal_binary_features")  # mapInPandas plumbing — rows-only check
 def multimodal_features(spark, sf_dir):
     """Binary-column multimodal plumbing: payload + typed metadata →

@@ -1,0 +1,84 @@
+"""Connector format coverage (S2: parquet/JSON/CSV sources) and the
+layered-config merge (hanlder_script.py:117-194 semantics)."""
+
+from datetime import datetime
+
+import pytest
+
+from data_pipeline_001_spark.plans.pipeline import PipelineConfig
+from data_pipeline_001_spark.sources.file_connectors import FileSource
+
+WINDOW = (datetime(2024, 1, 2), datetime(2024, 1, 3))
+
+
+@pytest.fixture(scope="module")
+def json_dir(tables, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_json"))
+    tables["events"].write.mode("overwrite").json(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tables, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_csv"))
+    tables["events"].drop("props").write.mode("overwrite").option(
+        "header", True
+    ).csv(d)
+    return d
+
+
+def test_parquet_json_csv_sources_agree(spark, tables, json_dir, csv_dir):
+    from pyspark.sql import types as T
+
+    parquet_src = FileSource(spark, "/root/testdata/sf0.001/events.parquet")
+    schema = tables["events"].schema
+    json_src = FileSource(spark, json_dir, fmt="json", schema=schema)
+    csv_schema = T.StructType([f for f in schema.fields if f.name != "props"])
+    csv_src = FileSource(spark, csv_dir, fmt="csv", schema=csv_schema)
+
+    n = parquet_src.count(*WINDOW)
+    assert n > 0
+    assert json_src.count(*WINDOW) == n
+    assert csv_src.count(*WINDOW) == n
+
+
+def test_must_exist_filter(spark):
+    src = FileSource(
+        spark, "/root/testdata/sf0.001/events.parquet", must_exist=("user_id",)
+    )
+    all_src = FileSource(spark, "/root/testdata/sf0.001/events.parquet")
+    assert src.count(*WINDOW) <= all_src.count(*WINDOW)
+
+
+def test_config_merge_later_layers_win():
+    cfg = PipelineConfig.merged(
+        {"granularity": "1h", "tolerance_pct": 1.0},          # drive defaults
+        {"granularity": "30m", "custom_key": "x"},            # index config
+        {"max_pipeline_runs": 7, "granularity": None},        # env overrides (None ignored)
+    )
+    assert cfg.granularity == "30m"       # index overrides default; None doesn't
+    assert cfg.max_pipeline_runs == 7
+    assert cfg.tolerance_pct == 1.0
+    assert cfg.extras["custom_key"] == "x"
+
+
+def test_ivf_recall(tables):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    e = tables["embeddings"]
+    q = e.where(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(e, q, k=5, n_centroids=16, nprobe=6).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
