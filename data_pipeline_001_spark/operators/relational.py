@@ -61,6 +61,33 @@ def asof_join(
     return u.where(F.col("_side") == 1).drop("_t", "_side", "_rt")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (big, skewed) left side gets a
+    deterministic salt in [0, salt); the right side replicates ×salt.
+    The shuffle key becomes (key, salt), splitting a hot key's rows
+    across ``salt`` reducers.
+
+    AQE's skew-join handles most cases at runtime; explicit salting is
+    for the pathological single-key hotspots AQE can't split (one key
+    bigger than a whole executor). Salt is derived from xxhash64 of
+    the full row so it is deterministic and spread-even.
+    """
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
+    )
+    replicated_right = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_left.join(replicated_right, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
