@@ -38,22 +38,37 @@ HEADLINE = [
 ]
 
 
+def _dir_bytes(sf_dir: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from data_pipeline_001_spark.session import get_spark, load_tables
 
-    spark = get_spark(app_name="bench")
+    # size shuffle parallelism to the data: ~1 partition per 8 MB of
+    # input, clamped to [8, 2048]. At sf0.1 that's 8 (tiny tasks cost
+    # more than they parallelize); at 100 TB the same rule gives
+    # thousands and AQE coalesces the excess at runtime.
+    shuffle = max(8, min(2048, _dir_bytes(sf_dir) // (8 * 1024 * 1024)))
+    spark = get_spark(app_name="bench", shuffle_partitions=int(shuffle))
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
 
-    # warm the JVM + file listing once so per-query times measure the
-    # plans, not session startup
-    load_tables(spark, sf_dir)
+    # warm the JVM + file listing + codegen pipeline once so per-query
+    # times measure the plans, not session startup
+    tables = load_tables(spark, sf_dir)
+    tables["lineitem"].groupBy("l_returnflag").count().write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     timings: dict[str, float] = {}
     total = 0.0

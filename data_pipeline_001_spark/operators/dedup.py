@@ -67,6 +67,49 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
+def exploded_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh) — one row per distinct word n-gram shingle.
+
+    Built as posexplode(tokens) → window lead() → concat, NOT as
+    array higher-order functions: Spark evaluates transform/slice
+    lambdas interpreted (no codegen), which measured ~1 ms/doc; the
+    exploded form stays in codegen with one shuffle on the doc id.
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_001_spark.functions.text import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    total = F.count("*").over(Window.partitionBy("id"))
+    grams = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        exploded.select(
+            "id",
+            F.col("pos"),
+            F.concat_ws(" ", *grams).alias("sh"),  # concat_ws skips nulls
+            F.lead("tok", n - 1).over(w).alias("_last"),
+            total.alias("_total"),
+        )
+        # complete shingles only — except docs shorter than n words,
+        # which contribute their single partial shingle at pos 0
+        # (matches word_shingles' short-doc behavior)
+        .where(F.col("_last").isNotNull() | ((F.col("pos") == 0) & (F.col("_total") < n)))
+        .select("id", "sh")
+        # no distinct(): both consumers (min-agg signatures, collect_set
+        # verify) are duplicate-insensitive — a distinct here would add
+        # a full extra shuffle for nothing
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -80,17 +123,17 @@ def minhash_signatures(
     Token base hash = murmur3 (``F.hash``) mapped to non-negative;
     sig_i = min over shingles of (aᵢ·h + bᵢ) mod p.
 
-    Shape note: shingles are exploded ONCE and all k minhashes are
-    computed in a single groupBy pass. The tempting pure-expression
-    form (k × transform+array_min over the shingle array) re-evaluates
-    the tokenize/shingle subtree k times — CollapseProject inlines the
-    alias — which measured ~20× slower at 5k docs and grows with k.
+    Shape note: shingles are exploded ONCE (codegen path, see
+    ``exploded_shingles``) and all k minhashes are computed in a
+    single groupBy pass. The tempting pure-expression form (k ×
+    transform+array_min over a shingle array column) re-evaluates the
+    tokenize/shingle subtree k times AND runs interpreted — measured
+    ~20× slower at 5k docs and grows with k.
     """
     params = _hash_params(num_hashes, seed)
-    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_words))
-    exploded = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles).alias("sh")
-    ).select("id", (F.abs(F.hash("sh")).cast("long") % F.lit(_MERSENNE)).alias("h"))
+    exploded = exploded_shingles(docs, text_col, id_col, shingle_words).select(
+        "id", (F.abs(F.hash("sh")).cast("long") % F.lit(_MERSENNE)).alias("h")
+    )
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"s{i}")
         for i, (a, b) in enumerate(params)
@@ -170,9 +213,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
+    sh = (
+        exploded_shingles(docs, text_col, id_col, shingle_words)
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("sh"))
     )
     return (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
