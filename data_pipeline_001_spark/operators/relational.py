@@ -104,3 +104,44 @@ def range_join(
     """
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, condition, how)
+
+
+def interval_bucket_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    grain_minutes: int,
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Scalable point-in-interval join: both sides bucket to a coarse
+    time grain; intervals explode to every bucket they cover; the join
+    is EQUI on the bucket plus a residual range filter.
+
+    Turns the O(|left|·|intervals|) nested-loop range join into a hash
+    join whose cost is |left| + Σ interval_span/grain — the shape that
+    survives two large sides. Pick ``grain_minutes`` ≈ the typical
+    interval length so each interval explodes to ~1-2 buckets.
+    """
+    grain_s = grain_minutes * 60
+    bucket = (F.unix_timestamp(F.col(ts_col)) / grain_s).cast("long")
+    l = left.withColumn("_bucket", bucket)
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / grain_s).cast("long"),
+                # end is exclusive: a bucket containing only `end` itself
+                # holds no interval points
+                ((F.unix_timestamp(F.col(end_col)) - 1) / grain_s).cast("long"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        # bounded interval set (a window spine): broadcast it and the
+        # big side never shuffles — the equi key still bounds probe work
+        iv = F.broadcast(iv)
+    return l.join(iv, "_bucket").where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    ).drop("_bucket")

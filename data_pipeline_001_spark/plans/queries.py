@@ -310,19 +310,24 @@ def join_cross(spark, sf_dir):
     """,
 )
 def join_range(spark, sf_dir):
-    """Range join against a bounded bucket spine — the spine is
-    broadcast, so the plan is a single scan of events (no shuffle of
-    the fact side before the aggregate)."""
+    """Range join decomposed to an equi-bucket join
+    (operators.relational.interval_bucket_join): events and intervals
+    both key on a coarse time bucket, so the plan is a hash join, not
+    a nested-loop range scan — the shape that survives two large sides."""
     from data_pipeline_001_spark.functions.time_fns import window_spine
-    from data_pipeline_001_spark.operators.relational import range_join
+    from data_pipeline_001_spark.operators.relational import interval_bucket_join
 
     t = load_tables(spark, sf_dir)
     spine = window_spine(spark, "2024-01-01 00:00:00", "2024-02-01 00:00:00", "6h")
-    joined = range_join(
+    joined = interval_bucket_join(
         t["events"],
         spine.select(F.col("window_start").alias("bucket_start"),
                      F.col("window_end").alias("bucket_end")),
-        (F.col("ts") >= F.col("bucket_start")) & (F.col("ts") < F.col("bucket_end")),
+        ts_col="ts",
+        start_col="bucket_start",
+        end_col="bucket_end",
+        grain_minutes=360,
+        broadcast_intervals=True,
     )
     return joined.groupBy("bucket_start").agg(
         F.count("*").alias("n_events"),

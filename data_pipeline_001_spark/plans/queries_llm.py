@@ -262,6 +262,75 @@ def similarity_ivf(spark, sf_dir):
     return ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=6)
 
 
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.5
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (§2.13 'embedding-cosine
+    near-dup'). Exact pairwise here (oracle-checkable); at scale the
+    same threshold runs over LSH/IVF candidate buckets instead of the
+    full cross join."""
+    from data_pipeline_001_spark.functions.vectors import cosine_similarity
+
+    t = load_tables(spark, sf_dir)
+    a = t["embeddings"].select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = t["embeddings"].select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.5)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query(
+    "grouped_map_zscore",
+    """
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS zscore
+    FROM events
+    """,
+)
+def grouped_map_zscore(spark, sf_dir):
+    """Grouped-map applyInPandas (§2.11 UDTF surface): per-group
+    z-score normalization in pandas, verified against the SQL window
+    formulation."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - pdf["value"].mean()) / std
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": z.round(6),
+            }
+        )
+
+    return (
+        t["events"]
+        .select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore, "event_id long, event_type string, zscore double")
+    )
+
+
 @query("multimodal_binary_features")  # mapInPandas plumbing — rows-only check
 def multimodal_features(spark, sf_dir):
     """Binary-column multimodal plumbing: payload + typed metadata →
