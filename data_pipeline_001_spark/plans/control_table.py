@@ -372,3 +372,73 @@ class ControlTable:
         self._overwrite(
             self.read().where(~F.col("unique_source_id").isin(unique_source_ids))
         )
+
+    def merge_audit_results(self, results: DataFrame) -> None:
+        """Columnar MERGE of per-window batch results — ONE overwrite
+        for N windows instead of N row updates (the batch-path upgrade
+        of M1+M2+A5; the reference does this row-at-a-time over
+        Snowflake, main_pipeline_orchestrator.py:302-404).
+
+        ``results`` columns: window_start timestamp, source_count long,
+        target_count long. Every matched window gets all four stages
+        completed + audit metrics; tolerance check decides
+        completed vs the M4-style reset.
+        """
+        now = _utcnow()
+        r = results.select(
+            F.col("window_start").alias("_ws"),
+            F.col("source_count").alias("_sc"),
+            F.col("target_count").alias("_tc"),
+        )
+        df = self.read().join(
+            r, F.col("source_query_window_start_time") == F.col("_ws"), "left"
+        )
+        matched = F.col("_ws").isNotNull()
+        pct = (
+            F.when((F.col("_sc") == 0) & (F.col("_tc") == 0), F.lit(0.0))
+            .when(F.col("_sc") == 0, F.lit(100.0))
+            .otherwise(
+                (F.col("_tc") - F.col("_sc")).cast("double") / F.col("_sc") * 100.0
+            )
+        )
+        ok = matched & (
+            F.abs(pct) <= F.coalesce(F.col("accepted_tolerance_percentage"), F.lit(0.0))
+        )
+        assign = {
+            "pipeline_status": F.when(ok, "completed").otherwise(
+                F.when(matched, "pending").otherwise(F.col("pipeline_status"))
+            ),
+            "pipeline_end_time": F.when(ok, F.lit(now)).otherwise(
+                F.col("pipeline_end_time")
+            ),
+            "completed_stage_number": F.when(ok, F.lit(4)).otherwise(
+                F.when(matched, F.lit(0)).otherwise(F.col("completed_stage_number"))
+            ),
+            "source_count": F.when(matched, F.col("_sc")).otherwise(
+                F.col("source_count")
+            ),
+            "target_count": F.when(matched, F.col("_tc")).otherwise(
+                F.col("target_count")
+            ),
+            "count_difference": F.when(matched, F.col("_tc") - F.col("_sc")).otherwise(
+                F.col("count_difference")
+            ),
+            "count_difference_percentage": F.when(matched, pct).otherwise(
+                F.col("count_difference_percentage")
+            ),
+            "count_match_status": F.when(ok, "matched").otherwise(
+                F.when(matched, "not_matched").otherwise(F.col("count_match_status"))
+            ),
+            "record_last_updated_time": F.when(matched, F.lit(now)).otherwise(
+                F.col("record_last_updated_time")
+            ),
+        }
+        for s in STAGES:
+            assign[f"{s}_status"] = F.when(ok, "completed").otherwise(
+                F.when(matched, "pending").otherwise(F.col(f"{s}_status"))
+            )
+        for col_name, expr in assign.items():
+            df = df.withColumn(
+                col_name, expr.cast(CONTROL_SCHEMA[col_name].dataType)
+            )
+        self._overwrite(df.drop("_ws", "_sc", "_tc"))

@@ -328,16 +328,63 @@ class WindowPipeline:
 
     def extract_all_windows(self, start: datetime, end: datetime) -> DataFrame:
         """The 100 TB shape of stage 2: one distributed job that tags
-        every source row with its window and writes all windows at
-        once, partitioned by day/window — replacing the per-window
-        driver loop when window count is large. Audit counts for every
-        window come back as one aggregation, not N count() jobs."""
+        every source row with its (epoch-aligned) window — replacing
+        the per-window driver loop when window count is large."""
         df = self.source.extract(start, end)
         ts = F.col(getattr(self.source, "ts_col", "ts"))
-        gran_min = time_fns.parse_granularity_minutes(self.config.granularity)
+        gran_s = time_fns.parse_granularity_minutes(self.config.granularity) * 60
         return (
-            df.withColumn("window_start", F.timestamp_seconds(
-                (F.floor(ts.cast("double") / (gran_min * 60)) * (gran_min * 60)).cast("long")
-            ))
-            .withColumn("window_day", F.to_date("window_start"))
+            df.withColumn(
+                "window_ts",
+                F.timestamp_seconds(
+                    (F.floor(F.unix_timestamp(ts) / gran_s) * gran_s).cast("long")
+                ),
+            )
+            .withColumn("window_day", F.to_date("window_ts"))
+            .withColumn("window_start", F.date_format("window_ts", "HH-mm"))
         )
+
+    def run_batch(self, plan_start: datetime, plan_end: datetime) -> DataFrame:
+        """Whole-plan batch execution — N windows, THREE Spark jobs
+        total (extract+stage write, target write, audit aggregation)
+        plus one columnar control MERGE, instead of the per-window
+        loop's ~5 jobs × N windows. Requires the target sink to
+        support ``load_all`` (DayPartitionedTableSink).
+
+        Returns the per-window audit DataFrame
+        (window_start, source_count, target_count).
+        """
+        self.populate(plan_start, plan_end)
+        tagged = self.extract_all_windows(plan_start, plan_end)
+        # one write for every window partition (dynamic overwrite keeps
+        # re-runs idempotent per window)
+        self.target_sink.load_all(tagged)
+        # one aggregation for every window's audit counts (A4/A5 for
+        # the whole plan at once), joined source-vs-target
+        src_counts = (
+            tagged.groupBy("window_ts")
+            .agg(F.count("*").alias("source_count"))
+            .select(F.col("window_ts").alias("window_start"), "source_count")
+        )
+        tgt = self.target_sink.read_all()
+        tgt_counts = (
+            tgt.groupBy("window_day", "window_start")
+            .agg(F.count("*").alias("target_count"))
+            .select(
+                F.to_timestamp(
+                    F.concat_ws(
+                        " ",
+                        F.col("window_day").cast("string"),
+                        F.regexp_replace("window_start", "-", ":"),
+                    )
+                ).alias("window_start"),
+                "target_count",
+            )
+        )
+        audit = src_counts.join(tgt_counts, "window_start", "full").select(
+            "window_start",
+            F.coalesce("source_count", F.lit(0)).alias("source_count"),
+            F.coalesce("target_count", F.lit(0)).alias("target_count"),
+        )
+        self.control.merge_audit_results(audit)
+        return audit

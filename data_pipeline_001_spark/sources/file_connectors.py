@@ -138,6 +138,84 @@ class PartitionedParquetSink(Sink):
         return self.spark.read.option("recursiveFileLookup", "true").parquet(self.root)
 
 
+class DayPartitionedTableSink(Sink):
+    """Single parquet *table* partitioned by window day + start, using
+    dynamic partition overwrite for idempotent window replacement —
+    the Spark mapping of the reference's target range-delete
+    (S7, target/target_cleaner.py:7-69): rewriting a window's
+    partition replaces DELETE-then-reload, atomically per partition.
+
+    Unlike PartitionedParquetSink (one directory tree per window,
+    good for stage files), this is one queryable table: readers see
+    `window_day`/`window_start` as partition columns and get partition
+    pruning on window predicates for free.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, ts_col: str = "ts"):
+        self.spark = spark
+        self.root = root
+        self.ts_col = ts_col
+
+    def _with_partitions(self, df: DataFrame, start: datetime) -> DataFrame:
+        return df.withColumn("window_day", F.lit(start.date()).cast("date")).withColumn(
+            "window_start", F.lit(start.strftime("%H-%M"))
+        )
+
+    def load(self, df: DataFrame, start: datetime, end: datetime) -> None:
+        (
+            self._with_partitions(df, start)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_day", "window_start")
+            .parquet(self.root)
+        )
+
+    def load_all(self, df: DataFrame) -> None:
+        """One job for ALL windows: ``df`` already carries
+        window_day/window_start columns; dynamic overwrite replaces
+        exactly the partitions present in ``df``."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_day", "window_start")
+            .parquet(self.root)
+        )
+
+    def exists(self, start: datetime, end: datetime) -> bool:
+        p = os.path.join(
+            self.root,
+            f"window_day={start.date()}",
+            f"window_start={start.strftime('%H-%M')}",
+        )
+        return os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+
+    def count(self, start: datetime, end: datetime) -> int:
+        if not self.exists(start, end):
+            return 0
+        # partition-pruned read: only this window's directory scans
+        return (
+            self.spark.read.parquet(self.root)
+            .where(
+                (F.col("window_day") == F.lit(start.date()).cast("date"))
+                & (F.col("window_start") == start.strftime("%H-%M"))
+            )
+            .count()
+        )
+
+    def clean(self, start: datetime, end: datetime) -> None:
+        shutil.rmtree(
+            os.path.join(
+                self.root,
+                f"window_day={start.date()}",
+                f"window_start={start.strftime('%H-%M')}",
+            ),
+            ignore_errors=True,
+        )
+
+    def read_all(self) -> DataFrame:
+        return self.spark.read.parquet(self.root)
+
+
 class MockAsyncSink(Sink):
     """Sink whose writes become visible gradually over ``count`` calls.
 
