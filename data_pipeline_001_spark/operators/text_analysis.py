@@ -36,6 +36,77 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def rolling_hash_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    base: int = 257,
+    mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    """(id, pos, rh) — Rabin-Karp polynomial hash of every k-char
+    window of the normalized text: h = Σ c_j·base^(k-1-j) mod m.
+
+    Codegen shape: posexplode chars → k lead() columns → weighted sum
+    (same interpreted-HOF avoidance as dedup.exploded_shingles; the
+    per-char state-carrying aggregate() form measured O(len²)).
+    Coefficients stay < 2^31 so products fit in long under ANSI mode.
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_001_spark.functions.text import normalize_text
+
+    chars = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), "")).alias("pos", "ch"),
+    ).where(F.col("ch") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    powers = [pow(base, k - 1 - j, mod) for j in range(k)]
+    terms = []
+    for j, p in enumerate(powers):
+        c = F.ascii(F.col("ch") if j == 0 else F.lead("ch", j).over(w)).cast("long")
+        terms.append((c % mod) * F.lit(p) % F.lit(mod))
+    h = terms[0]
+    for t in terms[1:]:
+        h = (h + t) % F.lit(mod)
+    last = F.lead("ch", k - 1).over(w)
+    return chars.select("id", "pos", h.alias("rh"), last.alias("_l")).where(
+        F.col("_l").isNotNull()
+    ).drop("_l")
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fp) — winnowing fingerprints: the min rolling hash of each
+    sliding window of ``window`` consecutive k-gram hashes, dedup'd
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03 local fingerprinting).
+    Robust to insertions/reorderings in a way whole-document MD5 is
+    not; two near-identical documents share most fingerprints, so a
+    fingerprint-equality join is a dedup blocking key.
+    """
+    from pyspark.sql import Window
+
+    rh = rolling_hash_windows(docs, text_col, id_col, k)
+    wo = Window.partitionBy("id").orderBy("pos")
+    w = wo.rowsBetween(Window.currentRow, window - 1)
+    return (
+        rh.select(
+            "id",
+            F.min("rh").over(w).alias("fp"),
+            # only full windows: the frame at the tail would clip
+            F.lead("pos", window - 1).over(wo).alias("_full"),
+        )
+        .where(F.col("_full").isNotNull())
+        .select("id", "fp")
+        .distinct()
+    )
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax stopword-hit ratio across the
     small built-in stopword tables; 'und' when nothing hits."""

@@ -227,6 +227,27 @@ def join_left(spark, sf_dir):
 
 
 @query(
+    "join_right_orders_customer",
+    """
+    SELECT c_custkey, c_name, o_orderkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 9000
+    """,
+)
+def join_right(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(
+            t["customer"].where(F.col("c_acctbal") > 9000),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "right",
+        )
+        .select("c_custkey", "c_name", "o_orderkey")
+    )
+
+
+@query(
     "join_semi_customers_with_orders",
     """
     SELECT c_custkey, c_name FROM customer

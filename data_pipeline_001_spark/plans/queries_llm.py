@@ -162,6 +162,41 @@ def ngram_jaccard_q(spark, sf_dir):
     )
 
 
+_WINNOW_POWERS = [pow(257, 7 - j, (1 << 31) - 1) for j in range(8)]
+_WINNOW_HASH = " + ".join(
+    f"CAST(ascii(substr(s, i+{j}, 1)) AS BIGINT) * {p}"
+    for j, p in enumerate(_WINNOW_POWERS)
+)
+
+
+@query(
+    "text_winnowing_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+    h AS (SELECT doc_id,
+                 [({_WINNOW_HASH}) % 2147483647
+                  for i in range(1, GREATEST(LENGTH(s) - 8, 0) + 2)] AS hs
+          FROM t WHERE LENGTH(s) >= 8),
+    w AS (SELECT doc_id,
+                 list_distinct([list_min(hs[i:i+3])
+                                for i in range(1, len(hs) - 4 + 2)]) AS fps
+          FROM h WHERE len(hs) >= 4)
+    SELECT doc_id AS id, CAST(unnest(fps) AS BIGINT) AS fp FROM w
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (SIGMOD'03) — the §2.13
+    'document fingerprinting (rolling hash)' operator, with an exact
+    arithmetic oracle (Rabin-Karp polynomial hash, base 257 mod
+    2^31-1, k=8 grams, window 4)."""
+    from data_pipeline_001_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return winnowing_fingerprints(t["documents"], k=8, window=4)
+
+
 @query("dedup_minhash_lsh")  # murmur3-based sketch — rows-only check
 def dedup_minhash_q(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (banded signatures →
