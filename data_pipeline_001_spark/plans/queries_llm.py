@@ -242,6 +242,65 @@ def similarity_bruteforce(spark, sf_dir):
     return brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
 
 
+@query(
+    "vector_norms",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 6) AS l2_norm,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS comp_sum,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+)
+def vector_norms(spark, sf_dir):
+    """Array-function surface over array<float>: L2 norm + component
+    sum via aggregate/transform (JVM-side)."""
+    from data_pipeline_001_spark.functions.vectors import dot
+
+    t = load_tables(spark, sf_dir)
+    e = F.col("embedding")
+    comp_sum = F.aggregate(
+        e, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return t["embeddings"].select(
+        "vec_id",
+        F.round(F.sqrt(dot(e, e)), 6).alias("l2_norm"),
+        F.round(comp_sum, 6).alias("comp_sum"),
+        F.size(e).alias("dim"),
+    )
+
+
+@query(
+    "embedding_dimension_stats",
+    """
+    SELECT pos,
+           ROUND(AVG(val), 6) AS mean_val,
+           ROUND(MIN(val), 6) AS min_val,
+           ROUND(MAX(val), 6) AS max_val
+    FROM (SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS val
+          FROM embeddings)
+    GROUP BY pos
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """posexplode over the vector column → per-dimension statistics
+    (the feature-distribution profile of an embedding corpus)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .select(F.posexplode("embedding").alias("pos0", "val"))
+        .select((F.col("pos0") + 1).cast("int").alias("pos"), F.col("val").cast("double").alias("val"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+    )
+
+
 @query("similarity_lsh_topk")  # approximate — rows-only check
 def similarity_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN: bucketed candidates + multi-probe.

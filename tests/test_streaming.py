@@ -103,6 +103,48 @@ def test_sliding_window_stream(spark, stream_dir, tables):
     assert total2 - 100 <= emitted <= total2
 
 
+def test_checkpoint_resume_no_reprocessing(spark, tables, tmp_path):
+    """Exactly-once restart: run a checkpointed stream to completion,
+    add new source files, restart from the same checkpoint — the
+    second run processes ONLY the new data (the streaming analogue of
+    the reference's resumable drive-table progress)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_name = "ckpt_counts"
+
+    first_half = tables["events"].where(F.col("event_id") < 500)
+    second_half = tables["events"].where(F.col("event_id") >= 500)
+    first_half.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        counts = stream.groupBy("event_type").count()
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(out_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = q.lastProgress
+        q.stop()
+        return progress
+
+    p1 = run_once()
+    n1 = spark.table(out_name).agg(F.sum("count")).first()[0]
+    assert n1 == first_half.count()
+
+    # append the second half as new files; restart from checkpoint
+    second_half.write.mode("append").parquet(src)
+    p2 = run_once()
+    n2 = spark.table(out_name).agg(F.sum("count")).first()[0]
+    assert n2 == tables["events"].count()
+    # the restarted run read only the new rows, not everything again
+    assert p2["numInputRows"] <= second_half.count()
+
+
 def test_streaming_pipeline_foreachbatch_sink(spark, stream_dir, tmp_path):
     from data_pipeline_001_spark.sources.file_connectors import PartitionedParquetSink
     from data_pipeline_001_spark.streaming.stream_pipeline import (
