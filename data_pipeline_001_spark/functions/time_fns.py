@@ -144,6 +144,29 @@ def rounded_past_timestamp(x_time_back: str, now: datetime | None = None) -> dat
 # F1 — distributed window spine
 # ---------------------------------------------------------------------------
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def session_timezone(spark: SparkSession, tz: str):
+    """Scope ``spark.sql.session.timeZone`` to a block.
+
+    The engine's timezone stance (SURVEY §7 'hard parts'): all window
+    math runs through session-timezone-aware functions (to_timestamp,
+    date_trunc, to_date), so planning a pipeline in its local zone is
+    *only* a matter of scoping the session TZ — day boundaries land on
+    local midnight and DST days really have 23/25 hours, matching the
+    reference's pendulum wall-clock arithmetic (time_utils.py
+    throughout).
+    """
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def window_spine(
     spark: SparkSession,
     start: datetime | str,

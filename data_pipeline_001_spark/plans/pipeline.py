@@ -42,6 +42,36 @@ from data_pipeline_001_spark.plans.control_table import (
 from data_pipeline_001_spark.sources.base import Sink, Source
 
 
+def render_templates(config: dict, max_passes: int = 5) -> dict:
+    """F14: substitute ``{key}`` placeholders in string values with
+    other config values (reference: hanlder_script.py:174-194 — the
+    ``{env}/{index_group}/{index_name}`` pattern). Multi-pass so
+    templates may reference templated values; unknown placeholders are
+    left intact (same permissive behavior as str.format_map misses in
+    the reference's loop)."""
+    import re as _re
+
+    out = dict(config)
+    for _ in range(max_passes):
+        changed = False
+        scalars = {k: v for k, v in out.items() if isinstance(v, (str, int, float))}
+        for k, v in out.items():
+            if not isinstance(v, str) or "{" not in v:
+                continue
+
+            def sub(m):
+                name = m.group(1)
+                return str(scalars[name]) if name in scalars and name != k else m.group(0)
+
+            new = _re.sub(r"\{(\w+)\}", sub, v)
+            if new != v:
+                out[k] = new
+                changed = True
+        if not changed:
+            break
+    return out
+
+
 @dataclass
 class PipelineConfig:
     """Layered config (reference: hanlder_script.py:117-194 merge of
@@ -61,10 +91,13 @@ class PipelineConfig:
 
     @classmethod
     def merged(cls, *layers: dict) -> "PipelineConfig":
-        """Merge config layers, later layers win (hanlder_script.py:117-132)."""
+        """Merge config layers, later layers win (hanlder_script.py:117-132),
+        then resolve ``{placeholder}`` templates against the merged
+        values (F14, hanlder_script.py:174-194)."""
         final: dict = {}
         for layer in layers:
             final.update({k: v for k, v in layer.items() if v is not None})
+        final = render_templates(final)
         known = {f for f in cls.__dataclass_fields__ if f != "extras"}
         kwargs = {k: v for k, v in final.items() if k in known}
         kwargs["extras"] = {k: v for k, v in final.items() if k not in known}
