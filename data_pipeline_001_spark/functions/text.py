@@ -96,7 +96,11 @@ def quality_score(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """array<string> of n-word shingles over the normalized text."""
+    """array<string> of n-word shingles over the normalized text.
+
+    Column-level convenience for small inputs; hot paths use the
+    codegen row form ``operators.dedup.exploded_shingles`` (array
+    higher-order functions evaluate interpreted)."""
     toks = whitespace_tokens(normalize_text(text))
     count = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
@@ -106,7 +110,10 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """array<string> of character n-grams (for Jaccard similarity)."""
+    """array<string> of character n-grams (for Jaccard similarity).
+
+    Column-level convenience for small inputs; the corpus-scale path
+    is the posexplode+lead form inside ``dedup.ngram_jaccard_pairs``."""
     norm = normalize_text(text)
     length = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))

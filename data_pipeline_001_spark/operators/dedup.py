@@ -25,11 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_001_spark.functions.text import (
-    char_ngrams,
-    fingerprint,
-    word_shingles,
-)
+from data_pipeline_001_spark.functions.text import fingerprint
 
 # Mersenne prime 2^31-1: with base hashes and coefficients < 2^31 the
 # products stay under 2^62 — no long overflow under Spark 4 ANSI mode
@@ -341,10 +337,25 @@ def ngram_jaccard_pairs(
     corpus self-joins — acceptable only on small inputs, and the
     reason the LSH paths above exist.
     """
-    grams = docs.select(
+    from pyspark.sql import Window
+
+    from data_pipeline_001_spark.functions.text import normalize_text
+
+    # char n-grams via posexplode + lead (codegen), not the
+    # transform/substring array form (interpreted HOF — see
+    # exploded_shingles for the measured cost of that trap)
+    chars = docs.select(
         F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
-        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("g"),
+        *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), "")).alias("pos", "ch"),
+    ).where(F.col("ch") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat(*([F.col("ch")] + [F.lead("ch", j).over(w) for j in range(1, n)]))
+    grams = (
+        chars.select("id", "blk", gram.alias("g1"))
+        .where(F.length("g1") == n)  # tail rows have NULL leads → NULL concat, dropped
+        .groupBy("id", "blk")
+        .agg(F.collect_set("g1").alias("g"))
     )
     l, r = grams.alias("l"), grams.alias("r")
     return (
