@@ -134,6 +134,32 @@ def json_extract(spark, sf_dir):
 
 
 @query(
+    "json_from_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           (CAST(json_extract_string(props, '$.k') AS INT) > 50) AS k_high
+    FROM events WHERE event_id < 3000
+    """,
+)
+def json_from_struct(spark, sf_dir):
+    """from_json → typed struct column (schema-on-read over the opaque
+    document body), then struct field access."""
+    t = load_tables(spark, sf_dir)
+    parsed = F.from_json("props", "k INT")
+    return (
+        t["events"]
+        .where(F.col("event_id") < 3000)
+        .withColumn("p", parsed)
+        .select(
+            "event_id",
+            F.col("p.k").alias("k_val"),
+            (F.col("p.k") > 50).alias("k_high"),
+        )
+    )
+
+
+@query(
     "hash_composite_ids",
     """
     SELECT o_orderkey,
