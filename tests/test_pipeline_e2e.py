@@ -104,6 +104,39 @@ def test_concurrency_guard_exits(pipe):
     assert result.processed == 0
 
 
+def test_failing_source_records_error_and_run_continues(spark, tmp_path):
+    """A window whose source raises gets fail_stage (M3: error text +
+    retry_count+1, stage reset to pending) and the run proceeds to the
+    remaining windows (main_pipeline_orchestrator.py:302-404 loop
+    semantics: one bad window doesn't kill the batch)."""
+
+    class FlakySource(FileSource):
+        def count(self, start, end):
+            if start.hour == 6:
+                raise RuntimeError("source exploded for 06:00 window")
+            return super().count(start, end)
+
+    source = FlakySource(spark, f"{SF_DIR}/events.parquet", ts_col="ts")
+    stage = PartitionedParquetSink(spark, str(tmp_path / "stage"))
+    target = PartitionedParquetSink(spark, str(tmp_path / "target"))
+    control = ControlTable(spark, str(tmp_path / "control"))
+    cfg = PipelineConfig(pipeline_name="flaky", granularity="6h", max_pipeline_runs=4)
+    pipe = WindowPipeline(spark, cfg, source, stage, target, control)
+
+    result = pipe.run(DAY, DAY_END)
+    assert result.processed == 4
+    assert result.completed == 3
+    assert result.failed == 1
+    bad = [
+        r
+        for r in pipe.control.read().collect()
+        if r["source_query_window_start_time"].hour == 6
+    ][0]
+    assert bad["pipeline_status"] == "failed"
+    assert "source exploded" in bad["pipeline_error_details"]
+    assert bad["pipeline_retry_count"] == 1
+
+
 def test_audit_retry_converges_on_async_sink(spark, tmp_path):
     """R3: the mock-async sink reveals counts gradually; the audit
     loop recounts while improving and completes once within tolerance
