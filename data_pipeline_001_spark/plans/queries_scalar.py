@@ -270,6 +270,87 @@ def scalar_granularity(spark, sf_dir):
 
 
 @query(
+    "scalar_regexp_extract",
+    """
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
+           regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+           regexp_matches(p_name, '[aeiou]{2}') AS has_double_vowel
+    FROM part
+    """,
+)
+def scalar_regexp(spark, sf_dir):
+    """Regex group extraction + boolean match (same RE syntax both
+    engines for this class of pattern)."""
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        (F.regexp_count("p_name", F.lit(r"[aeiou]{2}")) > 0).alias("has_double_vowel"),
+    )
+
+
+@query(
+    "scalar_least_greatest",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(LEAST(l_extendedprice, 2000.0), 2) AS capped_price,
+           ROUND(GREATEST(l_discount, l_tax), 6) AS max_rate,
+           CAST(ABS(l_quantity - 25) AS INT) AS qty_dev,
+           ROUND(POWER(l_quantity, 0.5) + LN(1 + l_extendedprice), 6) AS mixed_math
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def scalar_least_greatest(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.least("l_extendedprice", F.lit(2000.0)), 2).alias("capped_price"),
+            F.round(F.greatest("l_discount", "l_tax"), 6).alias("max_rate"),
+            F.abs(F.col("l_quantity") - 25).cast("int").alias("qty_dev"),
+            F.round(
+                F.pow("l_quantity", F.lit(0.5)) + F.log1p("l_extendedprice"), 6
+            ).alias("mixed_math"),
+        )
+    )
+
+
+@query(
+    "array_ops_text_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\\s+')))[1:3], '|')
+               AS first3_sorted,
+           list_contains(string_split_regex(trim(text), '\\s+'), 'data') AS has_data
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def array_ops(spark, sf_dir):
+    """Array surface: size / sort / distinct / slice / contains /
+    join over tokenized text."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.trim("text"), r"\s+")
+    return (
+        t["documents"]
+        .where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), "|"
+            ).alias("first3_sorted"),
+            F.array_contains(toks, "data").alias("has_data"),
+        )
+    )
+
+
+@query(
     "filter_predicate_stack",
     """
     SELECT event_id, ts, user_id, value FROM events
