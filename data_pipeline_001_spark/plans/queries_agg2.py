@@ -107,6 +107,70 @@ def agg_conditional(spark, sf_dir):
 
 
 @query(
+    "agg_statistics",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           ROUND(stddev_samp(l_extendedprice), 6) AS price_stddev,
+           ROUND(var_samp(l_discount), 6) AS disc_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_statistics(spark, sf_dir):
+    """Statistical aggregates: correlation, covariance, stddev, variance."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+            "price_qty_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+    )
+
+
+@query(
+    "profile_columns",
+    """
+    SELECT 'event_type' AS column_name, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*),
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*),
+           CAST(COUNT(*) - COUNT(value) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT)
+    FROM events
+    """,
+)
+def profile_columns(spark, sf_dir):
+    """Data-quality column profile (nulls + cardinality per column) —
+    ONE pass over the table producing a long-form profile, the
+    training-data QC primitive. At 100 TB swap count_distinct for
+    approx_count_distinct."""
+    t = load_tables(spark, sf_dir)
+    cols = ["event_type", "user_id", "value"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append((F.count("*") - F.count(c)).alias(f"{c}__null"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    wide = t["events"].agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__null, {c}__distinct" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_expr}) AS (column_name, n_null, n_distinct)",
+    ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
+@query(
     "point_lookup_projection",
     """
     SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate

@@ -62,6 +62,30 @@ def test_config_merge_later_layers_win():
     assert cfg.extras["custom_key"] == "x"
 
 
+def test_sink_file_sizing(spark, tables, tmp_path):
+    """File-size discipline (the reference's 250 MB split,
+    stage/ingestion_engine.py:174): maxRecordsPerFile bounds output
+    file row counts so downstream scans parallelize."""
+    import os
+
+    from datetime import datetime
+
+    from data_pipeline_001_spark.sources.file_connectors import (
+        PartitionedParquetSink,
+    )
+
+    sink = PartitionedParquetSink(
+        spark, str(tmp_path / "sized"), max_records_per_file=100
+    )
+    w = (datetime(2024, 1, 2), datetime(2024, 1, 3))
+    df = tables["events"].limit(450).coalesce(1)
+    sink.load(df, *w)
+    out_dir = sink._window_path(w[0])
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    assert len(files) >= 5  # 450 rows / 100-row cap
+    assert sink.count(*w) == 450
+
+
 def test_ivf_recall(tables):
     from pyspark.sql import functions as F
 
