@@ -365,13 +365,19 @@ class ControlTable:
         )
         self._overwrite(df)
 
-    def delete_records(self, unique_source_ids: list[str]) -> None:
-        """M6: delete duplicate window records (state_manager.py:1107-1137)."""
-        if not unique_source_ids:
+    def delete_records(
+        self, ids: list[str], key_col: str = "unique_source_id"
+    ) -> None:
+        """M6: delete window records (state_manager.py:1107-1137).
+
+        ``key_col='unique_run_id'`` for duplicate resolution: identical
+        re-planned windows share the deterministic unique_source_id
+        (it hashes pipeline+source+window), so only the run id — which
+        folds in the insert time — distinguishes the copies.
+        """
+        if not ids:
             return
-        self._overwrite(
-            self.read().where(~F.col("unique_source_id").isin(unique_source_ids))
-        )
+        self._overwrite(self.read().where(~F.col(key_col).isin(ids)))
 
     def merge_audit_results(self, results: DataFrame) -> None:
         """Columnar MERGE of per-window batch results — ONE overwrite

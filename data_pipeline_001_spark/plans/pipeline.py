@@ -181,18 +181,23 @@ class WindowPipeline:
         return inserted
 
     def resolve_duplicate_windows(self) -> int:
-        """W3 + M6: delete all but the best record per window key."""
+        """W3 + M6: delete all but the best record per window key.
+
+        Deletion keys on unique_run_id — identical re-planned windows
+        share the deterministic unique_source_id, so run id is the
+        only column that tells the copies apart.
+        """
         ct = self.control.read()
         flagged = resolve_duplicates(
             ct, key_cols=("source_query_window_start_time",)
         )
         losers = [
-            r["unique_source_id"]
+            r["unique_run_id"]
             for r in flagged.where(~F.col("_keep"))
-            .select("unique_source_id")
+            .select("unique_run_id")
             .collect()
         ]
-        self.control.delete_records(losers)
+        self.control.delete_records(losers, key_col="unique_run_id")
         return len(losers)
 
     # ------------------------------------------------------------------ #

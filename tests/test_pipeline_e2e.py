@@ -78,6 +78,62 @@ def test_gap_backfill(pipe):
     assert statuses == {"completed", "pending"}
 
 
+def test_fill_gaps_inserts_missing_interior_window(pipe):
+    """Backfill planner (entry point 2, state_manager.py:679-1105):
+    a deleted interior window is re-detected by the W1 gap scan and
+    re-inserted at pipeline granularity."""
+    pipe.populate(DAY, DAY_END)
+    rows = sorted(
+        pipe.control.read().collect(),
+        key=lambda r: r["source_query_window_start_time"],
+    )
+    victim = rows[1]  # 06:00-12:00 — interior, leaves a detectable gap
+    pipe.control.delete_records([victim["unique_source_id"]])
+    assert pipe.control.read().count() == 3
+    inserted = pipe.fill_gaps()
+    assert inserted == 1
+    restored = sorted(
+        r["source_query_window_start_time"].hour
+        for r in pipe.control.read().collect()
+    )
+    assert restored == [0, 6, 12, 18]
+
+
+def test_resolve_duplicate_windows_keeps_best(pipe):
+    """W3+M6 planner path: duplicate control rows for one window
+    collapse to the best record by the 4-level rule."""
+    pipe.populate(DAY, DAY_END)
+    rows = pipe.control.read().collect()
+    dup_src = [r for r in rows][0]
+    # re-insert the same window (simulating a double-plan): appended
+    # record has a later inserted time → original (oldest) should win
+    from data_pipeline_001_spark.plans.control_table import default_record
+
+    rec = default_record(
+        pipe.config.pipeline_name,
+        pipe.config.source_desc,
+        pipe.config.target_desc,
+        dup_src["source_query_window_start_time"],
+        dup_src["source_query_window_end_time"],
+        stage_path="dup",
+    )
+    pipe.control.append_records([rec])
+    assert pipe.control.read().count() == 5
+    removed = pipe.resolve_duplicate_windows()
+    assert removed == 1
+    left = pipe.control.read().collect()
+    assert len(left) == 4
+    survivor = [
+        r
+        for r in left
+        if r["source_query_window_start_time"]
+        == dup_src["source_query_window_start_time"]
+    ]
+    assert len(survivor) == 1
+    # oldest-inserted wins on full tie of status/updated/started
+    assert survivor[0]["record_first_inserted_time"] <= rec["record_first_inserted_time"]
+
+
 def test_stale_in_progress_reset_then_rerun(pipe):
     pipe.populate(DAY, DAY_END)
     rec = pipe.control.read().collect()[0]
