@@ -109,6 +109,25 @@ def sliding_window_stream(
     )
 
 
+def deduplicated_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1h",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop key duplicates arriving
+    within the watermark horizon (``dropDuplicatesWithinWatermark``) —
+    the streaming form of the training-pipeline exact dedup, with
+    state bounded by the watermark instead of growing forever.
+    """
+    from data_pipeline_001_spark.functions.time_fns import parse_duration_seconds
+
+    wm = parse_duration_seconds(watermark)
+    return events.withWatermark(ts_col, f"{wm} seconds").dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 class StreamingWindowPipeline:
     """readStream → window agg → foreachBatch into Sink + control table."""
 

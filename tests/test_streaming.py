@@ -103,6 +103,23 @@ def test_sliding_window_stream(spark, stream_dir, tables):
     assert total2 - 100 <= emitted <= total2
 
 
+def test_streaming_dedup_within_watermark(spark, tables, tmp_path):
+    """Duplicated source rows collapse to one per key in-stream."""
+    from data_pipeline_001_spark.streaming.stream_pipeline import deduplicated_stream
+
+    src = str(tmp_path / "dup_src")
+    doubled = tables["events"].unionByName(tables["events"])
+    doubled.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    out = _run_stream_to_memory(
+        spark, deduplicated_stream(stream, watermark="1h"), "dedup_stream"
+    )
+    n = out.count()
+    assert n == tables["events"].count()  # every duplicate dropped
+    assert out.select("event_id").distinct().count() == n
+
+
 def test_checkpoint_resume_no_reprocessing(spark, tables, tmp_path):
     """Exactly-once restart: run a checkpointed stream to completion,
     add new source files, restart from the same checkpoint — the
