@@ -20,6 +20,7 @@ def _registry():
     from data_pipeline_001_spark.plans import queries_llm  # noqa: F401
     from data_pipeline_001_spark.plans import queries_scalar  # noqa: F401
     from data_pipeline_001_spark.plans import queries_tpch2  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_tpch3  # noqa: F401
     from data_pipeline_001_spark.plans import queries_udf  # noqa: F401
 
     return base.REGISTRY, base.ORACLES
