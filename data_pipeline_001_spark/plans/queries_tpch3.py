@@ -442,6 +442,140 @@ def q22(spark, sf_dir):
     )
 
 
+@query(
+    "q02_min_balance_supplier",
+    """
+    SELECT DISTINCT p_partkey, s_suppkey, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size = 1
+      AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                       FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                       WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q02(spark, sf_dir):
+    """TPC-H Q2 shape: per-part argmin supplier via a correlated MIN
+    subquery (ps_supplycost → supplier acctbal adapted). Catalyst
+    decorrelates into a per-part aggregate joined back — one pass."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT DISTINCT p_partkey, s_suppkey, ROUND(s_acctbal, 2) AS s_acctbal
+        FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_size = 1
+          AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                           FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                           WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12(spark, sf_dir):
+    """TPC-H Q12 shape: late shipments (>60 days after order) counted
+    by priority class per returnflag (l_shipmode → l_returnflag
+    adapted; the late predicate is cross-column, so it evaluates
+    post-join but inside codegen)."""
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q21_last_shipper_in_shared_orders",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+)
+def q21(spark, sf_dir):
+    """TPC-H Q21 shape: the supplier who shipped last in multi-supplier
+    finished orders, >30 days late — correlated EXISTS (semi) and
+    NOT EXISTS (anti) against the same fact table in one query."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier
+          JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        """
+    )
+
+
+@query(
+    "explode_word_frequency",
+    r"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents WHERE doc_id < 200) toks
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def explode_word_frequency(spark, sf_dir):
+    """Generator/UDTF surface: explode tokenized text into rows (the
+    LATERAL VIEW / unnest shape) and aggregate term frequency. At
+    scale the explode happens partition-local — no shuffle until the
+    final count."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .where(F.col("doc_id") < 200)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Training-data surface: token counting + map-typed column ops
 # ---------------------------------------------------------------------

@@ -39,6 +39,10 @@ def test_new_queries_execute(spark, registry):
         "q22_idle_customers",
         "text_token_counts",
         "map_ops_props",
+        "q02_min_balance_supplier",
+        "q12_late_shipment_priority",
+        "q21_last_shipper_in_shared_orders",
+        "explode_word_frequency",
     ]:
         rows = registry[name](spark, SF).collect()
         assert rows is not None, name
@@ -81,6 +85,13 @@ def test_q07_dims_broadcast(spark, registry):
     plan = _plan(registry["q07_volume_shipping"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_plans_semi_and_anti_joins(spark, registry):
+    # EXISTS → LeftSemi and NOT EXISTS → LeftAnti must both appear as
+    # joins (no per-row subquery execution)
+    plan = _plan(registry["q21_last_shipper_in_shared_orders"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
 def test_token_counts_no_python_in_loop(spark, registry):
