@@ -109,6 +109,50 @@ def sliding_window_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "1h",
+    watermark: str = "1h",
+) -> DataFrame:
+    """Stream-stream inner join on a key within a time interval:
+    ``right.ts ∈ [left.ts, left.ts + max_delay]`` — e.g. purchases
+    attributed to the click that preceded them within an hour.
+
+    Both sides carry watermarks so the state store can evict rows
+    once they can no longer match (without the interval bound, a
+    stream-stream join would buffer both streams forever). State is
+    partitioned by the join key across executors.
+    """
+    delay_s = parse_duration_seconds(max_delay)
+    wm_s = parse_duration_seconds(watermark)
+    lw = left.withWatermark(left_ts, f"{wm_s} seconds")
+    rw = right.withWatermark(right_ts, f"{wm_s} seconds")
+    return lw.join(
+        rw,
+        (lw[key_col] == rw[key_col])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {delay_s} SECONDS")),
+        "inner",
+    ).drop(rw[key_col])
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) dimension
+    table. The static side is broadcast to every task per micro-batch
+    — no state store involvement, the streaming analogue of the batch
+    engine's broadcast dim joins."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def deduplicated_stream(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),

@@ -190,3 +190,65 @@ def test_streaming_pipeline_foreachbatch_sink(spark, stream_dir, tmp_path):
     out = sink.read_all()
     assert out.count() > 0
     assert "n_events" in out.columns
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tables, stream_dir):
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        interval_join_streams,
+    )
+
+    def sides(df):
+        clicks = (
+            df.where(F.col("event_type") == "click")
+            .where(F.col("user_id").isNotNull())
+            .select("user_id", F.col("ts").alias("l_ts"))
+        )
+        purchases = (
+            df.where(F.col("event_type") == "purchase")
+            .where(F.col("user_id").isNotNull())
+            .select("user_id", F.col("ts").alias("r_ts"))
+        )
+        return clicks, purchases
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    out = _run_stream_to_memory(
+        spark,
+        interval_join_streams(*sides(stream), max_delay="2h", watermark="4h"),
+        "interval_join",
+    )
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    bc, bp = sides(batch)
+    expected = bc.join(
+        bp,
+        (bc["user_id"] == bp["user_id"])
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).drop(bp["user_id"])
+    # single availableNow pass over sorted-by-file data: every pair the
+    # batch join finds must appear (no late data in a one-pass replay)
+    assert out.count() == expected.count()
+
+
+def test_stream_static_dim_enrichment(spark, tables, stream_dir):
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        enrich_stream_with_dim,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"), ("view", "engagement")],
+        "event_type string, category string",
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    out = _run_stream_to_memory(
+        spark,
+        enrich_stream_with_dim(stream, dim, on="event_type").select(
+            "event_id", "event_type", "category"
+        ),
+        "dim_enriched",
+    )
+    n_events = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir).count()
+    assert out.count() == n_events  # left join keeps every event
+    assert out.where(
+        (F.col("event_type") == "purchase") & (F.col("category") != "revenue")
+    ).count() == 0
