@@ -60,6 +60,20 @@ def train_holdout_split(spark, sf_dir):
     )
 
 
+@query("curation_pack_sequences")  # greedy bin-pack UDTF — rows-only check
+def pack_sequences(spark, sf_dir):
+    """Sequence packing: whitespace-token counts → bucket-parallel
+    first-fit-decreasing into 512-token packs (operators/packing)."""
+    from data_pipeline_001_spark.functions import text as TX
+    from data_pipeline_001_spark.operators.packing import pack_documents
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(docs, budget=512, n_buckets=16)
+
+
 @query("curation_stratified_sample")  # seeded RNG — rows-only check
 def stratified_sample(spark, sf_dir):
     """Per-language stratified sample (`sampleBy`): equalize language

@@ -44,3 +44,51 @@ def test_stratified_sample_is_subset(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+class TestPacking:
+    BUDGET = 100
+
+    @pytest.fixture(scope="class")
+    def packed(self, spark, docs):
+        from data_pipeline_001_spark.functions import text as TX
+        from data_pipeline_001_spark.operators.packing import pack_documents
+
+        counted = docs.select(
+            "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+        )
+        return pack_documents(counted, budget=self.BUDGET, n_buckets=8).cache()
+
+    def test_every_doc_packed_exactly_once(self, spark, packed, docs):
+        assert packed.count() == docs.count()
+        assert packed.select("doc_id").distinct().count() == docs.count()
+
+    def test_no_multi_doc_pack_exceeds_budget(self, spark, packed):
+        over = (
+            packed.groupBy("pack_id")
+            .agg(
+                F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
+            )
+            # oversized docs are allowed only as singleton packs
+            .where((F.col("tot") > self.BUDGET) & (F.col("n") > 1))
+        )
+        assert over.count() == 0
+
+    def test_slots_contiguous_from_zero(self, spark, packed):
+        bad = (
+            packed.groupBy("pack_id")
+            .agg(
+                F.min("pack_slot").alias("lo"),
+                F.max("pack_slot").alias("hi"),
+                F.count("*").alias("n"),
+            )
+            .where((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+        )
+        assert bad.count() == 0
+
+    def test_utilization_report(self, spark, packed):
+        from data_pipeline_001_spark.operators.packing import pack_utilization
+
+        row = pack_utilization(packed, self.BUDGET).first()
+        assert row["n_packs"] > 0
+        assert 0 < row["mean_fill"] <= 1.5  # singletons may exceed 1.0
