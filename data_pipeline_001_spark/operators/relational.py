@@ -20,45 +20,140 @@ def asof_join(
     left_time: str,
     right_time: str,
     by: tuple[str, ...] = (),
+    bucket_minutes: int | None = 1440,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_time <= left_time`` (optionally matched on ``by`` keys).
 
     Implementation: tag both sides, union by name, sort within the
-    ``by`` partition by (time, right-first) and carry right columns
-    forward with ``last(..., ignorenulls=True)``; keep left rows.
+    (``by``, coarse time bucket) partition by (time, right-first) and
+    carry the latest right row forward with a single
+    ``last(struct, ignorenulls=True)``; keep left rows.
+
+    Scale posture: the window is partitioned on ``by`` PLUS a coarse
+    time bucket (``bucket_minutes``, default daily), so the sort runs
+    one task per bucket instead of one global task. Rows near a bucket
+    boundary still see earlier right rows because each bucket is
+    seeded with a *carry row*: the latest right row from all earlier
+    buckets, computed on the tiny per-bucket-boundary set (one row per
+    (by, bucket)) and unioned back in. Pass ``bucket_minutes=None`` to
+    disable bucketing when ``by`` alone already partitions well.
+
+    The right row is carried as one struct (not per-column ``last``)
+    so right rows containing legitimate NULL values can never be
+    blended across rows.
     """
     value_cols = [c for c in right.columns if c != right_time and c not in by]
-    left_cols = [c for c in left.columns]
+    left_only = [c for c in left.columns if c not in by]
+    rt_type = right.schema[right_time].dataType
 
+    def _rrow(src_prefix: str = "") -> Column:
+        return F.struct(
+            *[F.col(src_prefix + c).alias(c) for c in value_cols],
+            F.col(src_prefix + right_time).cast(rt_type).alias("_rt"),
+        )
+
+    null_rrow = F.lit(None).cast(
+        "struct<"
+        + ",".join(
+            [f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols]
+            + [f"_rt:{rt_type.simpleString()}"]
+        )
+        + ">"
+    )
+
+    part_cols = list(by)
     l = left.select(
         *by,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.col(c) for c in left_cols if c not in by],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+        *[F.col(c) for c in left_only],
+        null_rrow.alias("_rrow"),
     )
     r = right.select(
         *by,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by],
-        *[F.col(c) for c in value_cols],
-        F.col(right_time).alias("_rt"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        _rrow().alias("_rrow"),
     )
-    u = l.unionByName(r)
+
+    if bucket_minutes is not None:
+        grain_s = bucket_minutes * 60
+
+        def _bucket(col: str) -> Column:
+            return F.floor(F.unix_timestamp(F.col(col)) / grain_s).cast("long")
+
+        l = l.withColumn("_bucket", _bucket("_t"))
+        r = r.withColumn("_bucket", _bucket("_t"))
+        part_cols.append("_bucket")
+
+        # --- boundary carry: latest right row per (by, bucket) ---------
+        w_in_bucket = Window.partitionBy(*by, "_bucket").orderBy(
+            F.col("_t").desc()
+        )
+        last_per_bucket = (
+            r.withColumn("_rn", F.row_number().over(w_in_bucket))
+            .where(F.col("_rn") == 1)
+            .select(*by, "_bucket", "_rrow")
+        )
+        # spine of every bucket that needs a seed (all left buckets plus
+        # all right buckets so the forward-fill chain has no holes)
+        spine = (
+            l.select(*by, "_bucket")
+            .distinct()
+            .unionByName(last_per_bucket.select(*by, "_bucket"))
+            .distinct()
+        )
+        # forward-fill the latest right row over the bucket sequence,
+        # EXCLUSIVE of the current bucket (rows inside it handle that).
+        # This window is per-`by` over one row per bucket — thousands of
+        # rows, not the raw data — so a single partition here is fine.
+        w_carry = (
+            Window.partitionBy(*by)
+            .orderBy("_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            spine.join(last_per_bucket, [*by, "_bucket"], "left")
+            .select(
+                *by,
+                "_bucket",
+                F.last("_rrow", ignorenulls=True).over(w_carry).alias("_rrow"),
+            )
+            .where(F.col("_rrow").isNotNull())
+        )
+        # inject the carry row at the head of its bucket: its time is the
+        # carried right_time, which precedes every in-bucket row.
+        carry_rows = carry.select(
+            *by,
+            F.col("_rrow._rt").alias("_t"),
+            F.lit(0).alias("_side"),
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left_only
+            ],
+            F.col("_rrow").alias("_rrow"),
+            F.col("_bucket"),
+        )
+        u = l.unionByName(r).unionByName(carry_rows)
+    else:
+        u = l.unionByName(r)
+
     # right rows sort before left rows at equal times (_side 0 < 1), so a
     # right row at exactly left_time is visible to that left row (<=).
     w = (
-        Window.partitionBy(*by)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    u = u.withColumn("asof_time", F.last("_rt", ignorenulls=True).over(w))
-    return u.where(F.col("_side") == 1).drop("_t", "_side", "_rt")
+    u = u.withColumn("_filled", F.last("_rrow", ignorenulls=True).over(w))
+    return u.where(F.col("_side") == 1).select(
+        *by,
+        *left_only,  # includes left_time itself
+        *[F.col(f"_filled.{c}").alias(c) for c in value_cols],
+        F.col("_filled._rt").alias("asof_time"),
+    )
 
 
 def salted_join(

@@ -138,6 +138,82 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    bits: int = 4,
+    tables: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, cosine >= threshold) via
+    multi-table hyperplane-LSH bucketing + exact cosine verify — the
+    100 TB-shaped primary for embedding near-dup (the exact O(n²)
+    pairwise form is its small-sf oracle twin, `dedup_embedding_cosine`).
+
+    Same verify pattern as MinHash-LSH text dedup
+    (`operators/dedup.py:minhash_lsh_pairs`): candidates come from a
+    per-(table, bucket) self-join — cost ≈ Σ bucket² bounded by
+    ``max_bucket_size`` — then every candidate pair is scored exactly
+    and thresholded, so precision is 1.0 and only recall is
+    approximate. Recall per pair at angle θ is 1-(1-p^bits)^tables
+    with p = 1-θ/π: more tables buy recall, more bits cut candidate
+    volume. Oversized buckets (near-isotropic regions) are dropped
+    before the join — a true near-dup pair collides in several tables,
+    so a single dropped bucket rarely loses it.
+    """
+    from data_pipeline_001_spark.functions.vectors import random_projection_signature
+
+    parts = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + 1000 * t)
+        sig = random_projection_signature(F.col(vec_col), planes)
+        parts.append(
+            corpus.select(
+                F.col(id_col).alias("id"),
+                F.lit(t).alias("tbl"),
+                sig.alias("bucket"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+
+    if max_bucket_size:
+        wb = Window.partitionBy("tbl", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(wb))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+
+    candidates = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        candidates.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        )
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .where(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 16,

@@ -59,6 +59,15 @@ def test_topk_uses_take_ordered(spark, registry):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_asof_join_window_is_bucket_partitioned(spark, registry):
+    """The as-of union window must shuffle on the coarse time bucket —
+    never collapse the raw data into one task. Only the tiny per-bucket
+    carry spine (one row per bucket) may use a single partition."""
+    plan = _plan(registry["join_asof_events_spine"](spark, SF))
+    assert "hashpartitioning(_bucket" in plan
+    assert plan.count("SinglePartition") <= 1
+
+
 def test_no_row_python_udfs_anywhere(spark, registry):
     """Hot paths stay JVM-side; Python appears only via Arrow
     (mapInPandas → MapInPandas/ArrowEvalPython, never BatchEvalPython)."""

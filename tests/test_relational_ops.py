@@ -38,6 +38,43 @@ def test_asof_join_with_by_keys(spark):
     assert out == {"u1": 1.0, "u2": 2.0}
 
 
+def test_asof_join_carries_across_bucket_boundary(spark):
+    """A left row whose time bucket holds no right row must still see
+    the latest right row from an EARLIER bucket (the carry seed), and a
+    left row before any right row stays unmatched."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-05 00:10:00"),   # 4 days after the only tick
+         (2, "2024-01-01 08:00:00"),   # same bucket as the tick
+         (3, "2023-12-30 00:00:00")],  # before every tick
+        "id long, t string",
+    ).select("id", F.to_timestamp("t").alias("t"))
+    right = spark.createDataFrame(
+        [("2024-01-01 06:00:00", "x"), ("2024-01-01 07:00:00", "y")],
+        "tick string, tag string",
+    ).select(F.to_timestamp("tick").alias("tick"), "tag")
+
+    out = {r["id"]: (r["tag"], r["asof_time"]) for r in
+           asof_join(left, right, "t", "tick", bucket_minutes=1440).collect()}
+    assert out[1] == ("y", datetime(2024, 1, 1, 7, 0))
+    assert out[2] == ("y", datetime(2024, 1, 1, 7, 0))
+    assert out[3] == (None, None)
+
+
+def test_asof_join_null_value_columns_not_blended(spark):
+    """A right row with a NULL value column must be carried as-is, not
+    back-filled from an older right row (struct carry, not per-column)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "id long, t string"
+    ).select("id", F.to_timestamp("t").alias("t"))
+    right = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "old", 5.0),
+         ("2024-01-01 11:00:00", "new", None)],
+        "tick string, tag string, px double",
+    ).select(F.to_timestamp("tick").alias("tick"), "tag", "px")
+    row = asof_join(left, right, "t", "tick").collect()[0]
+    assert row["tag"] == "new" and row["px"] is None
+
+
 def test_range_join_buckets(spark):
     events = spark.createDataFrame(
         [(1, "2024-01-01 00:30:00"), (2, "2024-01-01 01:30:00"), (3, "2024-01-01 01:45:00")],
