@@ -369,9 +369,9 @@ def similarity_ivf(spark, sf_dir):
 )
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (§2.13 'embedding-cosine
-    near-dup'). Exact pairwise here (oracle-checkable); at scale the
-    same threshold runs over LSH/IVF candidate buckets instead of the
-    full cross join."""
+    near-dup'). Exact O(n²) pairwise — the small-sf ORACLE TWIN of the
+    primary scale path `dedup_embedding_lsh`; never the plan to run on
+    a full corpus."""
     from data_pipeline_001_spark.functions.vectors import cosine_similarity
 
     t = load_tables(spark, sf_dir)
@@ -386,6 +386,21 @@ def dedup_embedding(spark, sf_dir):
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .where(cos >= 0.5)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query("dedup_embedding_lsh")  # approximate recall — rows-only check
+def dedup_embedding_lsh_q(spark, sf_dir):
+    """PRIMARY embedding near-dup path (§2.13): multi-table
+    hyperplane-LSH candidate buckets → exact cosine verify. Cost is
+    Σ bucket² (skew-capped), not corpus²; precision 1.0 against the
+    exact twin `dedup_embedding_cosine`, recall bounded in
+    tests/test_llm_operators.py::test_embedding_lsh_recall_vs_exact."""
+    from data_pipeline_001_spark.operators.similarity import embedding_near_dup_lsh
+
+    t = load_tables(spark, sf_dir)
+    return embedding_near_dup_lsh(
+        t["embeddings"], threshold=0.4, bits=4, tables=16, dim=64
     )
 
 

@@ -13,6 +13,7 @@ from data_pipeline_001_spark.operators.dedup import (
 )
 from data_pipeline_001_spark.operators.similarity import (
     brute_force_topk,
+    embedding_near_dup_lsh,
     lsh_topk,
     numpy_topk_batches,
 )
@@ -105,6 +106,56 @@ def test_lsh_recall_reasonable(tables):
     # hardest case for LSH; 0.6 here corresponds to ~0.9+ on clustered data
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_embedding_lsh_recall_vs_exact(tables):
+    """The registered primary near-dup path (LSH buckets → exact verify)
+    vs the exact O(n²) twin at the same threshold: precision must be
+    1.0 (verify stage scores candidates exactly) and recall high.
+
+    At cosine 0.4 (θ≈66°, p=1-θ/π≈0.63) with bits=4/tables=16 the
+    analytic recall floor is 1-(1-0.63^4)^16 ≈ 0.94; assert 0.7 to
+    absorb seed variance on the hardest (near-threshold) pairs."""
+    from data_pipeline_001_spark.functions.vectors import cosine_similarity
+
+    e = tables["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.4)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_lsh(e, threshold=0.4, bits=4, tables=16).collect()
+    }
+    assert approx <= truth, "verify stage must give precision 1.0"
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.7, f"embedding LSH recall too low: {recall}"
+
+
+def test_embedding_lsh_finds_planted_near_copies(tables, spark):
+    """A jittered copy (cosine≈0.99) must collide in at least one of
+    the 16 tables — planted pairs are all recovered."""
+    e = tables["embeddings"].where(F.col("vec_id") < 50).select(
+        "vec_id", "embedding"
+    )
+    jittered = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+    )
+    pairs = embedding_near_dup_lsh(
+        e.unionByName(jittered), threshold=0.9, bits=4, tables=16
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(50):
+        assert (i, i + 100000) in found, f"planted pair {i} missed"
 
 
 def test_multimodal_roundtrip_and_stub(tables, spark):
