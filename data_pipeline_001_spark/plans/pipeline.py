@@ -87,6 +87,12 @@ class PipelineConfig:
     target_desc: tuple[str, str, str] = ("target", "file", "parquet")
     audit_max_retries: int = 3
     audit_retry_wait_s: float = 0.0  # reference waits 60s for Snowpipe; sync sinks need 0
+    # F12 duration-estimate knobs (source_discovery_manager.py:190-202)
+    avg_records_per_window: int = 100_000
+    skew_factor: float = 0.5
+    base_source_to_stage_minutes: int = 10
+    base_stage_to_target_minutes: int = 5
+    base_audit_minutes: int = 2
     extras: dict = field(default_factory=dict)
 
     @classmethod
@@ -249,6 +255,38 @@ class WindowPipeline:
     # Step 5 — per-window stage execution
     # ------------------------------------------------------------------ #
 
+    def _duration_estimates(self, source_count: int) -> dict[str, int]:
+        """F12: per-stage expected durations from the discovery count
+        (source_discovery_manager.py:186-271): linear for transfer,
+        power-0.6 for load, sqrt for audit; ×(1+skew), floored at each
+        stage's base. ratio<=1 short-circuits to the bases. Same curves
+        as the column form `functions/hash_fns.py:scaled_duration_estimate`
+        (oracle-checked by `scalar_duration_curves`); this is the
+        one-control-row scalar path."""
+        import math
+
+        cfg = self.config
+        avg = float(cfg.avg_records_per_window)
+        ratio = source_count / avg if avg > 0 else 1.0
+        bases = {
+            "source_to_stage": float(cfg.base_source_to_stage_minutes),
+            "stage_to_target": float(cfg.base_stage_to_target_minutes),
+            "audit": float(cfg.base_audit_minutes),
+        }
+        if ratio <= 1.0:
+            scaled = dict(bases)
+        else:
+            scaled = {
+                "source_to_stage": bases["source_to_stage"] * ratio,
+                "stage_to_target": bases["stage_to_target"] * ratio**0.6,
+                "audit": bases["audit"] * math.sqrt(ratio),
+            }
+        skew = 1.0 + cfg.skew_factor
+        return {
+            f"{s}_expected_duration_minutes": max(int(scaled[s] * skew), int(bases[s]))
+            for s in bases
+        }
+
     def run_window(self, record) -> str:
         """Execute the 4-stage pipeline for one control row. Returns
         final status: 'completed' | 'failed' | 'reset'."""
@@ -257,16 +295,26 @@ class WindowPipeline:
         end = record["source_query_window_end_time"]
         self.control.claim(sid)
 
+        stage = "source_discovery"
         try:
-            # Stage 1 — source discovery: count + duration estimates
+            # Stage 1 — source discovery: count + F12 duration estimates
+            # (downstream staleness reaping keys on these, so a heavy
+            # window gets a proportionally longer acceptable runtime)
             t0 = datetime.utcnow()
             src_count = self.source.count(start, end)
             self.control.complete_stage(
-                sid, "source_discovery", t0, extra={"source_count": src_count}
+                sid,
+                "source_discovery",
+                t0,
+                extra={
+                    "source_count": src_count,
+                    **self._duration_estimates(src_count),
+                },
             )
 
             # Stage 2 — source → stage (idempotence short-circuit S3,
             # clean S4, extract S2)
+            stage = "source_to_stage"
             t0 = datetime.utcnow()
             if self.stage_sink.exists(start, end):
                 self.stage_sink.clean(start, end)
@@ -275,6 +323,7 @@ class WindowPipeline:
 
             # Stage 3 — stage → target (S6/S7/S5): read back the staged
             # window (one pruned directory) and load it into the target
+            stage = "stage_to_target"
             t0 = datetime.utcnow()
             if self.target_sink.exists(start, end):
                 self.target_sink.clean(start, end)
@@ -285,11 +334,14 @@ class WindowPipeline:
             self.control.complete_stage(sid, "stage_to_target", t0)
 
             # Stage 4 — audit (A4 recount, A5 reconciliation, R3 retry)
+            stage = "audit"
             t0 = datetime.utcnow()
             status = self._audit(sid, start, end, src_count, t0)
             return status
         except Exception as exc:  # noqa: BLE001 — reference records any stage error
-            self.control.fail_stage(sid, "source_discovery", str(exc))
+            # fail the stage that actually raised (reference keeps other
+            # stages' state untouched: record_status_updater.py:102-123)
+            self.control.fail_stage(sid, stage, str(exc))
             return "failed"
 
     def _audit(self, sid, start, end, src_count, t0) -> str:

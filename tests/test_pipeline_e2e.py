@@ -151,6 +151,81 @@ def test_stale_in_progress_reset_then_rerun(pipe):
     assert r["pipeline_retry_count"] == 1
 
 
+def test_duration_estimates_scale_staleness_bound(spark, tmp_path):
+    """F12 wired e2e: discovery populates per-stage expected durations
+    from source_count (linear/power/sqrt curves), and staleness reaping
+    keys on them — a heavy window survives a wall-clock gap that reaps
+    a light one (source_discovery_manager.py:186-271 +
+    progress_validator.py:82-159)."""
+    from datetime import timedelta
+
+    def build(name, avg):
+        source = FileSource(spark, f"{SF_DIR}/events.parquet", ts_col="ts")
+        stage = PartitionedParquetSink(spark, str(tmp_path / f"{name}_stage"))
+        target = PartitionedParquetSink(spark, str(tmp_path / f"{name}_target"))
+        control = ControlTable(spark, str(tmp_path / f"{name}_control"))
+        cfg = PipelineConfig(
+            pipeline_name=name,
+            granularity="6h",
+            max_pipeline_runs=4,
+            avg_records_per_window=avg,
+        )
+        return WindowPipeline(spark, cfg, source, stage, target, control)
+
+    # heavy: avg=1 → ratio = count >> 1 → estimates scale up
+    heavy = build("heavy", 1)
+    heavy.run(DAY, DAY_END)
+    row = heavy.control.read().collect()[0]
+    n = row["source_count"]
+    assert n > 1
+    ratio = float(n)
+    assert row["source_to_stage_expected_duration_minutes"] == int(10 * ratio * 1.5)
+    assert row["stage_to_target_expected_duration_minutes"] == int(5 * ratio**0.6 * 1.5)
+    assert row["audit_expected_duration_minutes"] == int(2 * ratio**0.5 * 1.5)
+
+    # light: avg huge → ratio <= 1 → bases ×(1+skew), as the reference
+    # computes them (source_discovery_manager.py:218-231)
+    light = build("light", 10_000_000)
+    light.run(DAY, DAY_END)
+    lrow = light.control.read().collect()[0]
+    assert lrow["source_to_stage_expected_duration_minutes"] == 15
+    assert lrow["stage_to_target_expected_duration_minutes"] == 7
+    assert lrow["audit_expected_duration_minutes"] == 3
+
+    # both re-claimed at the same instant, checked 40 min later:
+    # light's bound is 15+7+3=25 min → reaped; heavy's is hours → valid
+    heavy.control.claim(heavy.control.read().collect()[0]["unique_source_id"])
+    light.control.claim(lrow["unique_source_id"])
+    later = datetime.utcnow() + timedelta(minutes=40)
+    assert heavy.validate_in_progress(later) == (1, 0)
+    assert light.validate_in_progress(later) == (0, 1)
+
+
+def test_stage_failure_attributed_to_failing_stage(spark, tmp_path):
+    """A stage_to_target error must fail stage_to_target — not reset
+    source_discovery (record_status_updater.py:102-123: only the
+    erroring stage's state is touched)."""
+
+    class BrokenTarget(PartitionedParquetSink):
+        def load(self, df, start, end):
+            raise RuntimeError("target sink down")
+
+    source = FileSource(spark, f"{SF_DIR}/events.parquet", ts_col="ts")
+    stage = PartitionedParquetSink(spark, str(tmp_path / "stage"))
+    target = BrokenTarget(spark, str(tmp_path / "target"))
+    control = ControlTable(spark, str(tmp_path / "control"))
+    cfg = PipelineConfig(pipeline_name="bt", granularity="6h", max_pipeline_runs=1)
+    pipe = WindowPipeline(spark, cfg, source, stage, target, control)
+
+    result = pipe.run(DAY, DAY_END)
+    assert result.failed >= 1
+    r = [x for x in pipe.control.read().collect() if x["pipeline_status"] == "failed"][0]
+    assert r["source_discovery_status"] == "completed"
+    assert r["source_to_stage_status"] == "completed"
+    assert r["stage_to_target_status"] == "pending"
+    assert "target sink down" in r["pipeline_error_details"]
+
+
 def test_concurrency_guard_exits(pipe):
     pipe.populate(DAY, DAY_END)
     sid = pipe.control.read().collect()[0]["unique_source_id"]
