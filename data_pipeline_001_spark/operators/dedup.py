@@ -163,7 +163,33 @@ def minhash_lsh_pairs(
     per-bucket join and an O(n²) blowup.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_words, seed)
+
+    # ONE shingle explode + ONE groupBy(id) shuffle feeds both the
+    # minhash signatures and the exact-verify shingle sets. The three
+    # consumers (banding, verify id_a, verify id_b) prune different
+    # columns, so plan-level ReusedExchange can't kick in — persist the
+    # per-doc table instead (one row per doc: 32 longs + shingle set;
+    # MEMORY_AND_DISK so a 100 TB corpus spills rather than OOMs, and
+    # far smaller than re-exploding the corpus per consumer).
+    params = _hash_params(num_hashes, seed)
+    exploded = exploded_shingles(docs, text_col, id_col, shingle_words).select(
+        "id",
+        "sh",
+        (F.abs(F.hash("sh")).cast("long") % F.lit(_MERSENNE)).alias("h"),
+    )
+    per_doc = exploded.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"s{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+        F.collect_set("sh").alias("sh_set"),
+    )
+    from pyspark import StorageLevel
+
+    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = per_doc.select(
+        "id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
     banded = sigs.select(
         "id",
@@ -209,11 +235,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = (
-        exploded_shingles(docs, text_col, id_col, shingle_words)
-        .groupBy("id")
-        .agg(F.collect_set("sh").alias("sh"))
-    )
+    sh = per_doc.select("id", F.col("sh_set").alias("sh"))
     return (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
