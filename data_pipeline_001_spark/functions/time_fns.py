@@ -172,6 +172,7 @@ def window_spine(
     start: datetime | str,
     end: datetime | str,
     granularity: str = "1h",
+    drop_partial_trailing: bool = False,
 ) -> DataFrame:
     """F1: tumbling half-open windows of ``granularity`` covering [start, end).
 
@@ -180,9 +181,16 @@ def window_spine(
       duration_minutes int, window_day date
 
     Built with ``sequence()+explode()`` so it is generated on executors
-    (one row per window, never a driver-side Python loop). The final
-    window is clamped to ``end`` when the span doesn't divide evenly,
-    matching the reference's clamp (time_utils.py:191-207).
+    (one row per window, never a driver-side Python loop).
+
+    Trailing-window semantics — a DELIBERATE divergence from the
+    reference: when the span doesn't divide evenly, the reference's
+    generate_time_windows DROPS the incomplete final window
+    (time_utils.py:207 ``if next_time > end_limit: break``), leaving
+    [last_full_end, end) unplanned. Here the default CLAMPS the final
+    window to ``end`` so the spine covers the full range — run_batch's
+    "every extracted row has a control row" invariant depends on it.
+    Pass ``drop_partial_trailing=True`` for strict reference parity.
     """
     minutes = parse_granularity_minutes(granularity)
     df = spark.createDataFrame(
@@ -211,7 +219,14 @@ def window_spine(
             ).alias("window_end"),
         )
         .where(F.col("window_start") < F.col("window_end"))
-        .withColumn(
+    )
+    if drop_partial_trailing:
+        spine = spine.where(
+            F.col("window_end") - F.col("window_start")
+            == F.expr(f"interval {minutes} minutes")
+        )
+    spine = (
+        spine.withColumn(
             "duration_minutes",
             window_duration_minutes(F.col("window_start"), F.col("window_end")),
         )

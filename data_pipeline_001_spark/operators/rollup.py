@@ -18,7 +18,8 @@ target_cleaner.py semantics) at aggregate granularity.
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
+from datetime import time as dt_time
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,11 +60,19 @@ class ContinuousRollup:
         end: datetime | None = None,
     ) -> None:
         """Recompute buckets in [start, end) (whole source if None) and
-        swap exactly the affected day partitions."""
+        swap exactly the affected day partitions.
+
+        A sub-day window is snapped OUTWARD to whole days first:
+        overwrite granularity is the ``bucket_day`` partition, so
+        recomputing only part of a day would silently drop that day's
+        other buckets from the swapped partition."""
         df = source
         if start is not None:
+            start = datetime.combine(start.date(), dt_time.min)
             df = df.where(F.col(self.ts_col) >= F.lit(start))
         if end is not None:
+            if end != datetime.combine(end.date(), dt_time.min):
+                end = datetime.combine(end.date(), dt_time.min) + timedelta(days=1)
             df = df.where(F.col(self.ts_col) < F.lit(end))
         rolled = (
             df.withColumn("bucket_start", self._bucket())

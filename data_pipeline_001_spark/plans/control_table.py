@@ -379,7 +379,9 @@ class ControlTable:
             return
         self._overwrite(self.read().where(~F.col(key_col).isin(ids)))
 
-    def merge_audit_results(self, results: DataFrame) -> None:
+    def merge_audit_results(
+        self, results: DataFrame, pipeline_name: str | None = None
+    ) -> None:
         """Columnar MERGE of per-window batch results — ONE overwrite
         for N windows instead of N row updates (the batch-path upgrade
         of M1+M2+A5; the reference does this row-at-a-time over
@@ -389,16 +391,26 @@ class ControlTable:
         target_count long. Every matched window gets all four stages
         completed + audit metrics; tolerance check decides
         completed vs the M4-style reset.
+
+        ``pipeline_name`` scopes the merge: in a shared control table
+        only that pipeline's rows are eligible to match (the reference
+        always scopes drive-table updates by source descriptor). The
+        results are also deduped on window_start (deterministic max per
+        count) so a duplicated audit row can't fan the join out and
+        duplicate control rows in the overwritten table.
         """
         now = _utcnow()
-        r = results.select(
-            F.col("window_start").alias("_ws"),
-            F.col("source_count").alias("_sc"),
-            F.col("target_count").alias("_tc"),
+        r = (
+            results.groupBy(F.col("window_start").alias("_ws"))
+            .agg(
+                F.max("source_count").alias("_sc"),
+                F.max("target_count").alias("_tc"),
+            )
         )
-        df = self.read().join(
-            r, F.col("source_query_window_start_time") == F.col("_ws"), "left"
-        )
+        cond = F.col("source_query_window_start_time") == F.col("_ws")
+        if pipeline_name is not None:
+            cond = cond & (F.col("pipeline_name") == F.lit(pipeline_name))
+        df = self.read().join(r, cond, "left")
         matched = F.col("_ws").isNotNull()
         pct = (
             F.when((F.col("_sc") == 0) & (F.col("_tc") == 0), F.lit(0.0))

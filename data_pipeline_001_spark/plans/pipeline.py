@@ -137,6 +137,20 @@ class WindowPipeline:
         self.target_sink = target_sink
         self.control = control
 
+    def _scoped(self, ct: DataFrame) -> DataFrame:
+        """Restrict control rows to THIS pipeline's descriptor — the
+        reference always scopes drive-table operations by source
+        name/category/subcategory (pending_records_selector.py), so a
+        shared control table never lets one pipeline claim, reap, or
+        overwrite another's windows."""
+        c = self.config
+        return ct.where(
+            (F.col("pipeline_name") == c.pipeline_name)
+            & (F.col("source_name") == c.source_desc[0])
+            & (F.col("source_category") == c.source_desc[1])
+            & (F.col("source_subcategory") == c.source_desc[2])
+        )
+
     # ------------------------------------------------------------------ #
     # Step 0 — populate (state_manager.populate_pipeline_batches)
     # ------------------------------------------------------------------ #
@@ -149,7 +163,7 @@ class WindowPipeline:
         spine = time_fns.window_spine(
             self.spark, start, end, self.config.granularity
         )
-        existing = self.control.read().select(
+        existing = self._scoped(self.control.read()).select(
             F.col("source_query_window_start_time").alias("window_start")
         )
         missing = spine.join(existing, "window_start", "left_anti")
@@ -173,7 +187,7 @@ class WindowPipeline:
     def fill_gaps(self) -> int:
         """Backfill: detect per-day coverage gaps in the control table
         (W1) and insert windows at the pipeline granularity (M7)."""
-        ct = self.control.read().select(
+        ct = self._scoped(self.control.read()).select(
             F.col("source_query_window_start_time").alias("window_start"),
             F.col("source_query_window_end_time").alias("window_end"),
             F.col("query_window_start_day").alias("window_day"),
@@ -193,7 +207,7 @@ class WindowPipeline:
         share the deterministic unique_source_id, so run id is the
         only column that tells the copies apart.
         """
-        ct = self.control.read()
+        ct = self._scoped(self.control.read())
         flagged = resolve_duplicates(
             ct, key_cols=("source_query_window_start_time",)
         )
@@ -223,7 +237,7 @@ class WindowPipeline:
         acceptable) get the selective M5 reset."""
         now = now or datetime.utcnow()
         rows = (
-            self.control.read()
+            self._scoped(self.control.read())
             .where(F.col("pipeline_status") == "in_progress")
             .collect()
         )
@@ -246,7 +260,7 @@ class WindowPipeline:
 
     def pending_records(self, now: datetime | None = None) -> list:
         boundary = time_fns.rounded_past_timestamp(self.config.x_time_back, now)
-        ct = self.control.read().where(
+        ct = self._scoped(self.control.read()).where(
             F.col("source_query_window_start_time") <= F.lit(boundary)
         )
         return select_pending(ct, self.config.max_pipeline_runs).collect()
@@ -418,16 +432,26 @@ class WindowPipeline:
 
     def extract_all_windows(self, start: datetime, end: datetime) -> DataFrame:
         """The 100 TB shape of stage 2: one distributed job that tags
-        every source row with its (epoch-aligned) window — replacing
-        the per-window driver loop when window count is large."""
+        every source row with its window — replacing the per-window
+        driver loop when window count is large.
+
+        The floor is anchored at ``start`` (floor((ts-start)/gran)·gran
+        + start), matching the start-aligned spine populate() plans —
+        an epoch-aligned floor would tag every row into windows the
+        control table doesn't have whenever ``start`` is off-boundary,
+        and run_batch's merge would silently match nothing."""
         df = self.source.extract(start, end)
         ts = F.col(getattr(self.source, "ts_col", "ts"))
         gran_s = time_fns.parse_granularity_minutes(self.config.granularity) * 60
+        # anchor as a Column so ts and start share the session timezone
+        t0 = F.unix_timestamp(F.lit(start))
         return (
             df.withColumn(
                 "window_ts",
                 F.timestamp_seconds(
-                    (F.floor(F.unix_timestamp(ts) / gran_s) * gran_s).cast("long")
+                    (F.floor((F.unix_timestamp(ts) - t0) / gran_s) * gran_s + t0).cast(
+                        "long"
+                    )
                 ),
             )
             .withColumn("window_day", F.to_date("window_ts"))
@@ -476,5 +500,20 @@ class WindowPipeline:
             F.coalesce("source_count", F.lit(0)).alias("source_count"),
             F.coalesce("target_count", F.lit(0)).alias("target_count"),
         )
-        self.control.merge_audit_results(audit)
+        self.control.merge_audit_results(audit, self.config.pipeline_name)
+        # audit rows with no control row would otherwise vanish silently
+        # (both sides are bounded: one row per window)
+        planned = self._scoped(self.control.read()).select(
+            F.col("source_query_window_start_time").alias("window_start")
+        )
+        unmatched = audit.join(planned, "window_start", "left_anti").collect()
+        if unmatched:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "run_batch: %d audit window(s) matched no control row "
+                "(first: %s) — check plan alignment",
+                len(unmatched),
+                unmatched[0]["window_start"],
+            )
         return audit

@@ -57,6 +57,83 @@ def test_run_batch_idempotent_rerun(batch_pipe):
     assert batch_pipe.control.read().count() == 8
 
 
+def test_run_batch_with_unaligned_plan_start(spark, tmp_path):
+    """plan_start off the granularity boundary: window tagging is
+    anchored at plan_start, so every control row still matches its
+    audit row and completes (previously the epoch-aligned floor made
+    the merge silently match nothing)."""
+    source = FileSource(spark, f"{SF_DIR}/events.parquet", ts_col="ts")
+    stage = PartitionedParquetSink(spark, str(tmp_path / "stage"))
+    target = DayPartitionedTableSink(spark, str(tmp_path / "target"))
+    control = ControlTable(spark, str(tmp_path / "control"))
+    cfg = PipelineConfig(pipeline_name="odd", granularity="6h")
+    pipe = WindowPipeline(spark, cfg, source, stage, target, control)
+
+    start = datetime(2024, 1, 2, 3, 30)  # NOT on a 6h boundary
+    end = datetime(2024, 1, 3, 3, 30)
+    audit = pipe.run_batch(start, end).collect()
+    assert len(audit) == 4
+    ct = pipe.control.read().collect()
+    assert len(ct) == 4
+    for r in ct:
+        assert r["pipeline_status"] == "completed", r["source_query_window_start_time"]
+        assert r["source_query_window_start_time"].minute == 30
+    total = pipe.target_sink.read_all().count()
+    assert total == pipe.source.count(start, end) > 0
+
+
+def test_shared_control_table_pipelines_are_isolated(spark, tmp_path):
+    """Two pipelines over ONE control table: pipeline B's batch merge
+    and populate must not complete, reset, or re-plan pipeline A's
+    rows (the reference scopes every drive-table op by the source
+    descriptor, pending_records_selector.py)."""
+    control = ControlTable(spark, str(tmp_path / "control"))
+
+    def build(name):
+        source = FileSource(spark, f"{SF_DIR}/events.parquet", ts_col="ts")
+        stage = PartitionedParquetSink(spark, str(tmp_path / f"{name}_stage"))
+        target = DayPartitionedTableSink(spark, str(tmp_path / f"{name}_target"))
+        cfg = PipelineConfig(
+            pipeline_name=name, granularity="6h", source_desc=(name, "file", "parquet")
+        )
+        return WindowPipeline(spark, cfg, source, stage, target, control)
+
+    a, b = build("pipe_a"), build("pipe_b")
+    # A plans but does not run: its rows stay pending
+    a.populate(DAY, DAY_END)
+    assert control.read().count() == 8
+    # B plans the same windows (same window_start values!) and runs
+    b.run_batch(DAY, DAY_END)
+    rows = control.read().collect()
+    assert len(rows) == 16  # A's 8 rows were NOT reused/overwritten
+    by_pipe = {}
+    for r in rows:
+        by_pipe.setdefault(r["pipeline_name"], []).append(r["pipeline_status"])
+    assert set(by_pipe["pipe_a"]) == {"pending"}
+    assert set(by_pipe["pipe_b"]) == {"completed"}
+
+
+def test_merge_audit_results_dedupes_duplicate_windows(spark, tmp_path):
+    """A duplicated audit row must not fan out the merge join and
+    duplicate control rows in the overwritten table."""
+    control = ControlTable(spark, str(tmp_path / "control"))
+    source = FileSource(spark, f"{SF_DIR}/events.parquet", ts_col="ts")
+    stage = PartitionedParquetSink(spark, str(tmp_path / "stage"))
+    target = DayPartitionedTableSink(spark, str(tmp_path / "target"))
+    cfg = PipelineConfig(pipeline_name="dup", granularity="6h")
+    pipe = WindowPipeline(spark, cfg, source, stage, target, control)
+    pipe.populate(DAY, DAY_END)
+    n_before = control.read().count()
+
+    one = control.read().collect()[0]["source_query_window_start_time"]
+    audit = spark.createDataFrame(
+        [(one, 5, 5), (one, 5, 5)],
+        "window_start timestamp, source_count long, target_count long",
+    )
+    control.merge_audit_results(audit, "dup")
+    assert control.read().count() == n_before
+
+
 def test_target_partition_pruning(batch_pipe, spark):
     """Window predicates prune to single partitions on the target
     table (the point of the day/window partition layout)."""

@@ -62,6 +62,22 @@ def test_incremental_refresh_swaps_only_target_day(spark, tables, tmp_path):
     assert changed == {"bucket_day=2024-01-05"}
 
 
+def test_subday_refresh_preserves_sibling_buckets(spark, tables, tmp_path):
+    """An hourly refresh window must NOT wipe the other 23 hours of its
+    day: overwrite granularity is the day partition, so the refresh
+    snaps sub-day windows outward to whole days."""
+    path = str(tmp_path / "rollup")
+    roll = ContinuousRollup(spark, path, grain="1h")
+    roll.refresh(tables["events"])
+    before = {r["bucket_start"]: r["n_rows"] for r in roll.read().collect()}
+
+    # refresh a single hour of Jan 5 with unchanged data — every
+    # bucket of the whole table must survive identically
+    roll.refresh(tables["events"], datetime(2024, 1, 5, 13), datetime(2024, 1, 5, 14))
+    after = {r["bucket_start"]: r["n_rows"] for r in roll.read().collect()}
+    assert after == before
+
+
 def test_query_range_prunes_partitions(spark, tables, tmp_path):
     roll = ContinuousRollup(spark, str(tmp_path / "rollup"), grain="1h")
     roll.refresh(tables["events"])

@@ -49,6 +49,22 @@ def test_spine_clamps_final_window(spark):
     assert rows[-1]["window_end"] == datetime(2024, 3, 1, 4, 0)
 
 
+def test_spine_drop_partial_trailing_matches_reference(spark):
+    """Strict reference parity (time_utils.py:207 drops the incomplete
+    final window): 90-minute windows over 4 hours yield only the two
+    full windows."""
+    spine = T.window_spine(
+        spark,
+        "2024-03-01 00:00:00",
+        "2024-03-01 04:00:00",
+        "1h30m",
+        drop_partial_trailing=True,
+    )
+    rows = spine.orderBy("window_start").collect()
+    assert [r["duration_minutes"] for r in rows] == [90, 90]
+    assert rows[-1]["window_end"] == datetime(2024, 3, 1, 3, 0)
+
+
 def test_floor_ceil_round(spark):
     df = spark.createDataFrame(
         [("2024-01-01 10:29:59",), ("2024-01-01 10:30:00",), ("2024-01-01 10:00:00",)],
