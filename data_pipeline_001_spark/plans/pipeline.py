@@ -85,8 +85,9 @@ class PipelineConfig:
     timezone: str = "UTC"
     source_desc: tuple[str, str, str] = ("events", "file", "parquet")
     target_desc: tuple[str, str, str] = ("target", "file", "parquet")
-    audit_max_retries: int = 3
-    audit_retry_wait_s: float = 0.0  # reference waits 60s for Snowpipe; sync sinks need 0
+    audit_max_retries: int = 3  # legacy cap; the R3 envelope tiers its own counts
+    audit_base_wait_s: float = 60.0  # reference's nominal base wait (Snowpipe)
+    audit_wait_scale: float = 0.0  # 0 = compute schedule but never block (sync sinks)
     # F12 duration-estimate knobs (source_discovery_manager.py:190-202)
     avg_records_per_window: int = 100_000
     skew_factor: float = 0.5
@@ -358,45 +359,126 @@ class WindowPipeline:
             self.control.fail_stage(sid, stage, str(exc))
             return "failed"
 
-    def _audit(self, sid, start, end, src_count, t0) -> str:
-        """A5 + R3: recount target until match/tolerance or retries
-        exhausted; mismatch → clean both sinks + full reset (M4)."""
-        tol = self.config.tolerance_pct
-        attempts = 0
-        prev = -1
-        while True:
-            tgt_count = self.target_sink.count(start, end)
-            diff = tgt_count - src_count
-            pct = (
-                0.0
-                if (src_count == 0 and tgt_count == 0)
-                else (100.0 if src_count == 0 else diff / src_count * 100.0)
+    @staticmethod
+    def _pct(src_count: int, tgt_count: int) -> float:
+        return (
+            0.0
+            if (src_count == 0 and tgt_count == 0)
+            else (
+                100.0
+                if src_count == 0
+                else (tgt_count - src_count) / src_count * 100.0
             )
-            if abs(pct) <= tol:
-                self.control.complete_stage(
-                    sid,
-                    "audit",
-                    t0,
-                    extra={
-                        "target_count": tgt_count,
-                        "count_difference": diff,
-                        "count_difference_percentage": pct,
-                        "count_match_status": "matched",
-                    },
-                )
-                return "completed"
-            improving = tgt_count > prev
-            prev = tgt_count
-            attempts += 1
-            if attempts >= self.config.audit_max_retries or not improving:
-                break
-            if self.config.audit_retry_wait_s:
-                time.sleep(self.config.audit_retry_wait_s)
-        # mismatch → clean + full reset (audit_manager.py:435-516)
-        self.stage_sink.clean(start, end)
-        self.target_sink.clean(start, end)
-        self.control.reset_after_audit_mismatch(sid)
-        return "reset"
+        )
+
+    def _sleep(self, seconds: float) -> None:
+        """Audit wait hook. The reference sleeps real wall-clock between
+        Snowpipe recounts; sync sinks set audit_wait_scale=0 (default)
+        so the SCHEDULE is still computed/logged but nothing blocks.
+        Tests may monkeypatch this to record the schedule."""
+        if seconds > 0 and self.config.audit_wait_scale > 0:
+            time.sleep(seconds * self.config.audit_wait_scale)
+
+    def _audit(self, sid, start, end, src_count, t0) -> str:
+        """A5 + R3: the reference's full two-phase adaptive envelope
+        (audit_manager.py:123-383):
+
+        Phase 1 — initial count; mismatch → tiered base attempts from
+        |pct| (2–6), one base wait, recount. Match → done; no
+        improvement → clean + reset.
+
+        Phase 2 — improvement detected: extra retries + wait multiplier
+        from the records/sec rate; waits grow ×(1+0.1·n), capped 180 s;
+        two consecutive non-improving recounts abort; exhaustion →
+        clean + reset (M4).
+        """
+        from data_pipeline_001_spark.utils import (
+            adaptive_phase2_params,
+            base_retry_attempts,
+            phase2_wait_seconds,
+            pipeline_log,
+        )
+
+        tol = self.config.tolerance_pct
+        base_wait = self.config.audit_base_wait_s
+
+        def done(tgt: int) -> str:
+            self.control.complete_stage(
+                sid,
+                "audit",
+                t0,
+                extra={
+                    "target_count": tgt,
+                    "count_difference": tgt - src_count,
+                    "count_difference_percentage": self._pct(src_count, tgt),
+                    "count_match_status": "matched",
+                },
+            )
+            return "completed"
+
+        def clean_reset() -> str:
+            # mismatch → clean + full reset (audit_manager.py:435-516)
+            self.stage_sink.clean(start, end)
+            self.target_sink.clean(start, end)
+            self.control.reset_after_audit_mismatch(sid)
+            return "reset"
+
+        initial = self.target_sink.count(start, end)
+        initial_pct = self._pct(src_count, initial)
+        if abs(initial_pct) <= tol:
+            return done(initial)
+
+        # Phase 1 (audit_manager.py:125-199)
+        base_attempts = base_retry_attempts(initial_pct)
+        pipeline_log.info(
+            "audit mismatch — starting adaptive retry",
+            log_key="Audit",
+            status="PHASE_1_STARTED",
+            source_count=src_count,
+            initial_target_count=initial,
+            initial_pct=f"{initial_pct:.2f}%",
+            base_retry_attempts=base_attempts,
+        )
+        self._sleep(base_wait)
+        first = self.target_sink.count(start, end)
+        if abs(self._pct(src_count, first)) <= tol:
+            return done(first)
+        improvement = first - initial
+        if improvement <= 0:
+            pipeline_log.info(
+                "no improvement — cleanup and reset",
+                log_key="Audit",
+                status="NO_IMPROVEMENT_CLEANUP",
+            )
+            return clean_reset()
+
+        # Phase 2 (audit_manager.py:235-383)
+        rate = improvement / 60.0  # records/sec over the nominal base wait
+        max_total, mult = adaptive_phase2_params(rate, base_attempts)
+        pipeline_log.info(
+            "improvement detected — adaptive phase 2",
+            log_key="Audit",
+            status="PHASE_2_ACTIVATED",
+            improvement=improvement,
+            improvement_rate=f"{rate:.2f} records/sec",
+            max_total_retries=max_total,
+            wait_multiplier=mult,
+        )
+        prev = first
+        consecutive_no_improvement = 0
+        for retry_num in range(2, max_total + 1):
+            self._sleep(phase2_wait_seconds(retry_num, mult, base_wait))
+            new = self.target_sink.count(start, end)
+            if abs(self._pct(src_count, new)) <= tol:
+                return done(new)
+            if new > prev:
+                consecutive_no_improvement = 0
+            else:
+                consecutive_no_improvement += 1
+                if consecutive_no_improvement >= 2:
+                    break
+            prev = new
+        return clean_reset()
 
     # ------------------------------------------------------------------ #
     # the full run loop
