@@ -727,6 +727,33 @@ def window_ntile(spark, sf_dir):
     )
 
 
+@query("window_quartiles_approx")  # approx boundaries — rows-only check
+def window_quartiles_approx(spark, sf_dir):
+    """Scale path for global NTILE (exact twin:
+    ``window_ntile_customer_quartiles``): exact NTILE needs a global
+    sort in ONE task (unpartitioned WindowExec). Here pass 1 computes
+    approx-percentile boundaries in a normal tree aggregation and pass
+    2 buckets rows against the three broadcast scalars — fully
+    parallel at any scale. Boundary-tied rows may land one quartile
+    off; tests/test_window_ops.py bounds the disagreement."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    # 3 scalars to the driver — bounded, never data-plane
+    b1, b2, b3 = c.agg(
+        F.percentile_approx("c_acctbal", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]), 10000).alias("b")
+    ).collect()[0]["b"]
+    return c.select(
+        "c_custkey",
+        # quartile 1 = highest balances, matching the exact twin's DESC order
+        F.when(F.col("c_acctbal") > F.lit(b3), 1)
+        .when(F.col("c_acctbal") > F.lit(b2), 2)
+        .when(F.col("c_acctbal") > F.lit(b1), 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("quartile"),
+    )
+
+
 @query(
     "window_dense_rank_parts",
     """

@@ -104,3 +104,31 @@ def test_select_pending_order(spark):
     )
     out = [r["id"] for r in select_pending(df, limit=2).collect()]
     assert out == ["r3", "r2"]
+
+
+def test_approx_quartiles_agree_with_exact_ntile(spark):
+    """The 2-pass approx-percentile quartile path must agree with exact
+    global NTILE on nearly every row (disagreement only at boundary
+    ties / group-size rounding)."""
+    from data_pipeline_001_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["c_custkey"]: r["quartile"]
+        for r in REGISTRY["window_ntile_customer_quartiles"](spark, sf).collect()
+    }
+    approx = {
+        r["c_custkey"]: r["quartile"]
+        for r in REGISTRY["window_quartiles_approx"](spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys()
+    agree = sum(1 for k in exact if exact[k] == approx[k]) / len(exact)
+    assert agree >= 0.9, f"approx quartiles agree on only {agree:.1%}"
+    # every quartile present and roughly balanced (within 2x of n/4)
+    from collections import Counter
+
+    sizes = Counter(approx.values())
+    n = len(approx)
+    assert set(sizes) == {1, 2, 3, 4}
+    for q in (1, 2, 3, 4):
+        assert sizes[q] <= n / 2
