@@ -1,9 +1,18 @@
 """Benchmark harness: timed headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a
+larger generated point (sf1 = 10x sf0.1, built lazily under
+.benchdata/) where data rather than scheduler overhead dominates.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+  {"metric": "...", "value": <total sec at base sf>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "per_query": {name: {"spark_s": s, "duckdb_s": s|null, "ratio": r|null}},
+   "big": {"sf": "1(replicated)", "total_s": s, "per_query": {...}}}
+
+ratio = spark_s / duckdb_s for the same query's DuckDB oracle on the
+same parquet — the honest accounting of distributed-engine overhead
+vs an in-process OLAP engine at each scale. Set SPARK_GRAFT_BIG=0 to
+skip the big point.
 
 Each query executes fully via the no-op sink (forces the whole plan —
 scan, shuffles, aggregation — without driver-side collection cost).
@@ -37,6 +46,19 @@ HEADLINE = [
     "similarity_bruteforce_topk",
 ]
 
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
 
 def _dir_bytes(sf_dir: str) -> int:
     total = 0
@@ -45,11 +67,79 @@ def _dir_bytes(sf_dir: str) -> int:
     return total
 
 
+def _time_spark_point(spark, qs, sf_dir: str) -> dict[str, float]:
+    from data_pipeline_001_spark.session import load_tables
+
+    # warm the JVM + file listing + codegen pipeline once so per-query
+    # times measure the plans, not session startup
+    tables = load_tables(spark, sf_dir)
+    tables["lineitem"].groupBy("l_returnflag").count().write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def _time_duckdb_point(oracles: dict[str, str], sf_dir: str) -> dict[str, float]:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if not sql:
+            continue
+        t0 = time.perf_counter()
+        con.sql(sql).fetchall()
+        out[name] = round(time.perf_counter() - t0, 3)
+    con.close()
+    return out
+
+
+def _per_query(spark_t: dict[str, float], duck_t: dict[str, float]) -> dict:
+    return {
+        name: {
+            "spark_s": spark_t[name],
+            "duckdb_s": duck_t.get(name),
+            "ratio": (
+                round(spark_t[name] / duck_t[name], 2)
+                if duck_t.get(name)
+                else None
+            ),
+        }
+        for name in spark_t
+    }
+
+
+def _ensure_big_point(repo_root: str) -> str | None:
+    big_dir = os.path.join(repo_root, ".benchdata", "sf1")
+    if not os.path.exists(os.path.join(big_dir, "lineitem.parquet")):
+        try:
+            sys.path.insert(0, os.path.join(repo_root, "tools"))
+            from make_benchdata import generate
+
+            generate("/root/testdata/sf0.1", big_dir, 10)
+        except Exception as exc:  # noqa: BLE001 — bench must still emit its line
+            print(f"big-point generation failed: {exc}", file=sys.stderr)
+            return None
+    return big_dir
+
+
 def main() -> None:
+    repo_root = os.path.dirname(os.path.abspath(__file__))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    from data_pipeline_001_spark.session import get_spark, load_tables
+    from data_pipeline_001_spark.session import get_spark
 
     # size shuffle parallelism to the data: ~1 partition per 8 MB of
     # input, clamped to [8, 2048]. At sf0.1 that's 8 (tiny tasks cost
@@ -62,35 +152,33 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
 
-    # warm the JVM + file listing + codegen pipeline once so per-query
-    # times measure the plans, not session startup
-    tables = load_tables(spark, sf_dir)
-    tables["lineitem"].groupBy("l_returnflag").count().write.mode(
-        "overwrite"
-    ).format("noop").save()
+    timings = _time_spark_point(spark, qs, sf_dir)
+    total = sum(timings.values())
+    duck = _time_duckdb_point(oracles, sf_dir)
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "per_query": _per_query(timings, duck),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    if os.environ.get("SPARK_GRAFT_BIG", "1") != "0":
+        big_dir = _ensure_big_point(repo_root)
+        if big_dir:
+            big_t = _time_spark_point(spark, qs, big_dir)
+            big_duck = _time_duckdb_point(oracles, big_dir)
+            result["big"] = {
+                "sf": "1(10x-replicated-sf0.1)",
+                "total_s": round(sum(big_t.values()), 3),
+                "per_query": _per_query(big_t, big_duck),
             }
-        )
-    )
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
