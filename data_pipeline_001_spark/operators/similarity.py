@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 
 from data_pipeline_001_spark.functions.vectors import cosine_similarity, dot, norm
 
+def _cos_prenormed(q_vec, c_vec, q_norm, c_norm):
+    """cosine with per-vector norms precomputed BEFORE the join: the
+    norm is a property of one vector, so computing it inside an
+    n_queries × n_corpus join repeats it n-fold (measured ~2× whole-
+    query at the sf1 bench point). Same operations, same order →
+    bit-equal to cosine_similarity."""
+    return dot(q_vec, c_vec) / (q_norm * c_norm)
+
+
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
@@ -44,15 +53,25 @@ def brute_force_topk(
     determinism. Self-matches are excluded.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+            "cosine",
+            F.round(
+                _cos_prenormed(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -97,6 +116,7 @@ def lsh_topk(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("c_vec"),
+                norm(F.col(vec_col)).alias("c_norm"),
                 F.lit(t).alias("tbl"),
                 sig.alias("bucket"),
             )
@@ -108,6 +128,7 @@ def lsh_topk(
             queries.select(
                 F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("q_vec"),
+                norm(F.col(vec_col)).alias("q_norm"),
                 F.lit(t).alias("tbl"),
                 F.explode(probe_buckets).alias("bucket"),
             )
@@ -123,7 +144,13 @@ def lsh_topk(
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+            "cosine",
+            F.round(
+                _cos_prenormed(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine")
         .distinct()
@@ -202,13 +229,25 @@ def embedding_near_dup_lsh(
         .distinct()
     )
 
-    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    vecs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+    )
+    cos = _cos_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         candidates.join(
-            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+            vecs.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+            ),
+            "id_a",
         )
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+            ),
+            "id_b",
+        )
         .where(cos >= threshold)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
     )
@@ -295,17 +334,27 @@ def ivf_topk(
     q_assign = nearest_centroids(queries, "probes", nprobe).select(
         F.col(id_col).alias("query_id"), F.explode("probes").alias("list_id")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")).join(
-        c_assign, "neighbor_id"
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).join(
-        q_assign, "query_id"
-    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    ).join(c_assign, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    ).join(q_assign, "query_id")
     scored = (
         c.join(F.broadcast(q), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+            "cosine",
+            F.round(
+                _cos_prenormed(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine")
         .distinct()
