@@ -128,3 +128,50 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         best["score"].alias("lang_score"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 200,
+    overlap_chars: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with
+    overlap — the standard RAG/pretraining preprocessing step.
+
+    Chunk i covers [i·stride, i·stride + chunk_chars) with
+    stride = chunk_chars - overlap_chars; the final chunk is the
+    (possibly short) remainder so every character lands in ≥1 chunk.
+
+    Pure column expressions: ``sequence`` generates the chunk index
+    array per row and ``posexplode`` fans out — the explode happens
+    executor-side on each partition, no shuffle, no UDF. Output rows
+    are (doc_id, chunk_id, chunk_start, chunk_text, chunk_chars).
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be < chunk_chars")
+    stride = chunk_chars - overlap_chars
+    t = F.col(text_col)
+    n = F.length(t)
+    # number of chunks: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap_chars)).cast("double") / F.lit(stride)),
+        F.lit(1),
+    ).cast("int")
+    return (
+        docs.select(
+            F.col(id_col),
+            t.alias("_t"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("_i") * stride).alias("chunk_start"),
+            F.substring(F.col("_t"), F.col("_i") * stride + 1, chunk_chars).alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_chars", F.length("chunk_text"))
+    )

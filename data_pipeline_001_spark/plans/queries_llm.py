@@ -389,6 +389,32 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+@query(
+    "text_chunk_documents",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(ceil(greatest(length(text)-40,1)/160.0) AS BIGINT) AS n_chunks
+      FROM documents
+    ), fan AS (
+      SELECT doc_id, text, unnest(range(0, n_chunks)) AS i FROM base
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id, CAST(i*160 AS INT) AS chunk_start,
+           substring(text, CAST(i*160 + 1 AS INT), 200) AS chunk_text,
+           CAST(length(substring(text, CAST(i*160+1 AS INT), 200)) AS INT) AS chunk_chars
+    FROM fan
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Overlapping fixed-window document chunking (RAG/pretraining
+    preprocessing): sequence + posexplode fan-out, executor-side, no
+    shuffle, no UDF."""
+    from data_pipeline_001_spark.operators.text_analysis import chunk_documents
+
+    t = load_tables(spark, sf_dir)
+    return chunk_documents(t["documents"], chunk_chars=200, overlap_chars=40)
+
+
 @query("dedup_embedding_lsh")  # approximate recall — rows-only check
 def dedup_embedding_lsh_q(spark, sf_dir):
     """PRIMARY embedding near-dup path (§2.13): multi-table

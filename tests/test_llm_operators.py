@@ -194,3 +194,32 @@ def test_language_id_on_real_stopwords(spark):
     assert out[1] == "en"
     assert out[2] == "fr"
     assert out[3] == "und"
+
+
+def test_chunk_documents_coverage_and_overlap(tables, spark):
+    """Every character lands in >=1 chunk; consecutive chunks overlap
+    by exactly overlap_chars (except a short final remainder); chunks
+    reassemble to the original text."""
+    from data_pipeline_001_spark.operators.text_analysis import chunk_documents
+
+    docs = tables["documents"].where(F.col("doc_id") < 20)
+    out = chunk_documents(docs, chunk_chars=100, overlap_chars=30).collect()
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc.keys() == originals.keys()
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        text = originals[doc_id]
+        stride = 70
+        rebuilt = chunks[0]["chunk_text"]
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur["chunk_start"] == prev["chunk_start"] + stride
+            # overlap region identical between neighbors
+            assert prev["chunk_text"][stride:] == cur["chunk_text"][: len(prev["chunk_text"]) - stride]
+            rebuilt += cur["chunk_text"][len(prev["chunk_text"]) - stride:]
+        assert rebuilt == text
+        # last chunk reaches the end of the document
+        last = chunks[-1]
+        assert last["chunk_start"] + last["chunk_chars"] == len(text)
