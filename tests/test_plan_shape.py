@@ -68,6 +68,24 @@ def test_asof_join_window_is_bucket_partitioned(spark, registry):
     assert plan.count("SinglePartition") <= 1
 
 
+def test_chunking_is_shuffle_free(spark, registry):
+    """Document chunking is a pure per-row fan-out: its plan must show
+    Generate (posexplode) and NO Exchange — at 100 TB a shuffle here
+    would move the whole corpus for nothing."""
+    plan = _plan(registry["text_chunk_documents"](spark, SF))
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+
+
+def test_embedding_near_dup_join_is_bucketed_not_cartesian(spark, registry):
+    """The primary embedding near-dup must join candidates on the
+    (table, bucket) hash keys — never a cartesian/nested-loop pairwise
+    product (that is the exact twin's job at small sf only)."""
+    plan = _plan(registry["dedup_embedding_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "tbl" in plan and "bucket" in plan
+
+
 def test_no_row_python_udfs_anywhere(spark, registry):
     """Hot paths stay JVM-side; Python appears only via Arrow
     (mapInPandas → MapInPandas/ArrowEvalPython, never BatchEvalPython)."""
