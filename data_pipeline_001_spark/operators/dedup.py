@@ -174,15 +174,18 @@ def minhash_lsh_pairs(
     params = _hash_params(num_hashes, seed)
     exploded = exploded_shingles(docs, text_col, id_col, shingle_words).select(
         "id",
-        "sh",
         (F.abs(F.hash("sh")).cast("long") % F.lit(_MERSENNE)).alias("h"),
     )
+    # verify sets hold HASHED shingles (8-byte longs, not strings):
+    # Jaccard over murmur3-hashed shingles equals string Jaccard up to
+    # vanishing collision probability (~k²/2³¹ per doc), and shrinks
+    # the persisted sets + array_intersect cost several-fold.
     per_doc = exploded.groupBy("id").agg(
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"s{i}")
             for i, (a, b) in enumerate(params)
         ],
-        F.collect_set("sh").alias("sh_set"),
+        F.collect_set("h").alias("sh_set"),
     )
     from pyspark import StorageLevel
 
