@@ -79,9 +79,12 @@ def _time_spark_point(spark, qs, sf_dir: str) -> dict[str, float]:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: first run absorbs codegen/cache
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     return timings
 
 
@@ -98,9 +101,12 @@ def _time_duckdb_point(oracles: dict[str, str], sf_dir: str) -> dict[str, float]
         sql = oracles.get(name)
         if not sql:
             continue
-        t0 = time.perf_counter()
-        con.sql(sql).fetchall()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2, symmetric with the Spark side
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     con.close()
     return out
 
