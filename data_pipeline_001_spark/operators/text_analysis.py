@@ -175,3 +175,49 @@ def chunk_documents(
         )
         .withColumn("chunk_chars", F.length("chunk_text"))
     )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email addresses and phone-number-shaped digit runs —
+    the standard pre-training PII pass. Counts are taken on the
+    original text, then the patterns are replaced sequentially.
+    Pure codegen regexp expressions (both patterns are RE2-safe, so
+    the DuckDB oracle uses the identical regexes).
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+def repetition_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality flag: the fraction of word
+    n-grams taken by the single most frequent one. High values mark
+    boilerplate/spam (repeated navigation text, keyword stuffing).
+
+    Two narrow aggregations over the exploded shingles — cost ∝ corpus
+    tokens, shuffles keyed on (doc, shingle) then doc."""
+    from data_pipeline_001_spark.operators.dedup import exploded_shingles
+
+    sh = exploded_shingles(docs, text_col, id_col, shingle_words)
+    per = sh.groupBy("id", "sh").agg(F.count("*").alias("cnt"))
+    return per.groupBy("id").agg(
+        F.sum("cnt").alias("n_shingles"),
+        F.max("cnt").alias("max_shingle_count"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("repetition_ratio"),
+    ).withColumnRenamed("id", "doc_id")

@@ -390,6 +390,75 @@ def dedup_embedding(spark, sf_dir):
 
 
 @query(
+    "text_pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or +1-555-01'
+                  || CAST(doc_id % 100 AS VARCHAR) || '9 today' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(length(regexp_extract_all(t, '\\+?\\d[\\d -]{7,}\\d')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                          '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS scrubbed_text
+    FROM aug
+    """,
+)
+def text_pii_scrub_q(spark, sf_dir):
+    """PII scrubbing pass (email + phone redaction) over documents
+    augmented with synthetic per-doc PII so the scrub is exercised on
+    every row. RE2-safe regexes shared verbatim with the oracle."""
+    from data_pipeline_001_spark.operators.text_analysis import scrub_pii
+
+    t = load_tables(spark, sf_dir)
+    aug = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("9 today"),
+        ).alias("text"),
+    )
+    return scrub_pii(aug)
+
+
+@query(
+    "text_repetition_ratio",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                          for i in range(1, len(tk) - 1)] END) AS sh
+      FROM toks
+    ), c AS (
+      SELECT doc_id, sh, COUNT(*) AS cnt FROM sh GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_shingles,
+           CAST(MAX(cnt) AS BIGINT) AS max_shingle_count,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS repetition_ratio
+    FROM c GROUP BY 1
+    """,
+)
+def text_repetition_q(spark, sf_dir):
+    """Gopher-style repetition flag: max word-trigram frequency share
+    per document (boilerplate/keyword-stuffing detector)."""
+    from data_pipeline_001_spark.operators.text_analysis import repetition_ratio
+
+    t = load_tables(spark, sf_dir)
+    return repetition_ratio(t["documents"])
+
+
+@query(
     "text_chunk_documents",
     """
     WITH base AS (

@@ -223,3 +223,41 @@ def test_chunk_documents_coverage_and_overlap(tables, spark):
         # last chunk reaches the end of the document
         last = chunks[-1]
         assert last["chunk_start"] + last["chunk_chars"] == len(text)
+
+
+def test_scrub_pii_redacts_planted_patterns(spark):
+    from data_pipeline_001_spark.operators.text_analysis import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@corp.example.org thanks"),
+            (2, "call +1-555-123 4567 or 020 7946 0958 now"),
+            (3, "no personal data here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["n_emails"] == 1 and "<EMAIL>" in out[1]["scrubbed_text"]
+    assert "jane.doe" not in out[1]["scrubbed_text"]
+    assert out[2]["n_phones"] == 2
+    assert out[2]["scrubbed_text"].count("<PHONE>") == 2
+    assert not any(ch.isdigit() for ch in out[2]["scrubbed_text"])
+    assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 0
+    assert out[3]["scrubbed_text"] == "no personal data here at all"
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    from data_pipeline_001_spark.operators.text_analysis import repetition_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "click here now " * 20),                      # pure repetition
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_ratio(docs).collect()}
+    assert out[1]["repetition_ratio"] > 0.3  # dominated by one trigram
+    assert out[2]["max_shingle_count"] == 1
+    assert out[2]["repetition_ratio"] == round(1 / out[2]["n_shingles"], 6)
+    assert out[1]["repetition_ratio"] > out[2]["repetition_ratio"]
