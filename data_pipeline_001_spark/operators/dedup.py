@@ -397,3 +397,66 @@ def ngram_jaccard_pairs(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters: (doc_id, cluster_id)
+    where cluster_id = min doc id of the connected component — the
+    step after pair generation that corpus dedup actually needs
+    ("keep one document per near-dup cluster").
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(component
+    diameter) rounds. Near-dup components are overwhelmingly small
+    (dups of one source document), so the loop exits after 2-3 rounds
+    on real corpora; each round is one join + one aggregation, with
+    ``localCheckpoint`` truncating the plan lineage so iteration N
+    doesn't re-execute rounds 1..N-1. For adversarially long chains at
+    extreme scale the same loop structure takes the large-star/
+    small-star optimization (O(log n) rounds); the convergence test
+    (count of changed labels, an action per round on the small label
+    table) is already the hook.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

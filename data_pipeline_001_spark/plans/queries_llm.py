@@ -390,6 +390,46 @@ def dedup_embedding(spark, sf_dir):
 
 
 @query(
+    "dedup_cluster_components",
+    f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct([substr(t, i, 3) for i in range(1, GREATEST(LENGTH(t) - 2, 1) + 1)]) AS grams
+      FROM (SELECT doc_id, lang, {_NORM_SQL} AS t FROM documents)
+    ), edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.62
+    ), sym AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ), reach AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT s.dst, r.label FROM r JOIN sym s ON s.src = r.node
+      ) SELECT node, label FROM r
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1
+    """,
+)
+def dedup_clusters_q(spark, sf_dir):
+    """Near-dup CLUSTERS: min-label connected components over the
+    deterministic n-gram-Jaccard pair set — one (doc_id, cluster_id)
+    row per document that has at least one near-dup. The oracle
+    computes the same components with a recursive CTE (min reachable
+    id)."""
+    from data_pipeline_001_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(t["documents"], n=3, threshold=0.62, block_col="lang")
+    return connected_components(pairs)
+
+
+@query(
     "text_pii_scrub",
     """
     WITH aug AS (

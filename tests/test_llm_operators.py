@@ -261,3 +261,17 @@ def test_repetition_ratio_flags_boilerplate(spark):
     assert out[2]["max_shingle_count"] == 1
     assert out[2]["repetition_ratio"] == round(1 / out[2]["n_shingles"], 6)
     assert out[1]["repetition_ratio"] > out[2]["repetition_ratio"]
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B and B-C pairs (A never directly paired with C) must land in
+    ONE cluster labeled by the min id; disjoint pairs stay separate;
+    multi-hop chains converge."""
+    from data_pipeline_001_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 4), (6, 5), (7, 6)],  # chain 4-5-6-7
+        "id_a long, id_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4, 6: 4, 7: 4}
