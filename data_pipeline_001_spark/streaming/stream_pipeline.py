@@ -225,3 +225,40 @@ class StreamingWindowPipeline:
         if self.checkpoint_dir:
             writer = writer.option("checkpointLocation", self.checkpoint_dir)
         return writer.start()
+
+
+def rollup_maintaining_batch_handler(spark, rollup, bronze_path: str, ts_col: str = "ts"):
+    """foreachBatch handler that keeps a ContinuousRollup current as a
+    stream arrives — the streaming side of the hypertable continuous
+    aggregate (operators/rollup.py).
+
+    Medallion shape: each micro-batch appends raw rows to a bronze
+    parquet table, then the rollup recomputes ONLY the day partitions
+    the batch touched (refresh snaps to whole days) from bronze. Restart
+    safety comes from the day-level recompute: re-appended rows after a
+    replayed batch change bronze, and the next refresh of that day
+    rebuilds the correct aggregate — the rollup never drifts.
+    """
+    from pyspark.sql import functions as F
+
+    def handle(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        bounds = batch_df.agg(
+            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+        ).collect()[0]  # two scalars — bounded
+        if bounds["lo"] is None:
+            batch_df.unpersist()
+            return
+        batch_df.write.mode("append").parquet(bronze_path)
+        batch_df.unpersist()
+        from datetime import timedelta
+
+        # [lo, hi] inclusive → half-open end just past hi (refresh
+        # snaps both bounds outward to whole days anyway)
+        rollup.refresh(
+            spark.read.parquet(bronze_path),
+            bounds["lo"],
+            bounds["hi"] + timedelta(microseconds=1),
+        )
+
+    return handle

@@ -252,3 +252,38 @@ def test_stream_static_dim_enrichment(spark, tables, stream_dir):
     assert out.where(
         (F.col("event_type") == "purchase") & (F.col("category") != "revenue")
     ).count() == 0
+
+
+def test_stream_maintained_rollup_matches_batch(spark, tables, stream_dir, tmp_path):
+    """A file stream drained through the rollup-maintaining
+    foreachBatch handler must leave the continuous aggregate equal to
+    the direct batch aggregation of all events."""
+    from data_pipeline_001_spark.operators.rollup import ContinuousRollup
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        rollup_maintaining_batch_handler,
+    )
+
+    roll = ContinuousRollup(spark, str(tmp_path / "rollup"), grain="1h")
+    handler = rollup_maintaining_batch_handler(
+        spark, roll, str(tmp_path / "bronze")
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(stream_dir)
+    )
+    q = stream.writeStream.foreachBatch(handler).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = {
+        r["bucket_start"]: (r["n_rows"], round(r["sum_value"], 6))
+        for r in roll.read().collect()
+    }
+    direct = {
+        r["b"]: (r["n"], round(r["s"], 6))
+        for r in tables["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == direct
