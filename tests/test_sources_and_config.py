@@ -27,7 +27,7 @@ def csv_dir(tables, tmp_path_factory):
     return d
 
 
-def test_parquet_json_csv_sources_agree(spark, tables, json_dir, csv_dir):
+def test_parquet_json_csv_orc_sources_agree(spark, tables, json_dir, csv_dir, tmp_path_factory):
     from pyspark.sql import types as T
 
     parquet_src = FileSource(spark, "/root/testdata/sf0.001/events.parquet")
@@ -35,11 +35,15 @@ def test_parquet_json_csv_sources_agree(spark, tables, json_dir, csv_dir):
     json_src = FileSource(spark, json_dir, fmt="json", schema=schema)
     csv_schema = T.StructType([f for f in schema.fields if f.name != "props"])
     csv_src = FileSource(spark, csv_dir, fmt="csv", schema=csv_schema)
+    orc_dir = str(tmp_path_factory.mktemp("events_orc"))
+    tables["events"].write.mode("overwrite").orc(orc_dir)
+    orc_src = FileSource(spark, orc_dir, fmt="orc")
 
     n = parquet_src.count(*WINDOW)
     assert n > 0
     assert json_src.count(*WINDOW) == n
     assert csv_src.count(*WINDOW) == n
+    assert orc_src.count(*WINDOW) == n
 
 
 def test_must_exist_filter(spark):
