@@ -240,3 +240,47 @@ def interval_bucket_join(
     return l.join(iv, "_bucket").where(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     ).drop("_bucket")
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    aggs: dict[str, Column],
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant two-phase aggregation for algebraic aggregates
+    (sum/count/min/max): phase 1 aggregates on (group key, salt) so a
+    hot key's rows split across ``salt`` reducers; phase 2 merges the
+    ``salt`` partials per key.
+
+    Spark's partial (map-side) aggregation already bounds most skew;
+    explicit salting is for high-cardinality-VALUE aggregations where
+    one group key dominates entire partitions post-shuffle. ``aggs``
+    maps output name → phase-1 expression; the phase-2 merge re-applies
+    sum for sums/counts and min/max for min/max, keyed off each
+    expression's name, so results are exactly equal to the direct
+    groupBy.
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+    def merger(name: str, expr: Column) -> Column:
+        # the phase-1 expression's top function decides the merge;
+        # str(Column) renders "Column<'sum(x)'>" on classic and Connect
+        head = str(expr).split("'", 1)[-1].split("(", 1)[0].strip().lower()
+        if head not in merge_fn:
+            raise ValueError(
+                f"salted_agg supports algebraic aggregates (sum/count/min/max); "
+                f"got {head!r} for {name!r}"
+            )
+        return merge_fn[head](name).alias(name)
+
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int"),
+    )
+    phase1 = salted.groupBy(*group_cols, "_salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    return phase1.groupBy(*group_cols).agg(
+        *[merger(name, expr) for name, expr in aggs.items()]
+    )

@@ -241,3 +241,43 @@ def date_arithmetic(spark, sf_dir):
             F.quarter("o_orderdate").alias("order_quarter"),
         )
     )
+
+
+@query(
+    "agg_salted_skew",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_salted(spark, sf_dir):
+    """Skew-resistant two-phase aggregation (operators/relational.
+    salted_agg): 3 group keys over the whole fact table is the
+    pathological skew shape — phase 1 splits each hot key across 8
+    salts, phase 2 merges. Result exactly equals the direct groupBy
+    (the oracle)."""
+    from data_pipeline_001_spark.operators.relational import salted_agg
+
+    t = load_tables(spark, sf_dir)
+    out = salted_agg(
+        t["lineitem"],
+        ("l_returnflag",),
+        {
+            "n": F.count("*"),
+            "sum_qty": F.sum("l_quantity"),
+            "min_price": F.min("l_extendedprice"),
+            "max_price": F.max("l_extendedprice"),
+        },
+        salt=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )

@@ -76,3 +76,25 @@ def test_stateful_streaming_accumulates(spark, tables, tmp_path):
         n, s = got[r["user_id"]]
         assert n == r["n"]
         assert abs(s - r["s"]) < 1e-6
+
+
+def test_salted_agg_matches_plain_and_rejects_nonalgebraic(spark, tables):
+    from data_pipeline_001_spark.operators.relational import salted_agg
+
+    li = tables["lineitem"]
+    plain = {
+        r["l_returnflag"]: (r["n"], round(r["s"], 4))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["n"], round(r["s"], 4))
+        for r in salted_agg(
+            li, ("l_returnflag",), {"n": F.count("*"), "s": F.sum("l_quantity")}
+        ).collect()
+    }
+    assert salted == plain
+
+    with pytest.raises(ValueError, match="algebraic"):
+        salted_agg(li, ("l_returnflag",), {"a": F.avg("l_quantity")}).collect()
