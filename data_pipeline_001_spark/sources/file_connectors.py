@@ -39,11 +39,19 @@ def window_dir_name(start: datetime) -> str:
 
 
 class FileSource(Source):
-    """Parquet/JSON/CSV directory source with window predicates.
+    """Parquet/JSON/CSV/ORC directory source with window predicates.
 
     ``must_exist`` / ``exclude_null`` filter fields mirror the ES
     query options (elasticsearch_counter.py:124-131) — both collapse
     to ``isNotNull`` in a relational engine (P2/P3).
+
+    ``quarantine_path`` (text formats only): malformed records are
+    read PERMISSIVE into ``_corrupt_record``, appended to the
+    quarantine directory as JSON, and EXCLUDED from extract/count —
+    one bad line degrades to a quarantined row instead of failing the
+    window or silently nulling fields. The declared ``schema`` is
+    required for quarantine (Spark only populates the corrupt column
+    with an explicit schema).
     """
 
     def __init__(
@@ -55,6 +63,7 @@ class FileSource(Source):
         must_exist: tuple[str, ...] = (),
         exclude_null: tuple[str, ...] = (),
         schema=None,
+        quarantine_path: str | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -63,15 +72,42 @@ class FileSource(Source):
         self.must_exist = must_exist
         self.exclude_null = exclude_null
         self.schema = schema
+        self.quarantine_path = quarantine_path
+        if quarantine_path is not None:
+            if fmt not in ("json", "csv"):
+                raise ValueError("quarantine_path requires a text format (json/csv)")
+            if schema is None:
+                raise ValueError("quarantine_path requires an explicit schema")
 
     def _read(self) -> DataFrame:
         from pyspark.sql import types as T
 
         reader = self.spark.read
-        if self.schema is not None:
-            reader = reader.schema(self.schema)
+        schema = self.schema
+        if self.quarantine_path is not None:
+            schema = T.StructType(
+                [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+            )
+            reader = reader.option("mode", "PERMISSIVE").option(
+                "columnNameOfCorruptRecord", "_corrupt_record"
+            )
+        if schema is not None:
+            reader = reader.schema(schema)
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = reader.format(self.fmt).load(self.path)
+        if self.quarantine_path is not None:
+            # cache so the split doesn't parse the files twice; keep
+            # every column in the quarantine write — Spark forbids
+            # queries whose only referenced column is _corrupt_record
+            # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and JSON output drops
+            # the all-null data fields of corrupt rows anyway
+            df = df.cache()
+            # rename on write: a JSON file whose only field is the
+            # reserved _corrupt_record name can't itself be read back
+            df.where(F.col("_corrupt_record").isNotNull()).withColumnRenamed(
+                "_corrupt_record", "corrupt_record"
+            ).write.mode("append").json(self.quarantine_path)
+            df = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
         # TIMESTAMP(NANOS) parquet columns arrive as long under
         # nanosAsLong — convert to µs timestamps (integer division)
         if isinstance(df.schema[self.ts_col].dataType, T.LongType):

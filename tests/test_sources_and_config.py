@@ -4,6 +4,7 @@ layered-config merge (hanlder_script.py:117-194 semantics)."""
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_pipeline_001_spark.plans.pipeline import PipelineConfig
 from data_pipeline_001_spark.sources.file_connectors import FileSource
@@ -110,3 +111,42 @@ def test_ivf_recall(tables):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_json_source_quarantines_malformed_records(spark, tables, tmp_path):
+    """A malformed line must land in the quarantine dir and be excluded
+    from count/extract; valid rows are unaffected."""
+    from pyspark.sql import types as T
+
+    import json as jsonlib
+    import os
+
+    d = str(tmp_path / "dirty_json")
+    os.makedirs(d)
+    rows = (
+        tables["events"].where(F.col("event_id") < 100).drop("props").collect()
+    )
+    with open(os.path.join(d, "data.json"), "w") as fh:
+        for r in rows:
+            rec = r.asDict()
+            rec["ts"] = rec["ts"].isoformat()
+            fh.write(jsonlib.dumps(rec) + "\n")
+        fh.write('{"event_id": 999999, "ts": BROKEN\n{not json at all}\n')
+
+    schema = T.StructType(
+        [f for f in tables["events"].schema.fields if f.name != "props"]
+    )
+    clean_src = FileSource(
+        spark, d, fmt="json", schema=schema, quarantine_path=str(tmp_path / "quar")
+    )
+    n_valid = clean_src.count(*WINDOW)
+    expected = (
+        tables["events"]
+        .where(F.col("event_id") < 100)
+        .where((F.col("ts") >= F.lit(WINDOW[0])) & (F.col("ts") < F.lit(WINDOW[1])))
+        .count()
+    )
+    assert n_valid == expected
+    quarantined = spark.read.json(str(tmp_path / "quar")).collect()
+    assert len(quarantined) == 2
+    assert any("BROKEN" in r["corrupt_record"] for r in quarantined)
