@@ -107,25 +107,36 @@ def winnowing_fingerprints(
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: argmax stopword-hit ratio across the
-    small built-in stopword tables; 'und' when nothing hits."""
-    t = F.col(text_col)
+def best_language(text):
+    """struct(score, lang) with the argmax stopword-hit ratio: array_max
+    over (score, lang) structs compares lexicographically, so ties break
+    to the alphabetically-last language — mirrored in the SQL oracles."""
     scores = F.array(
         *[
             F.struct(
-                F.round(TX.stopword_ratio(t, lang), 6).alias("score"),
+                F.round(TX.stopword_ratio(text, lang), 6).alias("score"),
                 F.lit(lang).alias("lang"),
             )
             for lang in sorted(TX.STOPWORDS)
         ]
     )
-    best = F.array_max(scores)
+    return F.array_max(scores)
+
+
+def predicted_language(text):
+    """Language code column: argmax stopword ratio, 'und' on zero hits."""
+    best = best_language(text)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax stopword-hit ratio across the
+    small built-in stopword tables; 'und' when nothing hits."""
+    t = F.col(text_col)
+    best = best_language(t)
     return docs.select(
         "doc_id",
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
-            "predicted_lang"
-        ),
+        predicted_language(t).alias("predicted_lang"),
         best["score"].alias("lang_score"),
     )
 

@@ -74,6 +74,83 @@ def pack_sequences(spark, sf_dir):
     return pack_documents(docs, budget=512, n_buckets=16)
 
 
+def _end_to_end_oracle() -> str:
+    """Compose the curation-pipeline oracle from the same SQL fragments
+    the individual stage oracles use (queries_llm.QUALITY_SQL/_RATIO),
+    so stage and pipeline oracles can't drift apart."""
+    from data_pipeline_001_spark.plans.queries_llm import _NORM_SQL, _RATIO, QUALITY_SQL
+
+    return f"""
+    WITH enriched AS (
+      SELECT doc_id, n_chars,
+             md5({_NORM_SQL}) AS fp,
+             {QUALITY_SQL} AS quality,
+             {_RATIO['de']} AS r_de, {_RATIO['en']} AS r_en,
+             {_RATIO['es']} AS r_es, {_RATIO['fr']} AS r_fr
+      FROM documents),
+    labeled AS (
+      SELECT doc_id, n_chars, quality,
+             CASE WHEN GREATEST(r_de, r_en, r_es, r_fr) = 0 THEN 'und'
+                  WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
+                  WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+                  WHEN r_en >= r_de THEN 'en'
+                  ELSE 'de' END AS predicted_lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{TRAIN_PREFIX_MAX}'
+                  THEN 'train' ELSE 'holdout' END AS split,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM enriched)
+    SELECT predicted_lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(quality), 6) AS avg_quality
+    FROM labeled
+    WHERE rn = 1 AND quality >= 0.3
+    GROUP BY predicted_lang, split
+    """
+
+
+@query("curation_end_to_end", _end_to_end_oracle())
+def curation_end_to_end(spark, sf_dir):
+    """The whole curation pipeline as ONE lazy plan: exact dedup
+    (min-id survivor per fingerprint) → quality gate (>= 0.3) →
+    heuristic language ID → deterministic train/holdout split →
+    dataset-card rollup per (predicted_lang, split).
+
+    Plan shape: a single scan computes fingerprint, quality, language,
+    and split as column expressions; one shuffle for the dedup window
+    (keyed on fingerprint), one for the final aggregate. Filters sit
+    below the window so pruned copies never reach the rollup. At
+    100 TB this is scan + 2 narrow-key exchanges — no joins, no UDFs,
+    no driver collection.
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_001_spark.functions import text as TX
+    from data_pipeline_001_spark.operators.text_analysis import predicted_language
+
+    t = load_tables(spark, sf_dir)
+    tcol = F.col("text")
+    enriched = t["documents"].select(
+        "doc_id",
+        "n_chars",
+        TX.fingerprint(tcol).alias("fp"),
+        TX.quality_score(tcol).alias("quality"),
+        predicted_language(tcol).alias("predicted_lang"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        with_split(enriched)
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("quality") >= 0.3))
+        .groupBy("predicted_lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
+
+
 @query("curation_stratified_sample")  # seeded RNG — rows-only check
 def stratified_sample(spark, sf_dir):
     """Per-language stratified sample (`sampleBy`): equalize language

@@ -107,11 +107,10 @@ def text_langid(spark, sf_dir):
     return language_id(t["documents"])
 
 
-@query(
-    "text_quality_scores",
-    """
-    SELECT doc_id, lang,
-           ROUND(GREATEST(LEAST(
+# DuckDB twin of functions.text.quality_score — shared by the per-doc
+# quality query and the end-to-end curation oracle (queries_curation).
+QUALITY_SQL = """
+    ROUND(GREATEST(LEAST(
              0.5 * LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
              + 0.5 * (CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                        t -> t IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE)
@@ -120,7 +119,14 @@ def text_langid(spark, sf_dir):
                 / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0))
              - ((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
                 / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0)),
-           1.0), 0.0), 6) AS quality
+           1.0), 0.0), 6)
+"""
+
+
+@query(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id, lang, {QUALITY_SQL} AS quality
     FROM documents
     """,
 )

@@ -46,6 +46,24 @@ def test_stratified_sample_is_subset(spark):
     )
 
 
+def test_end_to_end_dedups_and_gates_quality(spark):
+    """Planted exact duplicate is counted once; junk text never reaches
+    the rollup; the plan stays join-free (scan + window + agg)."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["curation_end_to_end"](spark, SF)
+    base = {
+        (r["predicted_lang"], r["split"]): (r["n_docs"], r["total_chars"])
+        for r in out.collect()
+    }
+    assert sum(n for n, _ in base.values()) > 0
+    # every surviving doc passed the gate: avg_quality respects it
+    assert all(r["avg_quality"] >= 0.3 for r in out.collect())
+    # join-free single-scan plan: no SortMergeJoin/BroadcastHashJoin
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
 class TestPacking:
     BUDGET = 100
 
