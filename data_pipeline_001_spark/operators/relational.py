@@ -284,3 +284,42 @@ def salted_agg(
     return phase1.groupBy(*group_cols).agg(
         *[merger(name, expr) for name, expr in aggs.items()]
     )
+
+
+def scd2_from_changelog(
+    log: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    attr_cols: tuple[str, ...],
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change log:
+    one versioned row per (key, attribute-state run), with
+    ``valid_from`` / ``valid_to`` half-open intervals and an
+    ``is_current`` flag on the open tail version.
+
+    Two ordered windows over the key: the first drops rows whose
+    tracked attributes equal the previous row's (null-safe), the
+    second closes each surviving version with the next version's
+    start. Both windows shuffle once on the dimension key — high
+    cardinality, no skew — and nothing is collected. ``seq_col``
+    breaks ordering ties when multiple changes share a timestamp.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(seq_col).asc()] if seq_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lag(ts_col).over(w).isNull()
+    for a in attr_cols:
+        changed = changed | ~F.lag(a).over(w).eqNullSafe(F.col(a))
+    versions = log.withColumn("_chg", changed).where(F.col("_chg")).drop("_chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    valid_to = F.lead(ts_col).over(w2)
+    return versions.select(
+        *key_cols,
+        *attr_cols,
+        *((seq_col,) if seq_col else ()),
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -170,3 +170,39 @@ def top_k_per_group(
     """Generic ranked top-k per group (engine surface beyond the reference)."""
     w = Window.partitionBy(*partition_cols).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def top_k_per_group_salted(
+    df: DataFrame,
+    partition_cols: tuple[str, ...],
+    order_by: list[Column],
+    k: int,
+    salt_on: Column,
+    n_salts: int = 32,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Exact top-k per group when the groups are FEW and HUGE.
+
+    ``top_k_per_group``'s single window puts each group in one task —
+    with 5 strata over 100 TB that is 5 straggler tasks sorting
+    terabytes. Two phases fix it: phase 1 ranks within (group, salt)
+    so every salt slice keeps its own top k in parallel; the union of
+    those candidates (≤ k·n_salts per group, tiny) provably contains
+    the true per-group top k, which phase 2 ranks exactly. Same
+    partial-then-final shape as the salted aggregation in
+    ``plans.queries_agg2.agg_salted_skew``.
+
+    ``salt_on`` must be a deterministic column (an id, not rand()) so
+    reruns produce identical plans and results.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.hash(salt_on), F.lit(n_salts)))
+    w1 = Window.partitionBy(*partition_cols, "_salt").orderBy(*order_by)
+    candidates = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order_by)
+    return candidates.withColumn(rank_col, F.row_number().over(w2)).where(
+        F.col(rank_col) <= k
+    )

@@ -879,3 +879,49 @@ def sort_topk(spark, sf_dir):
         )
         .limit(25)
     )
+
+
+# =====================================================================
+# G. Temporal versioning (engine surface beyond the reference)
+# =====================================================================
+
+@query(
+    "scd2_customer_priority",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             LAG(o_orderdate) OVER w AS prev_ts,
+             LAG(o_orderpriority) OVER w AS prev_attr
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    versions AS (
+      SELECT o_custkey, o_orderpriority, o_orderkey, o_orderdate
+      FROM ordered
+      WHERE prev_ts IS NULL OR prev_attr IS DISTINCT FROM o_orderpriority)
+    SELECT o_custkey, o_orderpriority, o_orderkey,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w2 AS valid_to,
+           LEAD(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM versions
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_customer_priority_q(spark, sf_dir):
+    """Type-2 SCD from a change log: each customer's order-priority
+    history collapsed into versioned [valid_from, valid_to) intervals
+    with an open current version — the standard warehouse dimension-
+    versioning op (operators/relational.scd2_from_changelog). One
+    shuffle on the high-cardinality customer key; no skew, no joins.
+    """
+    from data_pipeline_001_spark.operators.relational import scd2_from_changelog
+
+    t = load_tables(spark, sf_dir)
+    return scd2_from_changelog(
+        t["orders"].select(
+            "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+        ),
+        key_cols=("o_custkey",),
+        ts_col="o_orderdate",
+        attr_cols=("o_orderpriority",),
+        seq_col="o_orderkey",
+    )

@@ -151,6 +151,44 @@ def curation_end_to_end(spark, sf_dir):
     )
 
 
+@query(
+    "curation_sample_per_stratum",
+    """
+    SELECT lang, doc_id, source, rn FROM (
+      SELECT lang, doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 30
+    """,
+)
+def sample_per_stratum(spark, sf_dir):
+    """Exactly-k-per-language deterministic sample: rank docs inside
+    each stratum by md5(doc_id) — a pseudo-random but reproducible
+    order — and keep the first 30. Complements `sampleBy` (Bernoulli,
+    size-variant): this gives exact stratum sizes and append-stable
+    membership for docs that stay in the corpus.
+
+    Languages are FEW and HUGE at scale, so the naive single window
+    per lang would be a straggler; the salted two-phase top-k keeps
+    the heavy ranking parallel (32 slices per stratum) and only ranks
+    k·32 candidate rows per language exactly.
+    """
+    from data_pipeline_001_spark.operators.windows import top_k_per_group_salted
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "lang", "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    return top_k_per_group_salted(
+        docs,
+        ("lang",),
+        [F.col("_h").asc(), F.col("doc_id").asc()],
+        k=30,
+        salt_on=F.col("doc_id"),
+    ).drop("_h")
+
+
 @query("curation_stratified_sample")  # seeded RNG — rows-only check
 def stratified_sample(spark, sf_dir):
     """Per-language stratified sample (`sampleBy`): equalize language

@@ -89,3 +89,34 @@ def test_range_join_buckets(spark):
     counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
     assert counts[datetime(2024, 1, 1, 0)] == 1
     assert counts[datetime(2024, 1, 1, 1)] == 2
+
+
+def test_scd2_versions_are_contiguous_and_collapse_runs(spark):
+    from data_pipeline_001_spark.operators.relational import scd2_from_changelog
+
+    log = spark.createDataFrame(
+        [   # key, ts, seq, attr — runs: A,A -> B -> B,A? no: A A B B A
+            (1, "2024-01-01", 1, "A"),
+            (1, "2024-01-02", 2, "A"),
+            (1, "2024-01-03", 3, "B"),
+            (1, "2024-01-04", 4, "B"),
+            (1, "2024-01-05", 5, "A"),
+            (2, "2024-01-01", 6, None),
+            (2, "2024-01-02", 7, "X"),
+        ],
+        "k long, ts string, seq long, attr string",
+    ).select("k", F.to_date("ts").alias("ts"), "seq", "attr")
+    out = scd2_from_changelog(
+        log, ("k",), "ts", ("attr",), seq_col="seq"
+    ).orderBy("k", "valid_from").collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    # runs collapsed: key 1 has A,B,A; key 2 has None,X (null-safe change)
+    assert [r["attr"] for r in by_key[1]] == ["A", "B", "A"]
+    assert [r["attr"] for r in by_key[2]] == [None, "X"]
+    for rows in by_key.values():
+        # intervals chain: each valid_to is the next valid_from; one open tail
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"] and not a["is_current"]
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None

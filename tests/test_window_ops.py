@@ -132,3 +132,22 @@ def test_approx_quartiles_agree_with_exact_ntile(spark):
     assert set(sizes) == {1, 2, 3, 4}
     for q in (1, 2, 3, 4):
         assert sizes[q] <= n / 2
+
+
+def test_salted_topk_equals_plain_topk(spark):
+    """The two-phase salted top-k must return exactly the same rows as
+    the single-window form — salting only changes the plan shape."""
+    from data_pipeline_001_spark.operators.windows import (
+        top_k_per_group,
+        top_k_per_group_salted,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    order = [F.col("h").asc(), F.col("doc_id").asc()]
+    plain = top_k_per_group(docs, ("lang",), order, k=7)
+    salted = top_k_per_group_salted(
+        docs, ("lang",), order, k=7, salt_on=F.col("doc_id"), n_salts=5
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
