@@ -206,3 +206,48 @@ def top_k_per_group_salted(
     return candidates.withColumn(rank_col, F.row_number().over(w2)).where(
         F.col(rank_col) <= k
     )
+
+
+def es_sample_key(id_col: Column, weight: Column) -> Column:
+    """Efraimidis–Spirakis weighted-sampling key: rank rows by
+    u^(1/w) descending — equivalently ln(u)/w, monotone and better
+    conditioned — where u is a hash-derived uniform in (0,1), NOT a
+    RNG, so the sample is deterministic and append-stable the same
+    way the md5-prefix train/holdout split is.
+
+    u = first 48 md5 bits of the row id / 2^48: bit-identical in any
+    engine that has md5 (the DuckDB oracle reproduces it exactly).
+    Weights clamp to >= 1e-6 so zero-quality rows sort last instead
+    of dividing by zero; u clamps away from 0 for ln().
+    """
+    u = F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 12), 16, 10
+    ).cast("double") / F.lit(float(16**12))
+    return F.log(F.greatest(u, F.lit(1e-15))) / F.greatest(weight, F.lit(1e-6))
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    partition_cols: tuple[str, ...],
+    k: int,
+    weight: Column,
+    id_col: str,
+    n_salts: int = 32,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group: the A-ES
+    one-pass scheme (Efraimidis & Spirakis 2006) — keep the k largest
+    ``es_sample_key`` rows per group; inclusion probability tracks
+    weight mass. Ranking runs through the salted two-phase top-k, so
+    few-huge-strata corpora sample in parallel rather than one task
+    per stratum."""
+    key = es_sample_key(F.col(id_col), weight)
+    return top_k_per_group_salted(
+        df,
+        partition_cols,
+        [key.desc(), F.col(id_col).asc()],
+        k=k,
+        salt_on=F.col(id_col),
+        n_salts=n_salts,
+        rank_col=rank_col,
+    )

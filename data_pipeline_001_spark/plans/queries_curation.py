@@ -189,6 +189,46 @@ def sample_per_stratum(spark, sf_dir):
     ).drop("_h")
 
 
+def _weighted_sample_oracle() -> str:
+    from data_pipeline_001_spark.plans.queries_llm import QUALITY_SQL
+
+    return f"""
+    WITH scored AS (
+      SELECT lang, doc_id, {QUALITY_SQL} AS quality FROM documents),
+    keyed AS (
+      SELECT lang, doc_id, quality,
+             LN(GREATEST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+                         / POWER(16, 12), 1e-15))
+               / GREATEST(quality, 0.000001) AS es_key
+      FROM scored)
+    SELECT lang, doc_id, quality, rn FROM (
+      SELECT lang, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rn
+      FROM keyed) t
+    WHERE rn <= 40
+    """
+
+
+@query("curation_weighted_sample", _weighted_sample_oracle())
+def weighted_sample(spark, sf_dir):
+    """Quality-weighted sample without replacement, 40 docs per
+    language: A-ES keys (deterministic hash-uniform, weight = quality
+    score) ranked through the salted two-phase top-k. High-quality
+    docs are proportionally more likely to survive; reruns and corpus
+    appends never reshuffle the kept set's keys."""
+    from data_pipeline_001_spark.functions import text as TX
+    from data_pipeline_001_spark.operators.windows import weighted_sample_per_group
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "lang", "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return weighted_sample_per_group(
+        docs, ("lang",), k=40, weight=F.col("quality"), id_col="doc_id"
+    )
+
+
 @query("curation_stratified_sample")  # seeded RNG — rows-only check
 def stratified_sample(spark, sf_dir):
     """Per-language stratified sample (`sampleBy`): equalize language

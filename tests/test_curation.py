@@ -110,3 +110,30 @@ class TestPacking:
         row = pack_utilization(packed, self.BUDGET).first()
         assert row["n_packs"] > 0
         assert 0 < row["mean_fill"] <= 1.5  # singletons may exceed 1.0
+
+
+def test_weighted_sample_prefers_high_quality(spark, docs):
+    """A-ES with weight=quality must overrepresent high-quality docs
+    relative to a uniform draw, be exactly-k (or stratum size), and be
+    deterministic across invocations."""
+    from data_pipeline_001_spark.functions import text as TX
+    from data_pipeline_001_spark.operators.windows import weighted_sample_per_group
+
+    scored = docs.select(
+        "lang", "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    out = weighted_sample_per_group(
+        scored, ("lang",), k=20, weight=F.col("quality"), id_col="doc_id"
+    ).cache()
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    strata = {r["lang"]: r["n"] for r in scored.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == min(20, strata[lang]) for lang, n in sizes.items())
+    mean_sample = out.agg(F.avg("quality")).first()[0]
+    mean_all = scored.agg(F.avg("quality")).first()[0]
+    assert mean_sample > mean_all
+    again = weighted_sample_per_group(
+        scored, ("lang",), k=20, weight=F.col("quality"), id_col="doc_id"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
