@@ -168,13 +168,14 @@ def lsh_topk(
 def embedding_near_dup_lsh(
     corpus: DataFrame,
     threshold: float = 0.4,
-    bits: int = 4,
+    bits: int | None = None,
     tables: int = 16,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket_size: int = 500,
+    target_bucket_size: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, cosine >= threshold) via
     multi-table hyperplane-LSH bucketing + exact cosine verify — the
@@ -191,8 +192,25 @@ def embedding_near_dup_lsh(
     volume. Oversized buckets (near-isotropic regions) are dropped
     before the join — a true near-dup pair collides in several tables,
     so a single dropped bucket rarely loses it.
+
+    ``bits=None`` (the registered-query default) derives the bucket
+    count from the corpus size so average bucket ≈
+    ``target_bucket_size``: bits = log2(n / target). Fixed bits do NOT
+    survive corpus growth — at 10× the data every bucket is 10× the
+    rows, the Σ bucket² join turns quadratic, and once buckets blow
+    past ``max_bucket_size`` they get dropped wholesale (recall
+    collapse). Auto-bits keeps candidate volume ≈ n·target·tables/2 —
+    linear in n — at the cost of per-table recall on low-cosine pairs;
+    genuine near-dups (cosine ≥ ~0.8) keep multi-table recall high.
+    The one extra count() job is a metadata-only scan on parquet.
     """
+    import math
+
     from data_pipeline_001_spark.functions.vectors import random_projection_signature
+
+    if bits is None:
+        n = corpus.count()
+        bits = max(4, min(16, math.ceil(math.log2(max(n, 2) / target_bucket_size))))
 
     parts = []
     for t in range(tables):

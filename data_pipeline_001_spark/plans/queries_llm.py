@@ -536,12 +536,14 @@ def dedup_embedding_lsh_q(spark, sf_dir):
     hyperplane-LSH candidate buckets → exact cosine verify. Cost is
     Σ bucket² (skew-capped), not corpus²; precision 1.0 against the
     exact twin `dedup_embedding_cosine`, recall bounded in
-    tests/test_llm_operators.py::test_embedding_lsh_recall_vs_exact."""
+    tests/test_llm_operators.py::test_embedding_lsh_recall_vs_exact.
+    bits auto-scale with corpus size (bits=None) so candidate volume
+    stays linear in n at any sf."""
     from data_pipeline_001_spark.operators.similarity import embedding_near_dup_lsh
 
     t = load_tables(spark, sf_dir)
     return embedding_near_dup_lsh(
-        t["embeddings"], threshold=0.4, bits=4, tables=16, dim=64
+        t["embeddings"], threshold=0.4, bits=None, tables=16, dim=64
     )
 
 
