@@ -212,6 +212,11 @@ def embedding_near_dup_lsh(
         n = corpus.count()
         bits = max(4, min(16, math.ceil(math.log2(max(n, 2) / target_bucket_size))))
 
+    # one small projection per table, unioned — NOT a single scan with
+    # an exploded array of all tables' signatures: measured 4x slower
+    # that way (16 tables x bits x 64-dim dot in one projection is a
+    # giant expression tree that falls out of whole-stage codegen,
+    # same pathology as unrolling the dot product)
     parts = []
     for t in range(tables):
         planes = _hyperplanes(dim, bits, seed + 1000 * t)
