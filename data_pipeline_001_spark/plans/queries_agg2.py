@@ -281,3 +281,103 @@ def agg_salted(spark, sf_dir):
         F.round("min_price", 2).alias("min_price"),
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+@query(
+    "agg_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id)
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-seen day,
+    distinct-active counts per (cohort, day offset) — the standard
+    product-analytics rollup.
+
+    Scale shape: the first-seen aggregate and the enrichment join both
+    key on user_id, so the join is co-partitioned off one shuffle (AQE
+    reuses the exchange); the final aggregate shuffles on the tiny
+    (cohort, offset) key with a partial distinct underneath. No
+    broadcast needed, no skew (user_id is high-cardinality-uniform).
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "window_funnel_steps",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id),
+    staged AS (
+      SELECT user_id,
+             CASE
+               WHEN t_view IS NULL THEN 0
+               WHEN t_click IS NULL OR t_click < t_view THEN 1
+               WHEN t_signup IS NULL OR t_signup < t_click THEN 2
+               WHEN t_purchase IS NULL OR t_purchase < t_signup THEN 3
+               ELSE 4
+             END AS funnel_stage
+      FROM per_user)
+    SELECT funnel_stage, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM staged GROUP BY funnel_stage
+    """,
+)
+def funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel (view → click → signup → purchase):
+    a user sits at stage k when the first occurrences of the first k
+    steps happen in order and step k+1 is missing or out of order.
+
+    One shuffle total: conditional MIN aggregates collapse each user's
+    history in a single groupBy (map-side partials do the heavy
+    lifting); the stage CASE and final count are narrow. This is the
+    funnel shape that survives 100 TB — no per-user sort, no window,
+    no self-join per step.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_type", "ts")
+    mins = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in ("view", "click", "signup", "purchase")
+        ]
+    )
+    stage = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(F.col("t_click").isNull() | (F.col("t_click") < F.col("t_view")), 1)
+        .when(F.col("t_signup").isNull() | (F.col("t_signup") < F.col("t_click")), 2)
+        .when(
+            F.col("t_purchase").isNull() | (F.col("t_purchase") < F.col("t_signup")), 3
+        )
+        .otherwise(4)
+    )
+    return (
+        mins.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_users"))
+    )
