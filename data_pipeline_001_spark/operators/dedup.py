@@ -422,10 +422,15 @@ def connected_components(
     (count of changed labels, an action per round on the small label
     table) is already the hook.
     """
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # materialize the edge set ONCE: pairs is typically an expensive
+    # near-dup join (LSH verify / blocked Jaccard), and without this
+    # checkpoint every propagation round would re-execute it from scan
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()

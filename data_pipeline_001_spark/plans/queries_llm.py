@@ -435,6 +435,26 @@ def dedup_clusters_q(spark, sf_dir):
     return connected_components(pairs)
 
 
+@query("dedup_cluster_components_lsh")  # approximate pair source — rows-only
+def dedup_clusters_lsh_q(spark, sf_dir):
+    """SCALE-PATH near-dup clusters: the same min-label propagation,
+    sourced from MinHash-LSH verified pairs instead of the blocked
+    n-gram Jaccard self-join. The lang-blocked Jaccard twin above is
+    oracle-exact but quadratic per block (10k-doc blocks at sf1 are
+    already 50M-pair joins); the LSH source keeps pair generation
+    ~linear in corpus size, so this is the registered form a 100 TB
+    corpus dedup would run. Cluster membership agreement with the
+    exact twin is bounded in tests/test_llm_operators.py."""
+    from data_pipeline_001_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(t["documents"])
+    return connected_components(pairs)
+
+
 @query(
     "text_pii_scrub",
     """

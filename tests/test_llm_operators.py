@@ -275,3 +275,23 @@ def test_connected_components_transitive_chain(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4, 6: 4, 7: 4}
+
+
+def test_cluster_components_lsh_recovers_planted_clusters(planted_docs):
+    """The LSH-sourced scale path must recover the planted components:
+    {1,2,3,4} (exact + near dups of base) and {5,6} (exact dups)."""
+    from data_pipeline_001_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        planted_docs, num_hashes=32, bands=8, jaccard_threshold=0.3
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert {got[d] for d in (1, 2, 3, 4) if d in got} == {1}
+    assert got[5] == got[6] == 5
+    # both planted components found, min-id labeling, disjoint
+    assert set(got.values()) == {1, 5}

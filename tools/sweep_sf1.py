@@ -25,15 +25,30 @@ def main() -> None:
     spark = get_spark(app_name="sweep", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     qs = mod.queries()
-    # the exact-pairwise oracle twin is deliberately quadratic; at the
-    # replicated sf1 (20k embeddings -> 200M pairs) it dominates the
-    # sweep, and its scale path is dedup_embedding_lsh (swept below)
-    skip = {"dedup_embedding_cosine"}
+    # the exact oracle twins are deliberately quadratic (documented
+    # small-sf baselines); at the replicated sf1 each would dominate
+    # the sweep. Their scale paths (dedup_embedding_lsh,
+    # dedup_cluster_components_lsh, dedup_minhash_lsh) ARE swept.
+    skip = {
+        "dedup_embedding_cosine",
+        "dedup_cluster_components",
+        "ngram_jaccard_pairs",
+    }
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # resume: skip anything already recorded in a previous partial run
+    try:
+        with open(out) as f:
+            prev = json.load(f)
+        times.update(prev.get("times", {}))
+        skip |= set(times)
+        print(f"resuming past {len(times)} recorded queries", flush=True)
+    except (OSError, ValueError):
+        pass
     for name, fn in qs.items():
         if name in skip:
-            print(f"    skip  {name} (quadratic oracle twin)", flush=True)
+            if name not in times:
+                print(f"    skip  {name} (quadratic oracle twin)", flush=True)
             continue
         t0 = time.time()
         try:
@@ -44,6 +59,8 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — sweep must survive one bad query
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             print(f"   ERROR  {name}: {errors[name][:120]}", flush=True)
+        with open(out, "w") as f:
+            json.dump({"times": times, "errors": errors}, f, indent=1, sort_keys=True)
     ranked = sorted(times.items(), key=lambda kv: -kv[1])
     print("\n=== slowest 15 ===")
     for name, t in ranked[:15]:
