@@ -18,6 +18,7 @@ def _registry():
     from data_pipeline_001_spark.plans import queries as base
     from data_pipeline_001_spark.plans import queries_agg2  # noqa: F401
     from data_pipeline_001_spark.plans import queries_curation  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_curation2  # noqa: F401
     from data_pipeline_001_spark.plans import queries_llm  # noqa: F401
     from data_pipeline_001_spark.plans import queries_scalar  # noqa: F401
     from data_pipeline_001_spark.plans import queries_tpch2  # noqa: F401

@@ -465,3 +465,37 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def dedup_incremental(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: admit only NEW-batch documents whose
+    normalized-text fingerprint (a) is unique within the batch (min id
+    survives) and (b) does not already exist in the corpus.
+
+    This is the steady-state shape of a production ingest: the corpus
+    is the 100 TB accumulated side, the batch is the small daily
+    delta. Within-batch dedup shuffles only the batch; the
+    batch-vs-corpus check is a LEFT ANTI join keyed on the 32-char
+    fingerprint — Spark shuffles both sides on fp, but the corpus side
+    is a 1-column projection pushed to the parquet scan, and AQE
+    converts the probe to broadcast when the surviving batch is small.
+
+    Returns (fp, keep_id, n_in_batch) for each admitted document.
+    """
+    batch_min = (
+        new_batch.select(
+            fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_in_batch"),
+        )
+    )
+    corpus_fps = corpus.select(fingerprint(F.col(text_col)).alias("fp"))
+    return batch_min.join(corpus_fps, "fp", "left_anti")

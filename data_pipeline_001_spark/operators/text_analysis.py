@@ -5,7 +5,7 @@ thin compositions of ``functions.text`` column expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_001_spark.functions import text as TX
@@ -232,3 +232,68 @@ def repetition_ratio(
         F.max("cnt").alias("max_shingle_count"),
         F.round(F.max("cnt") / F.sum("cnt"), 6).alias("repetition_ratio"),
     ).withColumnRenamed("id", "doc_id")
+
+
+def word_ngram_array(text: Column, n: int) -> Column:
+    """array<string> of word ``n``-grams over the normalized text
+    (space-joined windows of the whitespace-split words). Empty array
+    when the document has fewer than ``n`` words — guarded explicitly
+    because Spark's ``sequence(1, 0)`` would otherwise produce a
+    *descending* [1, 0] sequence, not an empty one."""
+    words = F.split(TX.normalize_text(text), " ")
+    starts = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with the benchmark/eval set (the GPT-3/Llama
+    training-hygiene check; reference has no analogue — §2.13
+    extension).
+
+    Scale shape: the benchmark side is small (eval suites are MBs
+    against a multi-TB corpus), so its distinct gram set is
+    broadcast; the corpus side streams map-side through the hash join
+    with NO shuffle of corpus grams. Per-doc hit counts then shuffle
+    only the matching (doc, gram) pairs — in a clean corpus, almost
+    nothing.
+
+    Returns every training doc with ``n_hits`` (distinct benchmark
+    grams it contains) and a 0/1 ``contaminated`` flag.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngram_array(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngram_array(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.when(F.coalesce(F.col("n_hits"), F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

@@ -137,3 +137,76 @@ def test_weighted_sample_prefers_high_quality(spark, docs):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+# ---------------------------------------------------------------- wave 2
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from data_pipeline_001_spark.operators.text_analysis import decontaminate
+
+    bench_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi"
+    )
+    # doc 10 embeds an exact 8-word window of the benchmark text;
+    # doc 11 shares individual words but no 8-gram; doc 12 disjoint
+    leak = "prefix words here alpha beta gamma delta epsilon zeta eta theta trailing tail"
+    clean = "alpha solo beta solo gamma solo delta solo epsilon solo zeta solo eta"
+    other = "unrelated corpus content about storage engines and query planners today"
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame([(1, bench_text)], schema)
+    train = spark.createDataFrame(
+        [(10, leak), (11, clean), (12, other)], schema
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(train, bench, n=8).collect()
+    }
+    assert out[10][1] == 1 and out[10][0] >= 1
+    assert out[11] == (0, 0)
+    assert out[12] == (0, 0)
+
+
+def test_decontaminate_short_docs_produce_no_grams(spark):
+    from data_pipeline_001_spark.operators.text_analysis import decontaminate
+
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame([(1, "one two three")], schema)  # < 8 words
+    train = spark.createDataFrame([(2, "one two three")], schema)
+    rows = decontaminate(train, bench, n=8).collect()
+    assert [(r["n_hits"], r["contaminated"]) for r in rows] == [(0, 0)]
+
+
+def test_dedup_incremental_admits_only_new_unique(spark):
+    from data_pipeline_001_spark.operators.dedup import dedup_incremental
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(1, "text aaa"), (2, "text bbb")], schema
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Text   BBB"),   # normalized dup of corpus doc 2 → dropped
+            (11, "text ccc"),     # new
+            (12, "text ccc"),     # in-batch dup of 11 → collapsed
+            (13, "text ddd"),     # new
+        ],
+        schema,
+    )
+    out = {r["keep_id"]: r["n_in_batch"] for r in dedup_incremental(batch, corpus).collect()}
+    assert out == {11: 2, 13: 1}
+
+
+def test_length_bucket_math(spark):
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["curation_length_buckets"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in out:
+        # every bucket is a power of two ≥ 16 and at least half-full
+        # (otherwise docs would belong in the next bucket down)
+        b = r["bucket"]
+        assert b >= 16 and (b & (b - 1)) == 0
+        assert 0 < r["fill_ratio"] <= 1.0
