@@ -297,3 +297,94 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def duplicated_substring_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+) -> DataFrame:
+    """ExactSubstr-style dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the maximal character spans of its normalized text whose every
+    ``k``-gram also appears verbatim in at least one OTHER document.
+
+    100 TB shape — hash-first, verify-late, so full document text is
+    never carried through the wide explode:
+      1. rolling 8-gram Rabin-Karp hashes (cost ∝ chars, codegen);
+         ``k``-gram hashes COMPOSE from five 8-gram hashes via
+         ``lead`` + power weights instead of k per-char columns;
+      2. hashes repeated across ≥2 docs → candidate (doc, pos);
+      3. verify: extract the k-char substring ONLY at candidate
+         positions (a join back to the doc table, one substr each)
+         and re-group on the literal text — hash collisions die here,
+         so the result is exact;
+      4. gaps-and-islands merge (pos − row_number) of surviving
+         positions into maximal spans.
+
+    Returns (doc_id, span_start [1-based], span_len, n_windows).
+    ``k`` must be a multiple of 8."""
+    from pyspark.sql import Window
+
+    from data_pipeline_001_spark.functions.text import normalize_text
+
+    if k % 8 != 0:
+        raise ValueError(f"k must be a multiple of 8, got {k}")
+    base, mod = 257, (1 << 31) - 1
+    rh8 = rolling_hash_windows(docs, text_col, id_col, k=8, base=base, mod=mod)
+
+    # H_k(pos) = Σ_j h8(pos + 8j) · base^(8·(n_chunks-1-j)) mod m
+    n_chunks = k // 8
+    w = Window.partitionBy("id").orderBy("pos")
+    h = None
+    for j in range(n_chunks):
+        p = pow(base, 8 * (n_chunks - 1 - j), mod)
+        term = (
+            (F.lead("rh", 8 * j).over(w) if j else F.col("rh")) * F.lit(p)
+        ) % F.lit(mod)
+        h = term if h is None else (h + term) % F.lit(mod)
+    # a full k-window exists iff the last composed 8-gram exists
+    grams = rh8.select(
+        "id",
+        "pos",
+        h.alias("hk"),
+        F.lead("rh", 8 * (n_chunks - 1)).over(w).alias("_tail"),
+    ).where(F.col("_tail").isNotNull()).drop("_tail")
+
+    shared = (
+        grams.groupBy("hk")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("hk")
+    )
+    cand = grams.join(shared, "hk").select("id", "pos")
+
+    norm_docs = docs.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("_t")
+    )
+    verified_grams = (
+        cand.join(norm_docs, "id")
+        .select("id", "pos", F.substring("_t", F.col("pos") + 1, k).alias("gram"))
+    )
+    true_shared = (
+        verified_grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    marked = verified_grams.join(true_shared, "gram").select("id", "pos")
+
+    wo = Window.partitionBy("id").orderBy("pos")
+    islands = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wo)
+    )
+    return (
+        islands.groupBy(F.col("id").alias("doc_id"), "grp")
+        .agg(
+            (F.min("pos") + 1).cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .drop("grp")
+    )

@@ -202,3 +202,91 @@ def tfidf_top_term_q(spark, sf_dir):
             F.round("score", 6).alias("tfidf"),
         )
     )
+
+
+_SUBSTR_K = 40
+
+
+@query(
+    "dedup_substring_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+    g AS (SELECT doc_id, i, substr(s, i, {_SUBSTR_K}) AS gram
+          FROM (SELECT doc_id, s,
+                       unnest(range(1, GREATEST(length(s) - {_SUBSTR_K - 1}, 0) + 1)) AS i
+                FROM t)),
+    d AS (SELECT gram FROM g GROUP BY gram
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+    m AS (SELECT g.doc_id, g.i FROM g JOIN d USING (gram)),
+    isl AS (SELECT doc_id, i,
+                   i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+            FROM m)
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) - MIN(i) + {_SUBSTR_K} AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def substring_spans_q(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022): maximal spans whose every
+    40-char window appears verbatim in another document. Hash-first /
+    verify-late — the oracle computes the same spans directly from
+    substrings; the engine's Rabin-Karp + exact-verify route must
+    agree exactly (collisions are verified away)."""
+    from data_pipeline_001_spark.operators.text_analysis import (
+        duplicated_substring_spans,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return duplicated_substring_spans(t["documents"], k=_SUBSTR_K)
+
+
+@query(
+    "profile_join_key_skew",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events
+               WHERE user_id IS NOT NULL GROUP BY user_id),
+    s AS (SELECT SUM(cnt) AS total, AVG(cnt) AS mean_cnt,
+                 MAX(cnt) AS max_cnt, COUNT(*) AS n_keys FROM c)
+    SELECT r.user_id, r.cnt, r.rk AS rank,
+           ROUND(r.cnt / s.mean_cnt, 6) AS skew_factor,
+           ROUND(r.cnt / CAST(s.total AS DOUBLE), 6) AS share
+    FROM (SELECT user_id, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rk
+          FROM c) r CROSS JOIN s
+    WHERE r.rk <= 20
+    """,
+)
+def key_skew_q(spark, sf_dir):
+    """Join-key skew profiler: top-20 hottest keys with their share of
+    rows and skew factor vs the mean key. The pre-flight diagnostic
+    that decides between a plain shuffle join, AQE skew-join, and
+    explicit salting at 100 TB. One narrow agg + a 20-row top-k
+    (TakeOrderedAndProject) + broadcast scalar join."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    c = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    s = c.agg(
+        F.sum("cnt").alias("total"),
+        F.avg("cnt").alias("mean_cnt"),
+    )
+    ranked = c.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("user_id")))
+        .cast("long"),
+    ).where(F.col("rank") <= 20)
+    return ranked.crossJoin(F.broadcast(s)).select(
+        "user_id",
+        "cnt",
+        "rank",
+        F.round(F.col("cnt") / F.col("mean_cnt"), 6).alias("skew_factor"),
+        F.round(F.col("cnt") / F.col("total").cast("double"), 6).alias("share"),
+    )

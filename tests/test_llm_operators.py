@@ -295,3 +295,38 @@ def test_cluster_components_lsh_recovers_planted_clusters(planted_docs):
     assert got[5] == got[6] == 5
     # both planted components found, min-id labeling, disjoint
     assert set(got.values()) == {1, 5}
+
+
+def test_duplicated_substring_spans_planted(spark):
+    from data_pipeline_001_spark.operators.text_analysis import (
+        duplicated_substring_spans,
+    )
+
+    shared = "the exact duplicated passage both documents quote verbatim here"  # 63 chars
+    a = "unique prefix for document alpha keeps going " + shared + " unique alpha tail content"
+    b = "totally different beginning material bravo xx " + shared + " another distinct ending"
+    c = "no overlap at all in this third document just filler words repeated"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = duplicated_substring_spans(docs, k=40).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # only the two quoting docs carry spans
+    assert set(by_doc) == {1, 2}
+    for doc_id, row in by_doc.items():
+        # span must cover the shared passage (63 chars ≥ span ≥ k)
+        assert row["span_len"] >= len(shared)
+        text = a if doc_id == 1 else b
+        lo = row["span_start"] - 1
+        covered = text.lower()[lo : lo + row["span_len"]]
+        assert shared in covered
+
+
+def test_duplicated_substring_spans_requires_multiple_of_8(spark):
+    from data_pipeline_001_spark.operators.text_analysis import (
+        duplicated_substring_spans,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplicated_substring_spans(docs, k=30)
