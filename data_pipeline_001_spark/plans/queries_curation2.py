@@ -290,3 +290,107 @@ def key_skew_q(spark, sf_dir):
         F.round(F.col("cnt") / F.col("mean_cnt"), 6).alias("skew_factor"),
         F.round(F.col("cnt") / F.col("total").cast("double"), 6).alias("share"),
     )
+
+
+@query(
+    "time_resample_ffill",
+    """
+    WITH obs AS (SELECT date_trunc('hour', ts) AS obs_hour,
+                        ROUND(SUM(value), 6) AS hourly_value
+                 FROM events GROUP BY 1),
+    b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+                 date_trunc('hour', MAX(ts)) AS h1 FROM events),
+    spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM b)
+    SELECT s.hour, o.hourly_value AS last_value,
+           o.obs_hour AS last_obs_hour,
+           CAST(date_diff('hour', o.obs_hour, s.hour) AS BIGINT)
+               AS hours_since_obs
+    FROM spine s ASOF LEFT JOIN obs o ON s.hour >= o.obs_hour
+    """,
+)
+def resample_ffill_q(spark, sf_dir):
+    """Time-series resample to a dense hourly spine with forward-fill:
+    silent hours inherit the latest observed hourly value, plus a
+    staleness counter — the standard gauge-metric densification.
+    Rides the bucketed as-of join (operators/relational.asof_join), so
+    the fill is a partitioned window with boundary carry, never a
+    global single-task sort."""
+    from data_pipeline_001_spark.operators.relational import asof_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    obs = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("obs_hour")
+    ).agg(F.round(F.sum("value"), 6).alias("hourly_value"))
+    spine = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    ).select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    out = asof_join(spine, obs, left_time="hour", right_time="obs_hour")
+    return out.select(
+        "hour",
+        F.col("hourly_value").alias("last_value"),
+        F.col("asof_time").alias("last_obs_hour"),
+        (
+            (F.unix_timestamp("hour") - F.unix_timestamp("asof_time"))
+            / 3600
+        )
+        .cast("long")
+        .alias("hours_since_obs"),
+    )
+
+
+@query(
+    "curation_domain_mixture",
+    f"""
+    WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len(string_split({_NORM_SQL}, ' '))) AS BIGINT)
+                          AS tokens
+               FROM documents GROUP BY source),
+    tot AS (SELECT SUM(tokens) AS total, MIN(tokens) AS min_tokens FROM s)
+    SELECT s.source, s.n_docs, s.tokens,
+           ROUND(s.tokens / CAST(tot.total AS DOUBLE), 6) AS natural_share,
+           ROUND(tot.min_tokens / CAST(s.tokens AS DOUBLE), 6) AS sampling_rate,
+           CAST(tot.min_tokens AS BIGINT) AS expected_tokens
+    FROM s CROSS JOIN tot
+    """,
+)
+def domain_mixture_q(spark, sf_dir):
+    """Domain-mixture rebalancing plan: per-source token counts and
+    the downsampling rate that equalizes every source's contribution
+    (rate = min_source_tokens / source_tokens — the largest equal
+    mixture achievable without upsampling). The knob sheet a
+    pretraining data recipe starts from. One narrow agg + a broadcast
+    scalar join."""
+    t = load_tables(spark, sf_dir)
+    tokens = F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        )
+    ).cast("long")
+    s = (
+        t["documents"]
+        .select("source", tokens.alias("tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("tokens"))
+    )
+    tot = s.agg(
+        F.sum("tokens").alias("total"), F.min("tokens").alias("min_tokens")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / F.col("total").cast("double"), 6).alias(
+            "natural_share"
+        ),
+        F.round(
+            F.col("min_tokens") / F.col("tokens").cast("double"), 6
+        ).alias("sampling_rate"),
+        F.col("min_tokens").cast("long").alias("expected_tokens"),
+    )
