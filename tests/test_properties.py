@@ -76,3 +76,108 @@ def test_spine_partitions_range_for_many_granularities(spark):
         assert spine.count() == n_expected, gran
         assert detect_gaps(spine, day_bounds=False).count() == 0, gran
         assert detect_overlaps(spine).count() == 0, gran
+
+
+# ------------------------------------------------------- wave-2 operators
+
+
+def _norm(s: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", s.lower()).strip()
+
+
+def test_substring_spans_match_python_reference(spark):
+    """Randomized corpus (seeded): Spark's hash-first/verify-late span
+    dedup must equal a direct python computation of the same spec."""
+    import random
+
+    from data_pipeline_001_spark.operators.text_analysis import (
+        duplicated_substring_spans,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    shared_a = " ".join(rng.choice(vocab) for _ in range(25))
+    shared_b = " ".join(rng.choice(vocab) for _ in range(18))
+    rows = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randint(10, 60))]
+        text = " ".join(words)
+        if i % 5 == 0:
+            text += " " + shared_a
+        if i % 7 == 0:
+            text = shared_b + " " + text
+        rows.append((i, text))
+    k = 16
+
+    # python reference: mark every k-char window shared by >= 2 docs,
+    # merge consecutive marked positions into spans
+    norm = {i: _norm(t) for i, t in rows}
+    owners: dict[str, set] = {}
+    for i, s in norm.items():
+        for p in range(len(s) - k + 1):
+            owners.setdefault(s[p : p + k], set()).add(i)
+    expect = set()
+    for i, s in norm.items():
+        marked = [
+            p
+            for p in range(len(s) - k + 1)
+            if len(owners[s[p : p + k]]) >= 2
+        ]
+        run_start = None
+        prev = None
+        for p in marked + [None]:
+            if p is not None and prev is not None and p == prev + 1:
+                prev = p
+                continue
+            if run_start is not None:
+                expect.add((i, run_start + 1, prev - run_start + k))
+            run_start, prev = p, p
+        assert run_start is None or prev is not None
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_substring_spans(docs, k=k).collect()
+    }
+    assert got == expect
+
+
+def test_decontaminate_matches_python_reference(spark):
+    import random
+
+    from data_pipeline_001_spark.operators.text_analysis import decontaminate
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(25)]
+    docs = []
+    for i in range(40):
+        docs.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        )
+    n = 6
+    bench_rows = [d for d in docs if d[0] % 4 == 0]
+    train_rows = [d for d in docs if d[0] % 4 != 0]
+
+    def grams(text):
+        w = _norm(text).split(" ")
+        return {
+            " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+        } if len(w) >= n else set()
+
+    bench_grams = set().union(*(grams(t) for _, t in bench_rows))
+    expect = {
+        i: len(grams(t) & bench_grams) for i, t in train_rows
+    }
+
+    schema = "doc_id long, text string"
+    out = decontaminate(
+        spark.createDataFrame(train_rows, schema),
+        spark.createDataFrame(bench_rows, schema),
+        n=n,
+    ).collect()
+    got = {r["doc_id"]: r["n_hits"] for r in out}
+    assert got == expect
+    for r in out:
+        assert r["contaminated"] == (1 if r["n_hits"] > 0 else 0)
