@@ -437,3 +437,178 @@ def numpy_topk_batches(
         .where(F.col("rn") <= k)
         .withColumn("cosine", F.round("cosine", 6))
     )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    iters: int = 8,
+    sample: int = 2000,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): the
+    (normalized) vector space is split into ``m`` subspaces and each
+    gets its own 2^nbits-centroid k-means codebook, trained on a
+    bounded driver-side sample — at 100 TB the sample is still a
+    fixed-size sketch and the m×2^nbits×dsub codebook ships to
+    executors as a broadcast literal. Returns a numpy array of shape
+    (m, 2**nbits, dsub)."""
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample).collect()
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1, norms)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub, ncodes = dim // m, 1 << nbits
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ncodes, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=ncodes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ncodes):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code: array<smallint>) — each vector's m nearest-centroid
+    subspace codes. This is the stored representation: m bytes instead
+    of dim floats (32× smaller at dim=64/m=8), which is what makes a
+    100 TB corpus scannable from memory. Arrow-batched mapInPandas."""
+    import numpy as np
+
+    books = np.asarray(codebooks)
+    m, ncodes, dsub = books.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0, 1, norms)
+            codes = np.empty((len(mat), m), dtype="int16")
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "code": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, "id long, code array<smallint>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    rerank: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact rerank:
+
+    1. train codebooks on a bounded sample (driver);
+    2. encode the corpus to m-byte codes (mapInPandas — stored once,
+       reused across query batches in production);
+    3. ADC scan: each query precomputes an m×2^nbits lookup table of
+       subspace inner products; a corpus code's approximate cosine is
+       m LUT gathers + a sum — no float vector is touched. Each Arrow
+       batch emits only its local top-(rerank·k) per query, so the
+       shuffle carries candidates, not the corpus;
+    4. exact rerank: the rerank·k survivors join back to their true
+       vectors for exact cosine, then the final per-query top-k.
+
+    Returns (query_id, neighbor_id, cosine, rn) — cosine is EXACT for
+    returned rows (approximation only affects which rows survive to
+    rerank, i.e. recall, tested against brute force)."""
+    import numpy as np
+
+    books = pq_train_codebooks(
+        corpus, m=m, nbits=nbits, vec_col=vec_col, seed=seed
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded query batch
+    qids = np.array([r[id_col] for r in q_rows])
+    qmat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qnorms == 0, 1, qnorms)
+    ncodes, dsub = books.shape[1], books.shape[2]
+    # LUT[q, j, c] = <query_sub_j, codebook_j[c]>
+    lut = np.einsum(
+        "qjd,jcd->qjc", qmat.reshape(len(qmat), m, dsub), books
+    )
+    n_local = rerank * k
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cmat = np.array(pdf["code"].tolist(), dtype=np.int64)  # B × m
+            ids = pdf["id"].to_numpy()
+            # approx[q, b] = Σ_j LUT[q, j, cmat[b, j]]
+            approx = lut[:, np.arange(m)[None, :], cmat].sum(axis=2)
+            top = min(n_local, approx.shape[1])
+            idx = np.argpartition(-approx, top - 1, axis=1)[:, :top]
+            out_q = np.repeat(qids, top)
+            out_n = ids[idx].ravel()
+            out_s = np.take_along_axis(approx, idx, axis=1).ravel()
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc": out_s}
+            )
+
+    cand = (
+        codes.mapInPandas(
+            adc_scan, "query_id long, neighbor_id long, adc double"
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        cand.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= n_local)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    cos = _cos_prenormed(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        survivors.join(vecs, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

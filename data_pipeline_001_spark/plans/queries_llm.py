@@ -616,3 +616,16 @@ def multimodal_features(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     media = attach_binary_payload(t["documents"])
     return extract_features(media)
+
+
+@query("similarity_pq_topk")  # sample-trained codebooks — rows-only check
+def similarity_pq(spark, sf_dir):
+    """Product-quantization ANN (ADC scan over m-byte codes + exact
+    rerank): the memory-bounded scale path — a 100 TB corpus of
+    64-float vectors becomes ~3 TB of codes, scannable without
+    touching a float vector until rerank."""
+    from data_pipeline_001_spark.operators.similarity import pq_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return pq_topk(e, e.where(F.col("vec_id") < 10), k=5, m=8, nbits=4)

@@ -330,3 +330,41 @@ def test_duplicated_substring_spans_requires_multiple_of_8(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         duplicated_substring_spans(docs, k=30)
+
+
+def test_pq_recall_and_exact_scores(tables):
+    """PQ+rerank: decent recall of true top-5, and every returned
+    cosine must be the EXACT cosine (rerank recomputes it)."""
+    from data_pipeline_001_spark.operators.similarity import pq_topk
+
+    e = tables["embeddings"]
+    q = e.where(F.col("vec_id") < 10)
+    truth_rows = brute_force_topk(e, q, k=5).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in truth_rows}
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in truth_rows
+    }
+    got = pq_topk(e, q, k=5, m=8, nbits=4, rerank=6).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9
+
+
+def test_pq_codes_shape(tables, spark):
+    from data_pipeline_001_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    e = tables["embeddings"]
+    books = pq_train_codebooks(e, m=8, nbits=4)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(e, books).collect()
+    assert len(codes) == e.count()
+    for r in codes[:20]:
+        assert len(r["code"]) == 8
+        assert all(0 <= c < 16 for c in r["code"])
