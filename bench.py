@@ -46,6 +46,15 @@ HEADLINE = [
     "similarity_bruteforce_topk",
 ]
 
+EXTENDED = [
+    "dedup_substring_spans",
+    "curation_decontaminate",
+    "text_tfidf_top_term",
+    "similarity_pq_topk",
+    "dedup_incremental_batch",
+    "time_resample_ffill",
+]
+
 TABLES = (
     "region",
     "nation",
@@ -67,7 +76,7 @@ def _dir_bytes(sf_dir: str) -> int:
     return total
 
 
-def _time_spark_point(spark, qs, sf_dir: str) -> dict[str, float]:
+def _time_spark_point(spark, qs, sf_dir: str, names=None) -> dict[str, float]:
     from data_pipeline_001_spark.session import load_tables
 
     # warm the JVM + file listing + codegen pipeline once so per-query
@@ -78,7 +87,7 @@ def _time_spark_point(spark, qs, sf_dir: str) -> dict[str, float]:
     ).format("noop").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in (names or HEADLINE):
         best = float("inf")
         for _ in range(2):  # best-of-2: first run absorbs codegen/cache
             t0 = time.perf_counter()
@@ -88,7 +97,7 @@ def _time_spark_point(spark, qs, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def _time_duckdb_point(oracles: dict[str, str], sf_dir: str) -> dict[str, float]:
+def _time_duckdb_point(oracles: dict[str, str], sf_dir: str, names=None) -> dict[str, float]:
     import duckdb
 
     con = duckdb.connect()
@@ -97,7 +106,7 @@ def _time_duckdb_point(oracles: dict[str, str], sf_dir: str) -> dict[str, float]
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     out: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in (names or HEADLINE):
         sql = oracles.get(name)
         if not sql:
             continue
@@ -172,6 +181,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "per_query": _per_query(timings, duck),
     }
+
+    # extended §2.13 operators (round-2 additions) at the base point —
+    # separate from the headline list so the round-over-round total
+    # stays comparable
+    ext_t = _time_spark_point(spark, qs, sf_dir, EXTENDED)
+    ext_duck = _time_duckdb_point(oracles, sf_dir, EXTENDED)
+    result["extended"] = _per_query(ext_t, ext_duck)
 
     if os.environ.get("SPARK_GRAFT_BIG", "1") != "0":
         big_dir = _ensure_big_point(repo_root)

@@ -270,20 +270,40 @@ def decontaminate(
     Returns every training doc with ``n_hits`` (distinct benchmark
     grams it contains) and a 0/1 ``contaminated`` flag.
     """
-    bench_grams = (
-        benchmark.select(
-            F.explode(word_ngram_array(F.col(text_col), n)).alias("gram")
+    def exploded_ngrams(df: DataFrame) -> DataFrame:
+        # posexplode + lead + concat_ws, NOT word_ngram_array: the
+        # array HOF form (transform/slice lambdas) runs interpreted —
+        # same ~20× pathology exploded_shingles documents. Full
+        # windows only: docs with < n words contribute nothing.
+        from pyspark.sql import Window
+
+        toks = F.split(TX.normalize_text(F.col(text_col)), r"\s+")
+        exploded = df.select(
+            F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
         )
-        .distinct()
-    )
-    train_grams = train.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngram_array(F.col(text_col), n)).alias("gram"),
-    ).distinct()
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+        return (
+            exploded.select(
+                "doc_id",
+                F.concat_ws(" ", *parts).alias("gram"),
+                F.lead("tok", n - 1).over(w).alias("_last"),
+            )
+            .where(F.col("_last").isNotNull())
+            .select("doc_id", "gram")
+        )
+
+    bench_grams = exploded_ngrams(benchmark).select("gram").distinct()
+    train_grams = exploded_ngrams(train)
+    # count_distinct in the agg instead of a pre-join distinct: the
+    # broadcast join keeps corpus grams shuffle-free, so the only
+    # shuffle is the post-join (doc, matched-gram) rows — dedup them
+    # inside that one aggregation rather than adding a full corpus-gram
+    # shuffle up front (measured 2.3x at the sf0.1 bench point)
     hits = (
         train_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count_distinct("gram").alias("n_hits"))
     )
     return (
         train.select(F.col(id_col).alias("doc_id"))
