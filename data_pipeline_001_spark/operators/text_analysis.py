@@ -371,6 +371,13 @@ def duplicated_substring_spans(
         h.alias("hk"),
         F.lead("rh", 8 * (n_chunks - 1)).over(w).alias("_tail"),
     ).where(F.col("_tail").isNotNull()).drop("_tail")
+    # grams feeds BOTH the shared-hash agg and the candidate join; the
+    # per-side column sets differ so ReusedExchange can't kick in —
+    # persist the (id, pos, hk) triples (longs only, never the text)
+    # rather than re-running the char explode + two window passes
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
 
     shared = (
         grams.groupBy("hk")
