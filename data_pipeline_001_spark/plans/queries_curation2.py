@@ -394,3 +394,67 @@ def domain_mixture_q(spark, sf_dir):
         ).alias("sampling_rate"),
         F.col("min_tokens").cast("long").alias("expected_tokens"),
     )
+
+
+@query(
+    "quality_constraint_report",
+    """
+    WITH obs AS (
+      SELECT ROUND(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+                 AS completeness_custkey,
+             ROUND(COUNT(DISTINCT o_orderkey) / CAST(COUNT(*) AS DOUBLE), 6)
+                 AS uniqueness_orderkey,
+             ROUND(AVG(o_totalprice), 6) AS avg_totalprice,
+             ROUND(MIN(o_totalprice), 6) AS min_totalprice
+      FROM orders),
+    fk AS (
+      SELECT ROUND(1.0 - (SELECT COUNT(*) FROM lineitem l
+                          WHERE l.l_orderkey IS NOT NULL
+                            AND NOT EXISTS (SELECT 1 FROM orders o
+                                            WHERE o.o_orderkey = l.l_orderkey))
+                       / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE), 6)
+                 AS frac),
+    rep AS (
+      SELECT 'completeness_custkey' AS check_name, completeness_custkey AS observed,
+             1.0 AS lo, 1.0 AS hi FROM obs
+      UNION ALL
+      SELECT 'uniqueness_orderkey', uniqueness_orderkey, 1.0, 1.0 FROM obs
+      UNION ALL
+      SELECT 'avg_totalprice', avg_totalprice, 1000.0, 500000.0 FROM obs
+      UNION ALL
+      SELECT 'min_totalprice', min_totalprice, 0.0, 100000.0 FROM obs
+      UNION ALL
+      SELECT 'fk_l_orderkey_in_o_orderkey', frac, 1.0, 1.0 FROM fk)
+    SELECT check_name, observed, lo, hi,
+           CAST(CASE WHEN observed >= lo AND observed <= hi THEN 1 ELSE 0 END
+                AS INT) AS passed
+    FROM rep
+    """,
+)
+def constraint_report_q(spark, sf_dir):
+    """Deequ-style declarative quality gate: four single-scan
+    constraints over orders (all aggregates fused into ONE pass) plus
+    a referential-integrity check lineitem→orders (anti-join count),
+    unioned into one report. The engine's generalization of the
+    reference's count-audit stage (SURVEY §2.12 R3)."""
+    from data_pipeline_001_spark.operators.constraints import (
+        Constraint,
+        check_constraints,
+        completeness,
+        referential_integrity,
+        uniqueness,
+    )
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    report = check_constraints(
+        orders,
+        [
+            Constraint("completeness_custkey", completeness("o_custkey"), 1.0, 1.0),
+            Constraint("uniqueness_orderkey", uniqueness("o_orderkey"), 1.0, 1.0),
+            Constraint("avg_totalprice", F.avg("o_totalprice"), 1000.0, 500000.0),
+            Constraint("min_totalprice", F.min("o_totalprice"), 0.0, 100000.0),
+        ],
+    )
+    fk = referential_integrity(t["lineitem"], "l_orderkey", orders, "o_orderkey")
+    return report.unionByName(fk)

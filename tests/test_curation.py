@@ -210,3 +210,38 @@ def test_length_bucket_math(spark):
         b = r["bucket"]
         assert b >= 16 and (b & (b - 1)) == 0
         assert 0 < r["fill_ratio"] <= 1.0
+
+
+def test_constraint_checker_flags_violations(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.operators.constraints import (
+        Constraint,
+        check_constraints,
+        completeness,
+        referential_integrity,
+        uniqueness,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (2, 30.0)], "k long, v double"
+    )
+    rep = {
+        r["check_name"]: (r["observed"], r["passed"])
+        for r in check_constraints(
+            df,
+            [
+                Constraint("completeness_v", completeness("v"), 1.0, 1.0),
+                Constraint("uniqueness_k", uniqueness("k"), 1.0, 1.0),
+                Constraint("max_v", F.max("v"), None, 100.0),
+            ],
+        ).collect()
+    }
+    assert rep["completeness_v"] == (round(2 / 3, 6), 0)  # violated
+    assert rep["uniqueness_k"] == (round(2 / 3, 6), 0)    # dup key
+    assert rep["max_v"] == (30.0, 1)                       # within bound
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame([(1,), (9,)], "fk long")
+    fk = referential_integrity(child, "fk", parent, "pk").collect()[0]
+    assert fk["observed"] == 0.5 and fk["passed"] == 0
