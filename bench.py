@@ -200,6 +200,34 @@ def main() -> None:
                 "per_query": _per_query(big_t, big_duck),
             }
 
+    # optional 100x point (sf10, ~1.7 GB): where the data, not the
+    # scheduler, is the workload. Off by default to keep the per-round
+    # bench fast; BENCH_NOTES.md records a measured run.
+    if os.environ.get("SPARK_GRAFT_HUGE", "0") == "1":
+        huge_dir = os.path.join(repo_root, ".benchdata", "sf10")
+        if not os.path.exists(os.path.join(huge_dir, "lineitem.parquet")):
+            sys.path.insert(0, os.path.join(repo_root, "tools"))
+            from make_benchdata import generate
+
+            generate("/root/testdata/sf0.1", huge_dir, 100)
+        huge_sel = [
+            "q01_pricing_summary",
+            "q03_shipping_priority",
+            "join_asof_events_spine",
+            "dedup_exact_fingerprint",
+            "text_stats_by_lang",
+            "window_topk_orders_per_customer",
+            "agg_count_reconciliation",
+            "json_extract_props",
+        ]
+        huge_t = _time_spark_point(spark, qs, huge_dir, huge_sel)
+        huge_duck = _time_duckdb_point(oracles, huge_dir, huge_sel)
+        result["huge"] = {
+            "sf": "10(100x-replicated-sf0.1)",
+            "total_s": round(sum(huge_t.values()), 3),
+            "per_query": _per_query(huge_t, huge_duck),
+        }
+
     print(json.dumps(result))
 
 
