@@ -3,6 +3,8 @@ layered-config merge (hanlder_script.py:117-194 semantics)."""
 
 from datetime import datetime
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -150,3 +152,50 @@ def test_json_source_quarantines_malformed_records(spark, tables, tmp_path):
     quarantined = spark.read.json(str(tmp_path / "quar")).collect()
     assert len(quarantined) == 2
     assert any("BROKEN" in r["corrupt_record"] for r in quarantined)
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from data_pipeline_001_spark.operators.compaction import (
+        compact_sink,
+        plan_compaction,
+    )
+
+    root = str(tmp_path / "sink")
+    # two windows: one fragmented (16 files), one already compact
+    frag = f"{root}/2024-01-01/00-00"
+    ok = f"{root}/2024-01-01/01-00"
+    spark.range(10_000).repartition(16).write.parquet(frag)
+    spark.range(100).coalesce(1).write.parquet(ok)
+
+    plans = plan_compaction(root, target_bytes=1 << 30, min_files=4)
+    assert [p["path"] for p in plans] == [frag]
+    assert plans[0]["n_files"] == 16
+
+    before = spark.read.parquet(frag).orderBy("id").collect()
+    results = compact_sink(spark, root, target_bytes=1 << 30)
+    assert len(results) == 1
+    assert results[0]["files_after"] == 1
+    after = spark.read.parquet(frag).orderBy("id").collect()
+    assert after == before
+    # the already-compact window was not touched
+    assert plan_compaction(root, target_bytes=1 << 30, min_files=4) == []
+
+
+def test_compaction_swap_is_atomic_on_failure(spark, tmp_path, monkeypatch):
+    """A crash during the temp write must leave the original intact."""
+    import data_pipeline_001_spark.operators.compaction as C
+
+    p = str(tmp_path / "d")
+    spark.range(1000).repartition(8).write.parquet(p)
+    before = set(os.listdir(p))
+
+    class Boom(RuntimeError):
+        pass
+
+    def bad_rename(*a, **k):
+        raise Boom("crash before swap")
+
+    monkeypatch.setattr(C.os, "rename", bad_rename)
+    with pytest.raises(Boom):
+        C.compact_dir(spark, p, target_bytes=1 << 30)
+    assert set(os.listdir(p)) == before  # original untouched
