@@ -499,3 +499,178 @@ def dedup_incremental(
     )
     corpus_fps = corpus.select(fingerprint(F.col(text_col)).alias("fp"))
     return batch_min.join(corpus_fps, "fp", "left_anti")
+
+
+def _minhash_per_doc(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_words: int,
+    seed: int,
+) -> DataFrame:
+    """(id, sig array<long>, sh_set array<long>) — one explode + one
+    groupBy per corpus, signatures and hashed-shingle verify sets in
+    the same pass (the minhash_lsh_pairs shape, reusable)."""
+    params = _hash_params(num_hashes, seed)
+    exploded = exploded_shingles(docs, text_col, id_col, shingle_words).select(
+        "id",
+        (F.abs(F.hash("sh")).cast("long") % F.lit(_MERSENNE)).alias("h"),
+    )
+    per_doc = exploded.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"s{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+        F.collect_set("h").alias("sh_set"),
+    )
+    return per_doc.select(
+        "id",
+        F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig"),
+        "sh_set",
+    )
+
+
+def _banded_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) — banded LSH bucket keys from signatures."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at("sig", i * rows_per_band + j + 1).cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_incremental(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """Incremental NEAR-dup admission: for each new-batch document,
+    find its best near-duplicate already in the corpus (banded
+    MinHash-LSH candidates → exact hashed-shingle Jaccard) and admit
+    it only if nothing clears ``jaccard_threshold`` — the steady-state
+    ingest gate that `dedup_incremental` (exact fingerprints) can't
+    provide for paraphrased/near-copy spam.
+
+    Scale shape: the corpus NEVER self-joins. Batch bands (the daily
+    delta — small) broadcast against the corpus banding, so corpus
+    rows flow map-side through the candidate probe exactly once; only
+    candidate (batch, corpus) pairs shuffle into the verify join. The
+    corpus signatures/banding are deterministic functions of the text,
+    so in production they're computed once and reused across batches.
+
+    Returns (doc_id, best_match_id, best_jaccard, admitted) — one row
+    per new-batch doc; best_* are NULL when no candidate collided.
+    """
+    rows_per_band = num_hashes // bands
+
+    batch_pd = _minhash_per_doc(
+        new_batch, text_col, id_col, num_hashes, shingle_words, seed
+    )
+    from pyspark import StorageLevel
+
+    batch_pd = batch_pd.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus_pd = _minhash_per_doc(
+        corpus, text_col, id_col, num_hashes, shingle_words, seed
+    )
+
+    batch_bands = _banded_buckets(
+        batch_pd.select("id", "sig"), bands, rows_per_band
+    ).withColumnRenamed("id", "batch_id")
+    corpus_bands = _banded_buckets(
+        corpus_pd.select("id", "sig"), bands, rows_per_band
+    ).withColumnRenamed("id", "corpus_id")
+
+    if max_bucket_size:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        corpus_bands = (
+            corpus_bands.withColumn("_bsz", F.count("*").over(wb))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+
+    candidates = (
+        corpus_bands.join(F.broadcast(batch_bands), ["band", "bucket"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+    inter = F.size(F.array_intersect("b_set", "c_set")).cast("double")
+    union = F.size(F.array_union("b_set", "c_set")).cast("double")
+    scored = (
+        candidates.join(
+            corpus_pd.select(
+                F.col("id").alias("corpus_id"), F.col("sh_set").alias("c_set")
+            ),
+            "corpus_id",
+        )
+        .join(
+            F.broadcast(
+                batch_pd.select(
+                    F.col("id").alias("batch_id"),
+                    F.col("sh_set").alias("b_set"),
+                )
+            ),
+            "batch_id",
+        )
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("batch_id").alias("doc_id"),
+            F.col("corpus_id").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        new_batch.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "best_match_id",
+            "best_jaccard",
+            F.when(
+                F.coalesce(F.col("best_jaccard"), F.lit(0.0))
+                < jaccard_threshold,
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("admitted"),
+        )
+    )

@@ -629,3 +629,19 @@ def similarity_pq(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     return pq_topk(e, e.where(F.col("vec_id") < 10), k=5, m=8, nbits=4)
+
+
+@query("dedup_incremental_near")  # murmur3 sketch — rows-only check
+def dedup_incremental_near_q(spark, sf_dir):
+    """Incremental near-dup admission gate: odd doc_ids (the daily
+    batch) against even doc_ids (the corpus); batch bands broadcast,
+    the corpus never self-joins."""
+    from data_pipeline_001_spark.operators.dedup import minhash_incremental
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    return minhash_incremental(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        jaccard_threshold=0.5,
+    )

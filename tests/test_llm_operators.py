@@ -368,3 +368,27 @@ def test_pq_codes_shape(tables, spark):
     for r in codes[:20]:
         assert len(r["code"]) == 8
         assert all(0 <= c < 16 for c in r["code"])
+
+
+def test_minhash_incremental_rejects_near_copies(spark):
+    from data_pipeline_001_spark.operators.dedup import minhash_incremental
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest where tall trees grow in silence"
+    )
+    near = base.replace("lazy", "sleepy").replace("green", "dark")
+    novel = (
+        "entirely new material about vectorized query execution and "
+        "columnar storage layouts with adaptive runtime planning"
+    )
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(1, base), (2, "other corpus doc here with words")], schema)
+    batch = spark.createDataFrame(
+        [(10, near), (11, novel), (12, base)], schema  # near-copy, novel, exact copy
+    )
+    out = {r["doc_id"]: r for r in minhash_incremental(batch, corpus).collect()}
+    assert out[10]["admitted"] == 0 and out[10]["best_match_id"] == 1
+    assert out[10]["best_jaccard"] >= 0.5
+    assert out[12]["admitted"] == 0 and out[12]["best_jaccard"] == 1.0
+    assert out[11]["admitted"] == 1
