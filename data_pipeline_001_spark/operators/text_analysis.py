@@ -379,10 +379,13 @@ def duplicated_substring_spans(
 
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # "appears in >= 2 docs" as min(id) != max(id): same predicate,
+    # but min/max partial-aggregate map-side for free while
+    # count_distinct(id) must track a distinct-set per hash key
     shared = (
         grams.groupBy("hk")
-        .agg(F.count_distinct("id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
         .select("hk")
     )
     cand = grams.join(shared, "hk").select("id", "pos")
@@ -396,8 +399,8 @@ def duplicated_substring_spans(
     )
     true_shared = (
         verified_grams.groupBy("gram")
-        .agg(F.count_distinct("id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
         .select("gram")
     )
     marked = verified_grams.join(true_shared, "gram").select("id", "pos")
