@@ -458,3 +458,56 @@ def constraint_report_q(spark, sf_dir):
     )
     fk = referential_integrity(t["lineitem"], "l_orderkey", orders, "o_orderkey")
     return report.unionByName(fk)
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "curation_shard_plan",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                           % {_N_SHARDS} AS INT) AS shard
+               FROM documents)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           ROUND(SUM(n_tokens) / (SELECT SUM(n_tokens) FROM t) * {_N_SHARDS}, 6)
+               AS balance_factor
+    FROM t GROUP BY shard
+    """,
+)
+def shard_plan_q(spark, sf_dir):
+    """Training-export shard plan: md5-hash assignment of documents to
+    {n} shards with per-shard token totals and a balance factor
+    (1.0 = perfectly even). Hash sharding is append-stable — a grown
+    corpus never moves an existing doc between shards — and the
+    balance report is the check that no shard becomes the slow reader
+    at training time. One scan, one narrow agg, broadcast total."""
+    t = load_tables(spark, sf_dir)
+    n_tokens = F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        )
+    ).cast("long")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _N_SHARDS
+    ).cast("int")
+    base = t["documents"].select(
+        shard.alias("shard"), n_tokens.alias("n_tokens")
+    )
+    per = base.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens")
+    )
+    tot = per.agg(F.sum("shard_tokens").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        F.round(
+            F.col("shard_tokens") / F.col("total") * _N_SHARDS, 6
+        ).alias("balance_factor"),
+    )
