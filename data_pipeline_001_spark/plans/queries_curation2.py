@@ -511,3 +511,57 @@ def shard_plan_q(spark, sf_dir):
             F.col("shard_tokens") / F.col("total") * _N_SHARDS, 6
         ).alias("balance_factor"),
     )
+
+
+def _zvalue_sql(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({a} >> {j}) & 1) * {1 << (2 * j + 1)})")
+        terms.append(f"((({b} >> {j}) & 1) * {1 << (2 * j)})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_events",
+    f"""
+    WITH t AS (SELECT event_id,
+                      user_id % 256 AS a,
+                      CAST(EXTRACT(hour FROM ts) AS BIGINT) AS b
+               FROM events WHERE user_id IS NOT NULL)
+    SELECT CAST({_zvalue_sql('a', 'b')} AS BIGINT) // 4096 AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(a) AS BIGINT) AS min_user_bucket,
+           CAST(MAX(a) AS BIGINT) AS max_user_bucket,
+           CAST(MIN(b) AS BIGINT) AS min_hour,
+           CAST(MAX(b) AS BIGINT) AS max_hour
+    FROM t GROUP BY 1
+    """,
+)
+def zorder_events_q(spark, sf_dir):
+    """Z-curve layout histogram: events bucketed by their Morton
+    z-value over (user bucket, hour-of-day). The per-z-bucket min/max
+    columns ARE the demonstration — every bucket's bounding box in
+    (user, hour) space is tight, which is exactly why a z-ordered file
+    layout lets parquet row-group stats prune on BOTH dimensions.
+    Pure shift/mask integer arithmetic, identical in the oracle."""
+    from data_pipeline_001_spark.operators.relational import zvalue
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id").isNotNull())
+    a = (F.col("user_id") % 256).cast("long")
+    b = F.hour("ts").cast("long")
+    return (
+        ev.select(
+            (zvalue(a, b) / 4096).cast("long").alias("z_bucket"),
+            a.alias("a"),
+            b.alias("b"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("a").alias("min_user_bucket"),
+            F.max("a").alias("max_user_bucket"),
+            F.min("b").alias("min_hour"),
+            F.max("b").alias("max_hour"),
+        )
+    )

@@ -120,3 +120,45 @@ def test_scd2_versions_are_contiguous_and_collapse_runs(spark):
         for a, b in zip(rows, rows[1:]):
             assert a["valid_to"] == b["valid_from"] and not a["is_current"]
         assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+
+
+def test_zorder_layout_tightens_file_bounding_boxes(spark, tmp_path):
+    """Write the same data z-ordered vs hash-scattered; per-file
+    (a, b) bounding boxes must be dramatically tighter under z-order —
+    the property that makes parquet min/max stats prune on BOTH
+    filter dimensions."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.operators.relational import zorder_layout, zvalue
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 256).alias("a"),
+        (F.col("id") * 40503 % 24).alias("b"),
+    )
+    zp = str(tmp_path / "z")
+    rp = str(tmp_path / "r")
+    zorder_layout(df, F.col("a"), F.col("b"), target_files=8).write.parquet(zp)
+    df.repartition(8).write.parquet(rp)
+
+    def avg_box_area(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("a") - F.min("a") + 1).alias("da"),
+                (F.max("b") - F.min("b") + 1).alias("db"),
+            )
+            .select(F.avg(F.col("da") * F.col("db")).alias("area"))
+            .collect()
+        )
+        return per_file[0]["area"]
+
+    z_area, r_area = avg_box_area(zp), avg_box_area(rp)
+    # random layout: every file spans ~the full 256x24 space; z-order
+    # files cover a small fraction of it
+    assert z_area < r_area / 3, (z_area, r_area)
+
+    # zvalue must be monotone-decodable: distinct inputs, distinct z
+    zs = df.select(zvalue(F.col("a"), F.col("b")).alias("z"), "a", "b").distinct()
+    assert zs.count() == zs.select("z").distinct().count()
