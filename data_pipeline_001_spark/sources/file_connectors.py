@@ -64,6 +64,7 @@ class FileSource(Source):
         exclude_null: tuple[str, ...] = (),
         schema=None,
         quarantine_path: str | None = None,
+        merge_schema: bool = False,
     ):
         self.spark = spark
         self.path = path
@@ -73,6 +74,13 @@ class FileSource(Source):
         self.exclude_null = exclude_null
         self.schema = schema
         self.quarantine_path = quarantine_path
+        # schema evolution across file generations: older parquet
+        # files simply lack newly-added columns; mergeSchema unions
+        # the footers (one-time listing cost) and fills the gaps with
+        # NULL. Off by default — at 100 TB footer-merging every read
+        # is wasteful when the schema is known; prefer an explicit
+        # ``schema``, which gets the same NULL-fill for free.
+        self.merge_schema = merge_schema
         if quarantine_path is not None:
             if fmt not in ("json", "csv"):
                 raise ValueError("quarantine_path requires a text format (json/csv)")
@@ -93,6 +101,8 @@ class FileSource(Source):
             )
         if schema is not None:
             reader = reader.schema(schema)
+        if self.merge_schema:
+            reader = reader.option("mergeSchema", "true")
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = reader.format(self.fmt).load(self.path)
         if self.quarantine_path is not None:

@@ -199,3 +199,40 @@ def test_compaction_swap_is_atomic_on_failure(spark, tmp_path, monkeypatch):
     with pytest.raises(Boom):
         C.compact_dir(spark, p, target_bytes=1 << 30)
     assert set(os.listdir(p)) == before  # original untouched
+
+
+def test_source_schema_evolution(spark, tmp_path):
+    """Older files lack a later-added column: both the mergeSchema
+    route and the explicit-schema route must read the union schema
+    with NULLs filled for the missing column."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 30), 1.0)], "ts timestamp, v double"
+    ).write.parquet(f"{root}/gen1")
+    spark.createDataFrame(
+        [(datetime(2024, 1, 1, 1, 30), 2.0, "new")],
+        "ts timestamp, v double, tag string",
+    ).write.parquet(f"{root}/gen2")
+
+    merged = FileSource(spark, f"{root}/gen*", merge_schema=True)
+    out = merged.extract(datetime(2024, 1, 1), datetime(2024, 1, 2)).orderBy("ts")
+    rows = out.collect()
+    assert [r["tag"] for r in rows] == [None, "new"]
+
+    explicit = FileSource(
+        spark,
+        f"{root}/gen*",
+        schema=T.StructType(
+            [
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("v", T.DoubleType()),
+                T.StructField("tag", T.StringType()),
+            ]
+        ),
+    )
+    rows2 = explicit.extract(
+        datetime(2024, 1, 1), datetime(2024, 1, 2)
+    ).orderBy("ts").collect()
+    assert [r["tag"] for r in rows2] == [None, "new"]
