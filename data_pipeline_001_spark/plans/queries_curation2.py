@@ -1,10 +1,13 @@
 """Second wave of training-data curation queries (SURVEY.md §2.13):
 benchmark decontamination, incremental corpus dedup, token-length
-packing buckets, and TF-IDF salient terms. Registers into the shared
-REGISTRY.
+packing buckets, TF-IDF salient terms, ExactSubstr span dedup,
+join-key skew profiling, dense-spine resample with forward-fill,
+domain-mixture rebalancing, the Deequ-style quality-constraint
+report, the training-export shard plan, and the Z-order layout
+histogram. Registers into the shared REGISTRY.
 
-All four have exact DuckDB oracles — the n-gram / TF-IDF arithmetic is
-integer-and-IEEE-deterministic on both engines.
+Every query here has an exact DuckDB oracle — the n-gram / TF-IDF /
+Morton arithmetic is integer-and-IEEE-deterministic on both engines.
 """
 
 from __future__ import annotations
