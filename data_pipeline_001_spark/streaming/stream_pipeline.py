@@ -262,3 +262,45 @@ def rollup_maintaining_batch_handler(spark, rollup, bronze_path: str, ts_col: st
         )
 
     return handle
+
+
+def constraint_gate_batch_handler(
+    constraints,
+    good_path: str,
+    quarantine_path: str,
+    report_path: str | None = None,
+):
+    """foreachBatch handler that applies the declarative quality gate
+    (operators/constraints.check_constraints) to every micro-batch:
+    a batch whose constraints ALL pass appends to ``good_path``; a
+    failing batch is diverted whole to ``quarantine_path`` with its
+    batch id, and the per-batch constraint report (one tiny row per
+    constraint) optionally appends to ``report_path`` for ops.
+
+    Batch-level (not row-level) diversion is deliberate: the
+    constraints are aggregate properties (completeness rates, key
+    uniqueness) that individual rows can't violate alone, and batch
+    granularity keeps replay idempotent — a restarted batch lands
+    whole on the same side of the gate. The constraint evaluation is
+    one aggregation over the (already materialized) micro-batch.
+    """
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.operators.constraints import check_constraints
+
+    def handle(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        report = check_constraints(batch_df, constraints).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        rows = report.collect()  # one row per constraint — bounded
+        ok = all(r["passed"] == 1 for r in rows)
+        if report_path is not None:
+            batch_df.sparkSession.createDataFrame(
+                rows, report.schema
+            ).write.mode("append").parquet(report_path)
+        dest = good_path if ok else quarantine_path
+        batch_df.write.mode("append").parquet(dest)
+        batch_df.unpersist()
+
+    return handle

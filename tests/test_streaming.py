@@ -287,3 +287,60 @@ def test_stream_maintained_rollup_matches_batch(spark, tables, stream_dir, tmp_p
         .collect()
     }
     assert got == direct
+
+
+def test_constraint_gate_routes_batches(spark, tmp_path):
+    """Two file-stream batches: a clean one lands in good/, one with a
+    null-ridden column is quarantined whole, and the report records
+    both verdicts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.operators.constraints import (
+        Constraint,
+        completeness,
+    )
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        constraint_gate_batch_handler,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    good, quar, rep = (
+        str(tmp_path / "good"),
+        str(tmp_path / "quar"),
+        str(tmp_path / "rep"),
+    )
+    handler = constraint_gate_batch_handler(
+        [Constraint("completeness_v", completeness("v"), 0.9, 1.0)],
+        good,
+        quar,
+        rep,
+    )
+
+    clean = spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double")
+    dirty = spark.createDataFrame(
+        [(i, None if i % 2 else float(i)) for i in range(10)],
+        "k long, v double",
+    )
+
+    spark.createDataFrame(clean.collect(), clean.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(clean.schema).parquet(src)
+    q = stream.writeStream.foreachBatch(handler).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    spark.createDataFrame(dirty.collect(), dirty.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    assert spark.read.parquet(good).count() == 10
+    assert spark.read.parquet(quar).count() == 10
+    assert spark.read.parquet(quar).where(F.col("v").isNull()).count() == 5
+    reports = spark.read.parquet(rep).orderBy("batch_id").collect()
+    assert [r["passed"] for r in reports] == [1, 0]
