@@ -94,17 +94,21 @@ def winnowing_fingerprints(
     rh = rolling_hash_windows(docs, text_col, id_col, k)
     wo = Window.partitionBy("id").orderBy("pos")
     w = wo.rowsBetween(Window.currentRow, window - 1)
-    return (
-        rh.select(
-            "id",
-            F.min("rh").over(w).alias("fp"),
-            # only full windows: the frame at the tail would clip
-            F.lead("pos", window - 1).over(wo).alias("_full"),
-        )
-        .where(F.col("_full").isNotNull())
-        .select("id", "fp")
-        .distinct()
+    fps = rh.select(
+        "id",
+        "pos",
+        F.min("rh").over(w).alias("fp"),
+        # only full windows: the frame at the tail would clip
+        F.lead("pos", window - 1).over(wo).alias("_full"),
+    ).where(F.col("_full").isNotNull())
+    # winnowing repeats the same min across ~``window`` consecutive
+    # positions by construction; dropping rows equal to their
+    # predecessor (lag over the SAME sorted window — no extra shuffle)
+    # shrinks the distinct's input ~window-fold before it shuffles
+    fps = fps.withColumn("_prev", F.lag("fp").over(wo)).where(
+        F.col("_prev").isNull() | (F.col("fp") != F.col("_prev"))
     )
+    return fps.select("id", "fp").distinct()
 
 
 def best_language(text):
