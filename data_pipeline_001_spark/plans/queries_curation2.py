@@ -568,3 +568,73 @@ def zorder_events_q(spark, sf_dir):
             F.max("b").alias("max_hour"),
         )
     )
+
+
+@query(
+    "text_lm_perplexity",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+               FROM documents),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM (SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 1, 0) + 1)) AS i
+                 FROM t)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT word) AS vocab
+          FROM (SELECT unnest(w) AS word FROM t)),
+    scored AS (
+      SELECT bg.doc_id,
+             -LN((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(nll), 6) AS cross_entropy,
+           ROUND(EXP(AVG(nll)), 4) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_perplexity_q(spark, sf_dir):
+    """Corpus-LM perplexity per document (CCNet-style quality signal):
+    an add-one-smoothed bigram model is trained on the corpus itself
+    in two narrow aggregations, then every document is scored by the
+    mean negative log-likelihood of its bigrams. Outlier-high
+    perplexity = gibberish/boilerplate; outlier-low = repeated spam.
+
+    Plan: ONE token explode feeds doc bigrams; the bigram and context
+    count tables are orders of magnitude smaller than the corpus and
+    broadcast back onto it; the per-doc score is a partial-agg
+    groupBy. No UDFs anywhere — the LN arithmetic is IEEE-identical
+    in the DuckDB oracle (AVG rounded to absorb summation order)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "w1")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        words.withColumn("w2", F.lead("w1").over(wdoc))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    vocab = words.select("w1").distinct().count()  # scalar: one count job
+    nll = -F.log(
+        (F.col("n2") + F.lit(1.0)) / (F.col("n1") + F.lit(float(vocab)))
+    )
+    return (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("cross_entropy"),
+            F.round(F.exp(F.avg("nll")), 4).alias("perplexity"),
+        )
+    )
