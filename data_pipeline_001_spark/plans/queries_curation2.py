@@ -19,6 +19,16 @@ from data_pipeline_001_spark.session import load_tables
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+
+def _norm_tokens():
+    """Whitespace token count of the normalized text (bigint column) —
+    the Spark twin of ``len(string_split(_NORM_SQL, ' '))``."""
+    return F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        )
+    ).cast("long")
+
 # benchmark membership rule for the decontamination demo: a stable
 # pure function of the key, so the split never moves as data accretes
 _BENCH_MOD = 29
@@ -115,11 +125,7 @@ def length_buckets_q(spark, sf_dir):
     that context length would achieve — the planning input for
     sequence packing. One scan, one narrow agg."""
     t = load_tables(spark, sf_dir)
-    n_tokens = F.size(
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
-        )
-    ).cast("long")
+    n_tokens = _norm_tokens()
     bucket = F.greatest(
         F.lit(16),
         F.pow(F.lit(2), F.ceil(F.log2(F.greatest(n_tokens, F.lit(1))))),
@@ -489,11 +495,7 @@ def shard_plan_q(spark, sf_dir):
     balance report is the check that no shard becomes the slow reader
     at training time. One scan, one narrow agg, broadcast total."""
     t = load_tables(spark, sf_dir)
-    n_tokens = F.size(
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
-        )
-    ).cast("long")
+    n_tokens = _norm_tokens()
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
