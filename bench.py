@@ -53,6 +53,9 @@ EXTENDED = [
     "similarity_pq_topk",
     "dedup_incremental_batch",
     "time_resample_ffill",
+    "text_lm_perplexity",
+    "quality_constraint_report",
+    "layout_zorder_events",
 ]
 
 TABLES = (
