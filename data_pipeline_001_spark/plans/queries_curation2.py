@@ -640,3 +640,63 @@ def lm_perplexity_q(spark, sf_dir):
             F.round(F.exp(F.avg("nll")), 4).alias("perplexity"),
         )
     )
+
+
+@query(
+    "dedup_substring_coverage",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+    g AS (SELECT doc_id, i, substr(s, i, {_SUBSTR_K}) AS gram
+          FROM (SELECT doc_id, s,
+                       unnest(range(1, GREATEST(length(s) - {_SUBSTR_K - 1}, 0) + 1)) AS i
+                FROM t)),
+    d AS (SELECT gram FROM g GROUP BY gram
+          HAVING MIN(doc_id) <> MAX(doc_id)),
+    m AS (SELECT g.doc_id, g.i FROM g JOIN d USING (gram)),
+    isl AS (SELECT doc_id, i,
+                   i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+            FROM m),
+    spans AS (SELECT doc_id, MAX(i) - MIN(i) + {_SUBSTR_K} AS span_len
+              FROM isl GROUP BY doc_id, grp),
+    cov AS (SELECT doc_id, SUM(span_len) AS dup_chars
+            FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(LENGTH(t.s) AS BIGINT) AS n_chars,
+           CAST(COALESCE(c.dup_chars, 0) AS BIGINT) AS dup_chars,
+           ROUND(COALESCE(c.dup_chars, 0) / CAST(GREATEST(LENGTH(t.s), 1) AS DOUBLE), 6)
+               AS dup_ratio,
+           CAST(CASE WHEN COALESCE(c.dup_chars, 0)
+                          / CAST(GREATEST(LENGTH(t.s), 1) AS DOUBLE) > 0.5
+                     THEN 1 ELSE 0 END AS INT) AS drop_flag
+    FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
+    """,
+)
+def substring_coverage_q(spark, sf_dir):
+    """The ExactSubstr DECISION layer: per-document duplicated-span
+    coverage ratio and the standard drop rule (>50% of normalized
+    chars inside spans shared verbatim with other docs). Composes
+    duplicated_substring_spans with one per-doc rollup + a left join
+    back to the corpus — maximal spans never overlap (islands are
+    disjoint by construction), so summing span lengths IS the covered
+    char count."""
+    from data_pipeline_001_spark.operators.text_analysis import (
+        duplicated_substring_spans,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    spans = duplicated_substring_spans(docs, k=_SUBSTR_K)
+    cov = spans.groupBy("doc_id").agg(F.sum("span_len").alias("dup_chars"))
+    n_chars = F.length(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    ).cast("long")
+    base = docs.select("doc_id", n_chars.alias("n_chars"))
+    dup = F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long")
+    ratio = dup / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        dup.alias("dup_chars"),
+        F.round(ratio, 6).alias("dup_ratio"),
+        F.when(ratio > 0.5, 1).otherwise(0).cast("int").alias("drop_flag"),
+    )
