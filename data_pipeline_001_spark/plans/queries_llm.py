@@ -645,3 +645,77 @@ def dedup_incremental_near_q(spark, sf_dir):
         docs.where(F.col("doc_id") % 2 == 0),
         jaccard_threshold=0.5,
     )
+
+
+@query(
+    "dedup_cluster_canonical",
+    f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct([substr(t, i, 3) for i in range(1, GREATEST(LENGTH(t) - 2, 1) + 1)]) AS grams
+      FROM (SELECT doc_id, lang, {_NORM_SQL} AS t FROM documents)
+    ), edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.62
+    ), sym AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ), reach AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT s.dst, r.label FROM r JOIN sym s ON s.src = r.node
+      ) SELECT node, label FROM r
+    ), comp AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1
+    ), q AS (
+      SELECT doc_id, {QUALITY_SQL} AS quality FROM documents
+    )
+    SELECT cluster_id, doc_id AS canonical_id, quality AS best_quality,
+           n_members
+    FROM (SELECT c.cluster_id, c.doc_id, q.quality,
+                 CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+                     AS n_members,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY q.quality DESC, c.doc_id) AS rn
+          FROM comp c JOIN q USING (doc_id))
+    WHERE rn = 1
+    """,
+)
+def cluster_canonical_q(spark, sf_dir):
+    """Cluster → survivor selection: for every near-dup cluster keep
+    the HIGHEST-quality member (tie → lowest id) — the final step of
+    the detect → cluster → select dedup flow, where the kept document
+    is chosen on merit instead of min-id. Window argmax per cluster
+    over the (tiny) component table joined to quality scores."""
+    from pyspark.sql import Window
+
+    from data_pipeline_001_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from data_pipeline_001_spark.operators.text_analysis import quality_scores
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    comp = connected_components(
+        ngram_jaccard_pairs(docs, n=3, threshold=0.62, block_col="lang")
+    )
+    q = quality_scores(docs).select("doc_id", "quality")
+    joined = comp.join(q, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("n_members", F.count("*").over(wc).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_id"),
+            F.col("quality").alias("best_quality"),
+            "n_members",
+        )
+    )
