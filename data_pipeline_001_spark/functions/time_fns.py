@@ -90,19 +90,37 @@ def ceil_timestamp(ts: Column, unit: str) -> Column:
     return F.when(floored == ts, ts).otherwise(floored + step)
 
 
+_HALF_INTERVAL = {
+    "day": "interval 12 hours",
+    "hour": "interval 30 minutes",
+    "minute": "interval 30 seconds",
+    "second": "interval 0.5 seconds",
+}
+
+
 def round_timestamp(ts: Column, unit: str) -> Column:
-    """F4: round to the nearest unit boundary via midpoint comparison."""
+    """F4: round to the nearest unit boundary via midpoint comparison.
+
+    The midpoint test is pure interval arithmetic (``ts - floored >=
+    half-interval``) rather than epoch-double subtraction, so the same
+    expression resolves for TIMESTAMP and TIMESTAMP_NTZ inputs — the
+    caller's session may have parquet NTZ inference on.
+    """
     unit = _canon_unit(unit)
     floored = F.date_trunc(unit, ts)
     ceiled = ceil_timestamp(ts, unit)
-    half = {"day": 43200, "hour": 1800, "minute": 30, "second": 0.5}[unit]
-    past_mid = (ts.cast("double") - floored.cast("double")) >= half
+    past_mid = (ts - floored) >= F.expr(_HALF_INTERVAL[unit])
     return F.when(past_mid, ceiled).otherwise(floored)
 
 
 def diff_in_minutes(start: Column, end: Column) -> Column:
-    """F6: float minutes between two timestamps."""
-    return (end.cast("double") - start.cast("double")) / 60.0
+    """F6: float minutes between two timestamps.
+
+    ``timestampdiff(MICROSECOND, ...)`` accepts both TIMESTAMP and
+    TIMESTAMP_NTZ (an epoch-double cast does not), keeping microsecond
+    precision.
+    """
+    return F.timestamp_diff("MICROSECOND", start, end) / 6e7
 
 
 def window_duration_minutes(start: Column, end: Column) -> Column:

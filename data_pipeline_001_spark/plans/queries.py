@@ -789,8 +789,10 @@ def window_sessionization(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = t["events"].withColumn(
         "new_session",
+        # interval comparison, not epoch-double casts — resolves for both
+        # TIMESTAMP and TIMESTAMP_NTZ inputs
         F.when(
-            F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800,
+            F.col("ts") - F.lag("ts").over(w) > F.expr("interval 30 minutes"),
             1,
         ).otherwise(0),
     )

@@ -86,9 +86,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     from pyspark.sql import types as T
 
     # the caller may hand us a session built without our factory (the
-    # correctness driver does); nanosAsLong is a runtime SQLConf, so
-    # pin it here — events.parquet stores TIMESTAMP(NANOS)
+    # correctness driver does); these are runtime SQLConfs, so pin them
+    # here — events.parquet stores TIMESTAMP(NANOS), and NTZ inference
+    # must be off so every table reads with one timestamp type
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
     out = {}
     for name in TABLES:

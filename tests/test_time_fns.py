@@ -82,6 +82,54 @@ def test_floor_ceil_round(spark):
     assert out[2]["c"] == datetime(2024, 1, 1, 10)  # exact boundary: ceil = identity
 
 
+def test_time_fns_resolve_on_timestamp_ntz(spark):
+    """Regression (CORRECTNESS_r02 `time_floor_ceil_round` crash): the
+    kernel must resolve when the input column is TIMESTAMP_NTZ — a
+    caller's session may have parquet NTZ inference on, and epoch-double
+    casts are illegal on NTZ. Interval arithmetic works for both types."""
+    df = spark.sql(
+        "select timestamp_ntz'2024-01-01 10:29:59' as a,"
+        "       timestamp_ntz'2024-01-01 10:30:00' as b"
+    )
+    out = df.select(
+        T.round_timestamp(F.col("a"), "hour").alias("ra"),
+        T.round_timestamp(F.col("b"), "hour").alias("rb"),
+        T.ceil_timestamp(F.col("a"), "hour").alias("ca"),
+        T.diff_in_minutes(F.col("a"), F.col("b")).alias("dm"),
+    ).collect()[0]
+    assert out["ra"] == datetime(2024, 1, 1, 10)
+    assert out["rb"] == datetime(2024, 1, 1, 11)
+    assert out["ca"] == datetime(2024, 1, 1, 11)
+    assert out["dm"] == pytest.approx(1 / 60)
+
+
+def test_load_tables_pins_ntz_inference(spark):
+    """load_tables must yield one timestamp type (TIMESTAMP, not NTZ)
+    even when the caller's session left parquet NTZ inference on."""
+    from pyspark.sql import types as ST
+
+    from data_pipeline_001_spark import session as S
+
+    prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        S._TABLE_CACHE.clear()
+        t = S.load_tables(spark, "/root/testdata/sf0.001")
+        assert isinstance(t["events"].schema["ts"].dataType, ST.TimestampType)
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
+        S._TABLE_CACHE.clear()
+
+
+def test_diff_in_minutes_fractional(spark):
+    df = spark.sql(
+        "select timestamp'2024-01-01 10:00:00' as s,"
+        "       timestamp'2024-01-01 10:02:30.6' as e"
+    )
+    out = df.select(T.diff_in_minutes(F.col("s"), F.col("e")).alias("m")).collect()
+    assert out[0]["m"] == pytest.approx(2.51)
+
+
 def test_rounded_past_timestamp():
     now = datetime(2024, 6, 15, 13, 47, 22)
     # '1d' → floor to day minus 1 day (state_manager.py:333-363)
