@@ -603,10 +603,14 @@ def lm_perplexity_q(spark, sf_dir):
     perplexity = gibberish/boilerplate; outlier-low = repeated spam.
 
     Plan: ONE token explode feeds doc bigrams; the bigram and context
-    count tables are orders of magnitude smaller than the corpus and
-    broadcast back onto it; the per-doc score is a partial-agg
-    groupBy. No UDFs anywhere — the LN arithmetic is IEEE-identical
-    in the DuckDB oracle (AVG rounded to absorb summation order)."""
+    count tables join back onto the corpus on their natural keys
+    ((w1,w2) then w1) with NO explicit broadcast hint — at test scale
+    AQE promotes them to broadcast from runtime stats, while on a
+    100 TB corpus (distinct-bigram table in the tens of GB) the same
+    plan stays a shuffle join instead of OOMing the driver. The
+    per-doc score is a partial-agg groupBy. No UDFs anywhere — the LN
+    arithmetic is IEEE-identical in the DuckDB oracle (AVG rounded to
+    absorb summation order)."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
@@ -630,8 +634,8 @@ def lm_perplexity_q(spark, sf_dir):
         (F.col("n2") + F.lit(1.0)) / (F.col("n1") + F.lit(float(vocab)))
     )
     return (
-        bg.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
         .agg(
