@@ -555,32 +555,37 @@ class WindowPipeline:
         # one write for every window partition (dynamic overwrite keeps
         # re-runs idempotent per window)
         self.target_sink.load_all(tagged)
-        # one aggregation for every window's audit counts (A4/A5 for
-        # the whole plan at once), joined source-vs-target
-        src_counts = (
-            tagged.groupBy("window_ts")
-            .agg(F.count("*").alias("source_count"))
-            .select(F.col("window_ts").alias("window_start"), "source_count")
+        # ONE aggregation for every window's audit counts (A4/A5 for
+        # the whole plan at once): tag each side and conditionally
+        # count over the union — one shuffle on window_start with
+        # map-side partial aggregation, instead of two aggregations
+        # plus a full-outer join (which shuffled both sides twice and
+        # needed the join's null-coalescing). Window sets that exist
+        # on only one side fall out naturally with a 0 on the other.
+        src_side = tagged.select(
+            F.col("window_ts").alias("window_start"),
+            F.lit(1).alias("is_src"),
+            F.lit(0).alias("is_tgt"),
         )
         tgt = self.target_sink.read_all()
-        tgt_counts = (
-            tgt.groupBy("window_day", "window_start")
-            .agg(F.count("*").alias("target_count"))
-            .select(
-                F.to_timestamp(
-                    F.concat_ws(
-                        " ",
-                        F.col("window_day").cast("string"),
-                        F.regexp_replace("window_start", "-", ":"),
-                    )
-                ).alias("window_start"),
-                "target_count",
-            )
+        tgt_side = tgt.select(
+            F.to_timestamp(
+                F.concat_ws(
+                    " ",
+                    F.col("window_day").cast("string"),
+                    F.regexp_replace("window_start", "-", ":"),
+                )
+            ).alias("window_start"),
+            F.lit(0).alias("is_src"),
+            F.lit(1).alias("is_tgt"),
         )
-        audit = src_counts.join(tgt_counts, "window_start", "full").select(
-            "window_start",
-            F.coalesce("source_count", F.lit(0)).alias("source_count"),
-            F.coalesce("target_count", F.lit(0)).alias("target_count"),
+        audit = (
+            src_side.unionByName(tgt_side)
+            .groupBy("window_start")
+            .agg(
+                F.sum("is_src").alias("source_count"),
+                F.sum("is_tgt").alias("target_count"),
+            )
         )
         self.control.merge_audit_results(audit, self.config.pipeline_name)
         # audit rows with no control row would otherwise vanish silently
