@@ -47,6 +47,8 @@ HEADLINE = [
 ]
 
 EXTENDED = [
+    "q03_shipping_priority_bucketed",
+    "q10_returned_revenue_bucketed",
     "dedup_substring_spans",
     "curation_decontaminate",
     "text_tfidf_top_term",
@@ -197,10 +199,16 @@ def main() -> None:
         if big_dir:
             big_t = _time_spark_point(spark, qs, big_dir)
             big_duck = _time_duckdb_point(oracles, big_dir)
+            # bucketed twins at the big point: same oracle rows, fact
+            # join + per-order agg on the bucket layout (no shuffle)
+            bkt = ["q03_shipping_priority_bucketed", "q10_returned_revenue_bucketed"]
+            bkt_t = _time_spark_point(spark, qs, big_dir, bkt)
+            bkt_duck = _time_duckdb_point(oracles, big_dir, bkt)
             result["big"] = {
                 "sf": "1(10x-replicated-sf0.1)",
                 "total_s": round(sum(big_t.values()), 3),
                 "per_query": _per_query(big_t, big_duck),
+                "bucketed": _per_query(bkt_t, bkt_duck),
             }
 
     # optional 100x point (sf10, ~1.7 GB): where the data, not the

@@ -1,0 +1,174 @@
+"""Bucketed co-located variants of the TPC-H headliners (SURVEY §2.3).
+
+The round-2 plan audit found q03's residual cost is the
+high-cardinality orderkey shuffle: lineitem⋈orders must co-locate on
+(l_orderkey = o_orderkey) and the subsequent groupBy(o_orderkey, …)
+re-uses the same clustering. Bucketing both fact tables by orderkey
+into the same bucket count removes BOTH exchanges — the scan itself
+delivers the required distribution, which is exactly how a 100 TB
+deployment would lay these tables out (bucketed/sorted storage means
+every repeated fact-fact join and per-order rollup is shuffle-free
+forever, not once).
+
+These variants read bucketed *saved tables* materialized lazily from
+the same parquet (one-time cost per scale point, amortized across
+every subsequent query). Correctness: each variant registers the SAME
+DuckDB oracle as its plain twin — same rows, different physical plan —
+so the driver hash-checks that bucketing changed nothing but the
+shuffle count. A plan test asserts no ``Exchange hashpartitioning``
+survives in either variant.
+
+Reference analog: the reference's Snowflake tables are clustered on
+the drive keys (data_pipeline_001 main_pipeline_orchestrator.py's
+drive-table DDL); bucketing is the Spark-native equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.plans.queries import _rev, query
+from data_pipeline_001_spark.session import load_tables
+
+def _suffix(sf_dir: str) -> str:
+    return re.sub(r"[^0-9a-z]+", "_", sf_dir.strip("/").lower())
+
+
+def _auto_buckets(sf_dir: str) -> int:
+    """Bucket count scaled to the fact data: one bucket ≈ 32 MB of
+    lineitem parquet, clamped to [16, 4096] and rounded up to a power
+    of two. A fixed small count caps scan/join parallelism at larger
+    scale points (16 buckets = 16 tasks regardless of cores); the same
+    rule at 100 TB gives 4096 — the ceiling a deployment would raise."""
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        nbytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(os.path.join(sf_dir, "lineitem.parquet"))
+            for f in fs
+        )
+    want = max(16, nbytes // (32 * 1024 * 1024))
+    return min(4096, 1 << (int(want) - 1).bit_length())
+
+
+def ensure_bucketed(
+    spark: SparkSession, sf_dir: str, buckets: int | None = None
+) -> dict[str, str]:
+    """Materialize orders/lineitem bucketed+sorted by orderkey.
+
+    Idempotent per session: the session catalog remembers the saved
+    table; a fresh session overwrites the files (the in-memory catalog
+    forgets metadata between sessions, and bucket metadata must come
+    from the catalog for the shuffle elision to apply).
+    """
+    buckets = buckets or _auto_buckets(sf_dir)
+    sfx = _suffix(sf_dir)
+    names = {
+        "orders": f"orders_bkt_{sfx}",
+        "lineitem": f"lineitem_bkt_{sfx}",
+    }
+    t = load_tables(spark, sf_dir)
+    specs = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    for tbl, key in specs.items():
+        if not spark.catalog.tableExists(names[tbl]):
+            # the in-memory catalog forgets saved tables between
+            # sessions but their files persist; a stale location from a
+            # prior session blocks saveAsTable — it is our own derived
+            # artifact, so rebuild it from the source parquet
+            import shutil
+
+            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            shutil.rmtree(os.path.join(wh, names[tbl]), ignore_errors=True)
+            (
+                t[tbl]
+                .write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .saveAsTable(names[tbl])
+            )
+    return names
+
+
+# same oracle text as the plain twins: identical rows, different plan
+_Q03_ORACLE = """
+    SELECT o_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """
+
+_Q10_ORACLE = """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """
+
+
+@query("q03_shipping_priority_bucketed", _Q03_ORACLE)
+def q03_bucketed(spark, sf_dir):
+    """Q3 over orderkey-bucketed fact tables: the lineitem⋈orders sort
+    merge join AND the per-order aggregation run on the scan's own
+    distribution — zero hash exchanges (customer still broadcasts)."""
+    n = ensure_bucketed(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    cut = F.lit("1998-06-15 00:00:00").cast("timestamp")
+    return (
+        spark.table(n["lineitem"])
+        .where(F.col("l_shipdate") > cut)
+        .join(
+            spark.table(n["orders"]).where(F.col("o_orderdate") < cut),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query("q10_returned_revenue_bucketed", _Q10_ORACLE)
+def q10_bucketed(spark, sf_dir):
+    """Q10 over orderkey-bucketed fact tables: shuffle-free fact join;
+    only the final per-customer aggregation exchanges (its key is
+    c_custkey, a different clustering by nature)."""
+    n = ensure_bucketed(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    return (
+        spark.table(n["lineitem"])
+        .where(F.col("l_returnflag") == "R")
+        .join(
+            spark.table(n["orders"]),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

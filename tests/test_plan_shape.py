@@ -86,6 +86,22 @@ def test_embedding_near_dup_join_is_bucketed_not_cartesian(spark, registry):
     assert "tbl" in plan and "bucket" in plan
 
 
+def test_bucketed_q03_has_zero_hash_exchanges(spark, registry):
+    """The orderkey-bucketed Q3 variant must run the fact-fact join AND
+    the per-order aggregation on the scan's own bucket distribution:
+    zero hash exchanges in the whole plan (the customer dim broadcasts).
+    Broadcast is disabled for the fact join so the assertion holds at
+    any test scale, mirroring >threshold behavior at real scale."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(registry["q03_shipping_priority_bucketed"](spark, SF))
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan  # fact join co-located, not shuffled
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_no_row_python_udfs_anywhere(spark, registry):
     """Hot paths stay JVM-side; Python appears only via Arrow
     (mapInPandas → MapInPandas/ArrowEvalPython, never BatchEvalPython)."""
