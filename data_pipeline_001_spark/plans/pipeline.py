@@ -548,7 +548,10 @@ class WindowPipeline:
         support ``load_all`` (DayPartitionedTableSink).
 
         Returns the per-window audit DataFrame
-        (window_start, source_count, target_count).
+        (window_start, source_count, target_count) as FIRST observed;
+        windows whose initial audit mismatched then run the R3
+        adaptive-retry envelope, so the control table holds the final
+        per-window outcome (completed, or cleaned + reset).
         """
         self.populate(plan_start, plan_end)
         tagged = self.extract_all_windows(plan_start, plan_end)
@@ -586,8 +589,49 @@ class WindowPipeline:
                 F.sum("is_src").alias("source_count"),
                 F.sum("is_tgt").alias("target_count"),
             )
+            # materialize (one row per window): the retry envelope below
+            # may clean target partitions this plan's scan references,
+            # and the caller re-evaluates the returned frame
+            .localCheckpoint()
         )
         self.control.merge_audit_results(audit, self.config.pipeline_name)
+        # R3 on the batch path: the columnar merge above records the
+        # FIRST observation; windows it left mismatched (async sinks
+        # may still be landing rows) get the same adaptive retry
+        # envelope as the per-window loop — phase-1 tiered recount,
+        # phase-2 improvement-driven waits, exhaustion → clean+reset.
+        # Bounded driver work: one row per MISMATCHED window only,
+        # each recount a partition-pruned count job on the sink.
+        mismatched = (
+            self._scoped(self.control.read())
+            .where(
+                (F.col("pipeline_status") == "pending")
+                & (F.col("count_match_status") == "not_matched")
+                & F.col("source_count").isNotNull()
+            )
+            .select(
+                "unique_source_id",
+                "source_query_window_start_time",
+                "source_query_window_end_time",
+                "source_count",
+            )
+            .collect()
+        )
+        for row in mismatched:
+            status = self._audit(
+                row["unique_source_id"],
+                row["source_query_window_start_time"],
+                row["source_query_window_end_time"],
+                row["source_count"],
+                datetime.utcnow(),
+            )
+            if status == "completed":
+                # the columnar write DID run the earlier stages; mirror
+                # the merge ok-path's stage bookkeeping for this row
+                self.control.update_where(
+                    F.col("unique_source_id") == row["unique_source_id"],
+                    {f"{s}_status": "completed" for s in STAGES},
+                )
         # audit rows with no control row would otherwise vanish silently
         # (both sides are bounded: one row per window)
         planned = self._scoped(self.control.read()).select(

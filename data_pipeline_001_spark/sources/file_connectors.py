@@ -275,10 +275,37 @@ class MockAsyncSink(Sink):
         self.inner = inner
         self.reveal_steps = reveal_steps
         self._calls: dict[str, int] = {}
+        self._batch_reads = 0
 
     def load(self, df: DataFrame, start: datetime, end: datetime) -> None:
         self.inner.load(df, start, end)
         self._calls[start.isoformat()] = 0
+
+    def load_all(self, df: DataFrame) -> None:
+        """Batch-path load: delegate, then start every tagged window's
+        reveal schedule at zero (the driver-side collect is one row per
+        window and exists only in this test mock)."""
+        self.inner.load_all(df)
+        if "window_ts" in df.columns:
+            for r in df.select("window_ts").distinct().collect():
+                self._calls[r[0].isoformat()] = 0
+        self._batch_reads = 0
+
+    def read_all(self) -> DataFrame:
+        """Batch-path read-back: reveal a deterministic ~k/steps row
+        subset (hash-bucketed, monotone in k) so the columnar audit
+        sees an under-count that converges over successive reads, the
+        same contract count() provides per window."""
+        df = self.inner.read_all()
+        self._batch_reads = min(self._batch_reads + 1, self.reveal_steps)
+        k = self._batch_reads
+        if k >= self.reveal_steps:
+            return df
+        h = F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in df.columns]),
+            F.lit(self.reveal_steps),
+        )
+        return df.where(h < k)
 
     def exists(self, start: datetime, end: datetime) -> bool:
         return self.inner.exists(start, end)

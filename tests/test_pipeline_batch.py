@@ -12,6 +12,7 @@ from data_pipeline_001_spark.plans.pipeline import PipelineConfig, WindowPipelin
 from data_pipeline_001_spark.sources.file_connectors import (
     DayPartitionedTableSink,
     FileSource,
+    MockAsyncSink,
     PartitionedParquetSink,
 )
 
@@ -132,6 +133,88 @@ def test_merge_audit_results_dedupes_duplicate_windows(spark, tmp_path):
     )
     control.merge_audit_results(audit, "dup")
     assert control.read().count() == n_before
+
+
+def test_run_batch_async_sink_retries_to_match(spark, tmp_path):
+    """R3 on the batch path: an async sink whose counts lag behind
+    (Snowpipe semantics) makes the initial columnar audit mismatch on
+    every window; the adaptive envelope recounts each mismatched
+    window until the lagging loads become visible, and every control
+    row ends completed/matched — no data was recleaned or re-run."""
+    source = FileSource(spark, f"{SF_DIR}/events.parquet", ts_col="ts")
+    stage = PartitionedParquetSink(spark, str(tmp_path / "stage"))
+    inner = DayPartitionedTableSink(spark, str(tmp_path / "target"))
+    target = MockAsyncSink(inner, reveal_steps=3)
+    control = ControlTable(spark, str(tmp_path / "control"))
+    cfg = PipelineConfig(
+        pipeline_name="async_batch", granularity="6h", tolerance_pct=1.0
+    )
+    pipe = WindowPipeline(spark, cfg, source, stage, target, control)
+    waits = []
+    pipe._sleep = waits.append  # record the schedule without blocking
+
+    pipe.run_batch(DAY, DAY_END)
+
+    ct = pipe.control.read().collect()
+    assert len(ct) == 8
+    for r in ct:
+        assert r["pipeline_status"] == "completed", r["source_query_window_start_time"]
+        assert r["count_match_status"] == "matched"
+        assert r["completed_stage_number"] == 4
+        for stage_name in (
+            "source_discovery",
+            "source_to_stage",
+            "stage_to_target",
+            "audit",
+        ):
+            assert r[f"{stage_name}_status"] == "completed"
+    # the envelope actually ran: a phase-1 base wait per mismatched window
+    assert len(waits) >= 8
+    # and the target holds every source row (nothing was cleaned)
+    assert inner.read_all().count() == pipe.source.count(DAY, DAY_END)
+
+
+def test_run_batch_audit_mismatch_cleans_and_resets(spark, tmp_path):
+    """R3 exhaustion on the batch path: a sink that permanently loses
+    rows in one window never improves on recount, so that window is
+    cleaned from the target and its control row fully reset (M4) while
+    every other window completes."""
+
+    class LossyBatchSink(DayPartitionedTableSink):
+        def load_all(self, df):
+            lost = (
+                (F.col("window_day") == F.lit("2024-01-02").cast("date"))
+                & (F.col("window_start") == "00-00")
+                & (F.pmod(F.xxhash64(F.col("event_id")), F.lit(2)) == 0)
+            )
+            super().load_all(df.where(~lost))
+
+    source = FileSource(spark, f"{SF_DIR}/events.parquet", ts_col="ts")
+    stage = PartitionedParquetSink(spark, str(tmp_path / "stage"))
+    target = LossyBatchSink(spark, str(tmp_path / "target"))
+    control = ControlTable(spark, str(tmp_path / "control"))
+    cfg = PipelineConfig(
+        pipeline_name="lossy_batch", granularity="6h", tolerance_pct=1.0
+    )
+    pipe = WindowPipeline(spark, cfg, source, stage, target, control)
+
+    pipe.run_batch(DAY, DAY_END)
+
+    rows = {
+        r["source_query_window_start_time"]: r for r in pipe.control.read().collect()
+    }
+    bad = rows[datetime(2024, 1, 2, 0, 0)]
+    assert bad["pipeline_status"] == "pending"
+    assert bad["count_match_status"] == "not_matched"
+    assert bad["completed_stage_number"] == 0
+    assert bad["pipeline_retry_count"] == 1
+    assert bad["source_count"] is None  # M4 clears the counts
+    # the lossy window's partition was cleaned from the target
+    assert not target.exists(datetime(2024, 1, 2, 0, 0), datetime(2024, 1, 2, 6, 0))
+    for ws, r in rows.items():
+        if ws != datetime(2024, 1, 2, 0, 0):
+            assert r["pipeline_status"] == "completed", ws
+            assert r["count_match_status"] == "matched"
 
 
 def test_target_partition_pruning(batch_pipe, spark):
