@@ -7,14 +7,24 @@ overwhelmingly common machine-generated shape — a top-level scalar
 under a known key — a regex finds the value without materializing a
 parse tree, and WholeStageCodegen keeps it JVM-inline.
 
-The fast path is *guarded*, not trusted: rows where the regex misses
-(value is quoted, key absent, exotic formatting) fall back to
-``get_json_object``, which Spark evaluates lazily per-row inside the
-``when`` — so pathological rows get full-parser semantics and typical
-rows never pay for it. Known divergence: an escaped ``\\"key\\":``
-inside some *other* key's string value can false-positive the regex;
-use ``get_json_object`` directly when document shapes are adversarial
-rather than machine-generated.
+The fast path is *guarded*, not trusted, against BOTH miss classes:
+
+- rows where the regex misses (value quoted, key absent, exotic
+  formatting) fall back to ``get_json_object``;
+- rows that are not genuinely FLAT fall back too: the regex would
+  otherwise match ``"key":`` at any nesting depth (``{"a": {"k": 5},
+  "k": 7}`` must yield 7, not 5), so a flatness pre-check
+  (``^\\s*\\{[^{\\[]*\\}\\s*$`` — no second ``{`` and no ``[``
+  anywhere) routes every document containing a nested object/array to
+  the full parser. Documents whose *string values* contain ``{``/``[``
+  also fall back — conservative, never wrong.
+
+Spark evaluates the fallback lazily per-row inside the ``when``, so
+pathological rows get full-parser semantics and typical rows never pay
+for it. Known residual divergence: an escaped ``\\"key\\":`` inside
+some other key's string value in an otherwise-flat document can still
+false-positive the regex; use ``get_json_object`` directly when
+document shapes are adversarial rather than machine-generated.
 """
 
 from __future__ import annotations
@@ -26,6 +36,10 @@ from pyspark.sql import functions as F
 
 _SIMPLE_KEY = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+#: flat = one top-level object, no nested object/array anywhere (a
+#: second ``{`` or any ``[`` forces the full-parser fallback)
+_FLAT_DOC = r"^\s*\{[^{\[]*\}\s*$"
+
 
 def json_int_fast(json_col: str | Column, key: str) -> Column:
     """Extract a top-level integer ``key`` from a JSON string column,
@@ -35,7 +49,9 @@ def json_int_fast(json_col: str | Column, key: str) -> Column:
     col = F.col(json_col) if isinstance(json_col, str) else json_col
     fast = F.regexp_extract(col, rf'"{key}"\s*:\s*(-?\d+)[,}}\s]', 1)
     slow = F.get_json_object(col, f"$.{key}").try_cast("int")
-    return F.when(fast != "", fast.cast("int")).otherwise(slow)
+    return F.when(col.rlike(_FLAT_DOC) & (fast != ""), fast.cast("int")).otherwise(
+        slow
+    )
 
 
 def json_double_fast(json_col: str | Column, key: str) -> Column:
@@ -47,4 +63,6 @@ def json_double_fast(json_col: str | Column, key: str) -> Column:
         col, rf'"{key}"\s*:\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)[,}}\s]', 1
     )
     slow = F.get_json_object(col, f"$.{key}").try_cast("double")
-    return F.when(fast != "", fast.cast("double")).otherwise(slow)
+    return F.when(
+        col.rlike(_FLAT_DOC) & (fast != ""), fast.cast("double")
+    ).otherwise(slow)

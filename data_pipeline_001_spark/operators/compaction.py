@@ -12,9 +12,15 @@ reads).
 files; ``plan_compaction`` scans a sink root and returns only the
 directories whose file population is worth rewriting (many files,
 small average) so an incremental compactor touches cold, already-good
-directories zero times. The rewrite is write-temp → atomic swap, the
-same idempotence discipline as the sink itself (a crashed compaction
-leaves the original directory intact).
+directories zero times. The rewrite is write-temp → two-rename swap
+with crash recovery: the swap itself is NOT atomic (local filesystems
+have no atomic directory exchange), so ``compact_dir`` first recovers
+any half-finished swap a prior crash left behind — a stranded
+``._compact_old`` is restored if the data directory is missing (crash
+between the renames) and discarded if the data directory exists
+(crash before the final cleanup) — and stale temp output is always
+rebuilt. Net effect: at every entry the original data is intact and a
+re-run converges.
 """
 
 from __future__ import annotations
@@ -75,13 +81,26 @@ def compact_dir(
     """Rewrite one parquet directory to ~``target_bytes`` files.
 
     Read → coalesce (no shuffle: compaction is IO rebinning, the data
-    needs no redistribution) → write to a sibling temp dir → atomic
-    directory swap. Returns before/after file counts."""
+    needs no redistribution) → write to a sibling temp dir → two-rename
+    swap. The swap window (crash between the renames) is recovered on
+    the next entry — see the module docstring. Returns before/after
+    file counts."""
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # recover a prior crashed swap before touching anything:
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            # crashed between the renames — the original is in `old`
+            os.rename(old, path)
+        else:
+            # crashed before cleanup — `path` is the compacted result
+            shutil.rmtree(old)
+    # stale temp output is from an interrupted write; always rebuild
+    shutil.rmtree(tmp, ignore_errors=True)
+
     n_before, total = _dir_stats(path)
     target = max(1, math.ceil(total / target_bytes))
     df: DataFrame = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
     df.coalesce(target).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -446,6 +446,7 @@ def pq_train_codebooks(
     iters: int = 8,
     sample: int = 2000,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = 42,
 ):
     """Product-quantization codebooks (Jégou et al., TPAMI 2011): the
@@ -454,10 +455,19 @@ def pq_train_codebooks(
     bounded driver-side sample — at 100 TB the sample is still a
     fixed-size sketch and the m×2^nbits×dsub codebook ships to
     executors as a broadcast literal. Returns a numpy array of shape
-    (m, 2**nbits, dsub)."""
+    (m, 2**nbits, dsub).
+
+    The sample is the first ``sample`` rows BY ``id_col`` — a bare
+    limit() is partition-layout-dependent, which would make codebooks
+    (and every downstream PQ ranking) differ between environments.
+    When the sample holds fewer than 2^nbits vectors, seeding falls
+    back to choice-with-replacement (duplicate seeds collapse during
+    Lloyd iterations; empty clusters keep their seed)."""
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(sample).collect()
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat = mat / np.where(norms == 0, 1, norms)
@@ -469,7 +479,9 @@ def pq_train_codebooks(
     books = np.empty((m, ncodes, dsub))
     for j in range(m):
         sub = mat[:, j * dsub : (j + 1) * dsub]
-        cent = sub[rng.choice(len(sub), size=ncodes, replace=False)].copy()
+        cent = sub[
+            rng.choice(len(sub), size=ncodes, replace=len(sub) < ncodes)
+        ].copy()
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)

@@ -279,28 +279,38 @@ def constraint_gate_batch_handler(
 
     Batch-level (not row-level) diversion is deliberate: the
     constraints are aggregate properties (completeness rates, key
-    uniqueness) that individual rows can't violate alone, and batch
-    granularity keeps replay idempotent — a restarted batch lands
-    whole on the same side of the gate. The constraint evaluation is
-    one aggregation over the (already materialized) micro-batch.
+    uniqueness) that individual rows can't violate alone, and a
+    restarted batch lands whole on the same side of the gate. The
+    constraint evaluation is one aggregation over the (already
+    materialized) micro-batch.
+
+    Replay idempotence: foreachBatch is at-least-once (a crash between
+    the write and the checkpoint commit replays the batch), so every
+    output is keyed by batch id — data goes to a ``batch_id=<id>``
+    subdirectory written with OVERWRITE, and the report likewise. A
+    replayed batch rewrites its own directory instead of appending a
+    duplicate; readers of the root see ``batch_id`` as a partition
+    column for free.
     """
-    from pyspark.sql import functions as F
+    import os
 
     from data_pipeline_001_spark.operators.constraints import check_constraints
 
     def handle(batch_df, batch_id: int) -> None:
         batch_df.persist()
-        report = check_constraints(batch_df, constraints).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        )
+        report = check_constraints(batch_df, constraints)
         rows = report.collect()  # one row per constraint — bounded
         ok = all(r["passed"] == 1 for r in rows)
         if report_path is not None:
             batch_df.sparkSession.createDataFrame(
                 rows, report.schema
-            ).write.mode("append").parquet(report_path)
+            ).write.mode("overwrite").parquet(
+                os.path.join(report_path, f"batch_id={batch_id}")
+            )
         dest = good_path if ok else quarantine_path
-        batch_df.write.mode("append").parquet(dest)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(dest, f"batch_id={batch_id}")
+        )
         batch_df.unpersist()
 
     return handle

@@ -77,6 +77,13 @@ def test_json_int_fast_matches_full_parser(spark):
         ('{"k": 1, "j": 2}',),
         (None,),
         ('not json at all',),
+        # nested-object false-positive class (ADVICE r2): the regex
+        # alone would match the INNER "k": 5 — the flatness guard must
+        # route these to the full parser, which answers from $.k only
+        ('{"a": {"k": 5}, "k": 7}',),
+        ('{"a": {"k": 5}}',),          # only nested k → $.k is null
+        ('{"arr": [1, 2], "k": 9}',),  # array present → fallback
+        ('{"k": 3, "b": {"c": 1}}',),  # nested after the key → fallback
     ]
     df = spark.createDataFrame(rows, "props string")
     got = df.select(

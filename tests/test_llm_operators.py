@@ -370,6 +370,25 @@ def test_pq_codes_shape(tables, spark):
         assert all(0 <= c < 16 for c in r["code"])
 
 
+def test_pq_codebooks_deterministic_and_small_corpus_safe(tables, spark):
+    """ADVICE r2: the training sample must be ordered (a bare limit()
+    is partition-layout-dependent), and a corpus smaller than 2^nbits
+    must train without raising (seed with replacement)."""
+    import numpy as np
+
+    from data_pipeline_001_spark.operators.similarity import pq_train_codebooks
+
+    e = tables["embeddings"]
+    a = pq_train_codebooks(e, m=8, nbits=4, sample=200)
+    b = pq_train_codebooks(e.repartition(7), m=8, nbits=4, sample=200)
+    assert np.array_equal(a, b)  # layout-independent
+
+    tiny = e.orderBy("vec_id").limit(5)  # 5 vectors < 2^4 centroids
+    books = pq_train_codebooks(tiny, m=8, nbits=4)
+    assert books.shape == (8, 16, 8)
+    assert np.isfinite(books).all()
+
+
 def test_minhash_incremental_rejects_near_copies(spark):
     from data_pipeline_001_spark.operators.dedup import minhash_incremental
 

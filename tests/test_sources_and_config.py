@@ -201,6 +201,36 @@ def test_compaction_swap_is_atomic_on_failure(spark, tmp_path, monkeypatch):
     assert set(os.listdir(p)) == before  # original untouched
 
 
+def test_compaction_recovers_crashed_swap(spark, tmp_path):
+    """Crash WINDOWS of the two-rename swap (ADVICE r2): a stranded
+    ._compact_old with the data dir missing (crash between renames)
+    must be restored; one alongside an existing data dir (crash before
+    cleanup) must be discarded; a stale temp dir is always rebuilt.
+    In every case a re-run compacts successfully."""
+    import shutil
+
+    import data_pipeline_001_spark.operators.compaction as C
+
+    p = str(tmp_path / "d")
+    spark.range(1000).repartition(8).write.parquet(p)
+    rows = spark.read.parquet(p).orderBy("id").collect()
+
+    # case 1: crash between the renames — data only in ._compact_old
+    os.rename(p, p + "._compact_old")
+    res = C.compact_dir(spark, p, target_bytes=1 << 30)
+    assert res["files_after"] == 1
+    assert spark.read.parquet(p).orderBy("id").collect() == rows
+    assert not os.path.exists(p + "._compact_old")
+
+    # case 2: crash before cleanup — compacted data at p, old lingers
+    spark.range(50).write.parquet(p + "._compact_old")
+    spark.range(10).coalesce(1).write.parquet(p + "._compact_tmp")  # stale tmp too
+    res = C.compact_dir(spark, p, target_bytes=1 << 30)
+    assert spark.read.parquet(p).orderBy("id").collect() == rows
+    assert not os.path.exists(p + "._compact_old")
+    assert not os.path.exists(p + "._compact_tmp")
+
+
 def test_source_schema_evolution(spark, tmp_path):
     """Older files lack a later-added column: both the mergeSchema
     route and the explicit-schema route must read the union schema

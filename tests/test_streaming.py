@@ -344,3 +344,11 @@ def test_constraint_gate_routes_batches(spark, tmp_path):
     assert spark.read.parquet(quar).where(F.col("v").isNull()).count() == 5
     reports = spark.read.parquet(rep).orderBy("batch_id").collect()
     assert [r["passed"] for r in reports] == [1, 0]
+
+    # at-least-once replay (ADVICE r2): re-invoking the handler with an
+    # already-committed batch id must overwrite that batch's output,
+    # not append a duplicate — counts and report stay unchanged
+    handler(dirty, 1)
+    assert spark.read.parquet(quar).count() == 10
+    assert spark.read.parquet(good).count() == 10
+    assert spark.read.parquet(rep).count() == 2
