@@ -114,13 +114,18 @@ def round_timestamp(ts: Column, unit: str) -> Column:
 
 
 def diff_in_minutes(start: Column, end: Column) -> Column:
-    """F6: float minutes between two timestamps.
+    """F6: float minutes of PHYSICAL elapsed time between timestamps.
 
-    ``timestampdiff(MICROSECOND, ...)`` accepts both TIMESTAMP and
-    TIMESTAMP_NTZ (an epoch-double cast does not), keeping microsecond
-    precision.
+    ``unix_micros`` gives the epoch instant, so a DST-transition day
+    spans 23/25 h here (``timestampdiff`` would report the 24 h
+    wall-clock difference instead). The inner ``cast("timestamp")`` is
+    a no-op for TIMESTAMP and makes the expression legal for
+    TIMESTAMP_NTZ inputs (interpreted in the session zone) — an
+    epoch-double cast on NTZ is an analysis error.
     """
-    return F.timestamp_diff("MICROSECOND", start, end) / 6e7
+    return (
+        F.unix_micros(end.cast("timestamp")) - F.unix_micros(start.cast("timestamp"))
+    ) / 6e7
 
 
 def window_duration_minutes(start: Column, end: Column) -> Column:

@@ -32,6 +32,61 @@ def time_spine(spark, sf_dir):
 
 
 @query(
+    "time_spine_dst_week",
+    """
+    WITH hrs AS (
+      SELECT range AS ws FROM range(TIMESTAMP '2024-03-09 08:00:00',
+                                    TIMESTAMP '2024-03-12 08:00:00', INTERVAL 1 HOUR)
+      UNION ALL
+      SELECT range AS ws FROM range(TIMESTAMP '2024-11-02 07:00:00',
+                                    TIMESTAMP '2024-11-05 08:00:00', INTERVAL 1 HOUR)
+    ),
+    loc AS (SELECT timezone('America/Los_Angeles', ws::TIMESTAMPTZ) AS lws FROM hrs)
+    SELECT CAST(lws AS DATE) AS local_day,
+           COUNT(*) AS n_hours,
+           MIN(lws) AS first_local_hour,
+           MAX(lws) AS last_local_hour
+    FROM loc
+    GROUP BY local_day
+    HAVING local_day IN (DATE '2024-03-09', DATE '2024-03-10', DATE '2024-03-11',
+                         DATE '2024-11-02', DATE '2024-11-03', DATE '2024-11-04')
+    """,
+)
+def time_spine_dst_week(spark, sf_dir):
+    """DST window math pinned against the oracle: an hourly UTC spine
+    over the 2024 America/Los_Angeles transition days, rolled up per
+    LOCAL day. The spring-forward day (2024-03-10) must have 23 hours
+    and the fall-back day (2024-11-03) 25 — wall-clock day arithmetic,
+    the reference's pendulum stance (time_utils.py throughout), here
+    expressed with from_utc_timestamp so no session state changes.
+    Every local day still runs first-hour 00:00 → last-hour 23:00."""
+    from data_pipeline_001_spark.functions.time_fns import window_spine
+
+    spring = window_spine(
+        spark, "2024-03-09 08:00:00", "2024-03-12 08:00:00", "1h"
+    )
+    fall = window_spine(
+        spark, "2024-11-02 07:00:00", "2024-11-05 08:00:00", "1h"
+    )
+    lws = F.from_utc_timestamp("window_start", "America/Los_Angeles")
+    days = [
+        "2024-03-09", "2024-03-10", "2024-03-11",
+        "2024-11-02", "2024-11-03", "2024-11-04",
+    ]
+    return (
+        spring.unionByName(fall)
+        .select(lws.alias("lws"))
+        .groupBy(F.to_date("lws").alias("local_day"))
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.min("lws").alias("first_local_hour"),
+            F.max("lws").alias("last_local_hour"),
+        )
+        .where(F.col("local_day").isin(days))
+    )
+
+
+@query(
     "time_floor_ceil_round",
     """
     SELECT event_id,

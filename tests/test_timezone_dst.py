@@ -50,6 +50,29 @@ def test_day_boundary_is_local_midnight(spark):
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 
 
+def test_dst_week_query_day_shapes(spark):
+    """The registered time_spine_dst_week query (oracle-checked against
+    DuckDB AT TIME ZONE arithmetic by the driver) must show the 2024
+    America/Los_Angeles transitions: 23 hours on spring-forward day,
+    25 on fall-back day, 24 on their neighbors, and every local day
+    spanning first-hour 00:00 → last-hour 23:00."""
+    import __spark_entry__ as E
+
+    q = E.queries()["time_spine_dst_week"]
+    got = {
+        str(r["local_day"]): r
+        for r in q(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(got) == 6
+    assert got["2024-03-10"]["n_hours"] == 23
+    assert got["2024-11-03"]["n_hours"] == 25
+    for day, r in got.items():
+        if day not in ("2024-03-10", "2024-11-03"):
+            assert r["n_hours"] == 24, day
+        assert r["first_local_hour"].hour == 0, day
+        assert r["last_local_hour"].hour == 23, day
+
+
 def test_config_template_rendering():
     cfg = render_templates(
         {
