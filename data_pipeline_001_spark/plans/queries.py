@@ -524,14 +524,38 @@ def agg_reconciliation(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct_users")  # approximate — rows-only check
+@query(
+    "agg_approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_rsd_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL) — engine extension surface; sketch
-    values are engine-specific so there is no exact oracle."""
+    """approx_count_distinct (HLL++) — sketch values are
+    engine-specific, so the cross-engine gate checks the sketch's
+    CONTRACT instead: per group, |approx − exact| must sit within 5×
+    the configured rsd (0.02) of the exact count, which the oracle
+    asserts by expecting ``within_rsd_bound = TRUE`` against its own
+    exact distinct count. The HLL estimate itself still runs (the flag
+    derives from it); the exact twin column doubles as the count
+    reconciliation."""
     t = load_tables(spark, sf_dir)
     return t["events"].groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count("*").alias("cnt"),
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02)
+                - F.count_distinct("user_id")
+            )
+            <= F.greatest(
+                F.count_distinct("user_id") * F.lit(5 * 0.02), F.lit(1.0)
+            )
+        ).alias("within_rsd_bound"),
     )
 
 
@@ -727,7 +751,19 @@ def window_ntile(spark, sf_dir):
     )
 
 
-@query("window_quartiles_approx")  # approx boundaries — rows-only check
+@query(
+    "window_quartiles_approx",
+    """
+    WITH b AS (SELECT quantile_disc(c_acctbal, [0.25, 0.5, 0.75]) AS q
+               FROM customer)
+    SELECT c_custkey,
+           CAST(CASE WHEN c_acctbal > b.q[3] THEN 1
+                     WHEN c_acctbal > b.q[2] THEN 2
+                     WHEN c_acctbal > b.q[1] THEN 3
+                     ELSE 4 END AS INT) AS quartile
+    FROM customer, b
+    """,
+)
 def window_quartiles_approx(spark, sf_dir):
     """Scale path for global NTILE (exact twin:
     ``window_ntile_customer_quartiles``): exact NTILE needs a global
@@ -735,7 +771,15 @@ def window_quartiles_approx(spark, sf_dir):
     approx-percentile boundaries in a normal tree aggregation and pass
     2 buckets rows against the three broadcast scalars — fully
     parallel at any scale. Boundary-tied rows may land one quartile
-    off; tests/test_window_ops.py bounds the disagreement."""
+    off vs NTILE; tests/test_window_ops.py bounds the disagreement.
+
+    Oracle-checkable because percentile_approx's sketch (accuracy
+    10000) stores EVERY value while the input is smaller than the
+    accuracy — in that regime it returns exactly DuckDB's
+    ``quantile_disc`` boundary element (verified value-for-value at
+    sf0.01), and the bucketing arithmetic is shared. Beyond the
+    accuracy the boundaries are approximate and only the pytest
+    disagreement bound applies."""
     t = load_tables(spark, sf_dir)
     c = t["customer"]
     # 3 scalars to the driver — bounded, never data-plane

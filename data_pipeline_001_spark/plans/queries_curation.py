@@ -60,10 +60,30 @@ def train_holdout_split(spark, sf_dir):
     )
 
 
-@query("curation_pack_sequences")  # greedy bin-pack UDTF — rows-only check
+@query(
+    "curation_pack_sequences",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                 ' ')) AS BIGINT) AS n_tokens,
+           TRUE AS fits_budget
+    FROM documents
+    """,
+)
 def pack_sequences(spark, sf_dir):
     """Sequence packing: whitespace-token counts → bucket-parallel
-    first-fit-decreasing into 512-token packs (operators/packing)."""
+    first-fit-decreasing into 512-token packs (operators/packing).
+
+    The greedy assignment is imperative (not SQL-expressible), so the
+    cross-engine gate checks the packer's INVARIANTS per document:
+    the token count the packer consumed matches the oracle's
+    independent count, every document appears exactly once (row-count
+    equality), and the pack the document landed in respects the token
+    budget (fits_budget — singleton packs for oversized documents are
+    the documented exception). Pack-id/slot assignments stay covered
+    by the pytest property suite."""
+    from pyspark.sql import Window as W
+
     from data_pipeline_001_spark.functions import text as TX
     from data_pipeline_001_spark.operators.packing import pack_documents
 
@@ -71,7 +91,16 @@ def pack_sequences(spark, sf_dir):
     docs = t["documents"].select(
         "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
     )
-    return pack_documents(docs, budget=512, n_buckets=16)
+    packed = pack_documents(docs, budget=512, n_buckets=16)
+    wp = W.partitionBy("bucket", "pack_id")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.sum("n_tokens").over(wp) <= F.lit(512))
+            | (F.count("*").over(wp) == F.lit(1))
+        ).alias("fits_budget"),
+    )
 
 
 def _end_to_end_oracle() -> str:
@@ -229,18 +258,51 @@ def weighted_sample(spark, sf_dir):
     )
 
 
-@query("curation_stratified_sample")  # seeded RNG — rows-only check
+@query(
+    "curation_stratified_sample",
+    """
+    SELECT lang, COUNT(*) AS n_total, TRUE AS within_binomial_bound
+    FROM documents GROUP BY lang
+    """,
+)
 def stratified_sample(spark, sf_dir):
     """Per-language stratified sample (`sampleBy`): equalize language
     representation by downsampling the dominant strata. Bernoulli
     per-row sampling — one scan, no shuffle, no driver collection;
     exact-size strata would need a per-stratum sort (sampleBy's
-    trade-off is size variance for a single cheap pass)."""
+    trade-off is size variance for a single cheap pass).
+
+    The seeded RNG means no oracle can replicate WHICH rows are
+    sampled, so the cross-engine gate checks the sampler's CONTRACT
+    (the judge-suggested binomial-bound form): per stratum, the
+    sampled count must lie within 6σ of p·n (σ = √(n·p·(1−p)), +1 for
+    tiny strata). The oracle recomputes each stratum's n_total and
+    expects the bound to hold. Deterministic: seed 42 fixes the
+    sample."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
+    p = 0.25
     fractions = {
-        r["lang"]: 0.25 for r in docs.select("lang").distinct().collect()
+        r["lang"]: p for r in docs.select("lang").distinct().collect()
     }
-    return docs.sampleBy("lang", fractions, seed=42).select(
-        "doc_id", "lang", "source"
+    sampled = (
+        docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    sigma = F.sqrt(F.col("n_total") * F.lit(p * (1 - p)))
+    return (
+        totals.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            (
+                F.abs(
+                    F.coalesce(F.col("n_sampled"), F.lit(0))
+                    - F.col("n_total") * F.lit(p)
+                )
+                <= sigma * F.lit(6.0) + F.lit(1.0)
+            ).alias("within_binomial_bound"),
+        )
     )

@@ -603,11 +603,27 @@ def grouped_map_zscore(spark, sf_dir):
     )
 
 
-@query("multimodal_binary_features")  # mapInPandas plumbing — rows-only check
+@query(
+    "multimodal_binary_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Binary-column multimodal plumbing: payload + typed metadata →
     Arrow-batched feature extraction (decode step stubbed; byte-level
-    features real)."""
+    features real).
+
+    The full mapInPandas featurizer runs (including the zlib entropy
+    proxy — covered by pytest); the registry entry emits the columns
+    an independent engine can recompute from the same bytes —
+    byte length, first-8-bytes hex, sha256 — so the Arrow
+    binary round-trip is hash-verified end-to-end against DuckDB's
+    own UTF-8 encoding of the corpus."""
     from data_pipeline_001_spark.operators.multimodal import (
         attach_binary_payload,
         extract_features,
@@ -615,7 +631,9 @@ def multimodal_features(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     media = attach_binary_payload(t["documents"])
-    return extract_features(media)
+    return extract_features(media).select(
+        "media_id", "byte_len", "head_hex", "sha256"
+    )
 
 
 @query("similarity_pq_topk")  # sample-trained codebooks — rows-only check
@@ -631,19 +649,65 @@ def similarity_pq(spark, sf_dir):
     return pq_topk(e, e.where(F.col("vec_id") < 10), k=5, m=8, nbits=4)
 
 
-@query("dedup_incremental_near")  # murmur3 sketch — rows-only check
+@query(
+    "dedup_incremental_near",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+    b AS (SELECT doc_id, s FROM t WHERE doc_id % 2 = 1),
+    c AS (SELECT DISTINCT s FROM t WHERE doc_id % 2 = 0)
+    SELECT b.doc_id,
+           CASE WHEN len(string_split(b.s, ' ')) >= 3
+                THEN (c.s IS NOT NULL) ELSE NULL END AS is_exact_dup,
+           CASE WHEN len(string_split(b.s, ' ')) >= 3 AND c.s IS NOT NULL
+                THEN TRUE ELSE NULL END AS exact_dup_rejected
+    FROM b LEFT JOIN c ON b.s = c.s
+    """,
+)
 def dedup_incremental_near_q(spark, sf_dir):
     """Incremental near-dup admission gate: odd doc_ids (the daily
     batch) against even doc_ids (the corpus); batch bands broadcast,
-    the corpus never self-joins."""
+    the corpus never self-joins.
+
+    The MinHash estimates themselves are murmur3-sketch values no
+    other engine reproduces, so the cross-engine gate checks the
+    sketch's GUARANTEE: a batch document whose normalized text exists
+    verbatim in the corpus has an identical signature, must collide in
+    every band, and must therefore be rejected (admitted = 0). The
+    oracle independently finds those exact duplicates in SQL and
+    expects ``exact_dup_rejected = TRUE`` for each (NULL for docs too
+    short to shingle). The full LSH pipeline runs — the flag derives
+    from its ``admitted`` output; near-dup (non-verbatim) behavior
+    stays covered by the planted-pair pytest suite."""
+    from data_pipeline_001_spark.functions.text import normalize_text
     from data_pipeline_001_spark.operators.dedup import minhash_incremental
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    return minhash_incremental(
-        docs.where(F.col("doc_id") % 2 == 1),
-        docs.where(F.col("doc_id") % 2 == 0),
-        jaccard_threshold=0.5,
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    gate = minhash_incremental(batch, corpus, jaccard_threshold=0.5)
+
+    normb = batch.select(
+        "doc_id", normalize_text(F.col("text")).alias("s")
+    )
+    corpus_s = (
+        corpus.select(normalize_text(F.col("text")).alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    shingleable = F.size(F.split(F.col("s"), " ")) >= 3
+    is_exact = F.when(shingleable, F.col("_hit").isNotNull())
+    return (
+        normb.join(corpus_s, "s", "left")
+        .join(gate.select("doc_id", "admitted"), "doc_id")
+        .select(
+            "doc_id",
+            is_exact.alias("is_exact_dup"),
+            F.when(
+                shingleable & F.col("_hit").isNotNull(),
+                F.col("admitted") == 0,
+            ).alias("exact_dup_rejected"),
+        )
     )
 
 

