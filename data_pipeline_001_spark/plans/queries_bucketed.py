@@ -125,16 +125,23 @@ _Q10_ORACLE = """
 
 @query("q03_shipping_priority_bucketed", _Q03_ORACLE)
 def q03_bucketed(spark, sf_dir):
-    """Q3 over orderkey-bucketed fact tables: the lineitem⋈orders sort
-    merge join AND the per-order aggregation run on the scan's own
-    distribution — zero hash exchanges (customer still broadcasts)."""
+    """Q3 over orderkey-bucketed fact tables with eager aggregation:
+    the per-order revenue pre-agg runs on the bucketed scan's own
+    distribution (no exchange), the lineitem⋈orders sort merge join
+    consumes one row per order on the same distribution (no
+    exchange), and the customer dim broadcasts — zero hash exchanges
+    in the whole plan (asserted in test_plan_shape)."""
     n = ensure_bucketed(spark, sf_dir)
     t = load_tables(spark, sf_dir)
     cut = F.lit("1998-06-15 00:00:00").cast("timestamp")
-    return (
+    li = (
         spark.table(n["lineitem"])
         .where(F.col("l_shipdate") > cut)
-        .join(
+        .groupBy("l_orderkey")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    return (
+        li.join(
             spark.table(n["orders"]).where(F.col("o_orderdate") < cut),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -144,8 +151,12 @@ def q03_bucketed(spark, sf_dir):
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.round("rev", 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
