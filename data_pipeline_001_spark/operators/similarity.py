@@ -282,22 +282,25 @@ def kmeans_centroids(
     iters: int = 5,
     sample: int = 2000,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = 42,
 ):
     """Deterministic mini k-means on a driver-side sample → centroid
     list (the IVF coarse quantizer). The sample is bounded (``sample``
-    rows); Lloyd iterations run in NumPy on the driver. At 100 TB the
-    sample is still a tiny fixed-size sketch of the corpus — the
-    centroids ship to executors as literals.
+    rows) and taken in ``id_col`` order — a bare limit() is
+    partition-layout-dependent and would make centroids differ between
+    environments; Lloyd iterations run in NumPy on the driver. At
+    100 TB the sample is still a tiny fixed-size sketch of the corpus
+    — the centroids ship to executors as literals.
     """
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(sample).collect()
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat = mat / np.where(norms == 0, 1, norms)
     rng = np.random.RandomState(seed)
-    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
+    centroids = mat[rng.choice(len(mat), size=k, replace=len(mat) < k)]
     for _ in range(iters):
         sims = mat @ centroids.T
         assign = np.argmax(sims, axis=1)
@@ -623,4 +626,132 @@ def pq_topk(
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int | None = None,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_cluster_size: int = 2_000,
+    target_cluster_size: int = 500,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then find
+    near-duplicate groups by exact cosine WITHIN each cluster only and
+    keep one representative per group.
+
+    Scale shape — the cluster is what makes the quadratic tractable:
+    pairwise comparison is confined to same-cluster (and same
+    sub-bucket, below) rows, so candidate volume is Σ(cluster²)
+    instead of corpus²; the cluster id is the shuffle key.
+    ``n_clusters=None`` (the registered-query default) derives the
+    cluster count from the corpus size so the average cluster ≈
+    ``target_cluster_size`` rows — a FIXED count does not survive
+    corpus growth (at 1000× the data every cluster is 1000× the rows
+    and Σ cluster² turns quadratic; the first sweep of this operator
+    at sf1 demonstrated exactly that and hung). Clusters still larger
+    than ``max_cluster_size`` (dense regions) are subdivided by a hash
+    of the id into ⌈size/max⌉ sub-buckets before pairing — the same
+    bounded-bucket discipline as MinHash-LSH's bucket caps, trading a
+    documented recall miss class (duplicates straddling a sub-bucket
+    or cluster boundary — the paper's cluster-granularity knob) for a
+    hard upper bound on any single task's work.
+
+    Returns (vec_id, cluster_id, group_id, keep): ``group_id`` is the
+    min id of the near-dup component (null when the row has no
+    near-dup), ``keep`` marks the component's canonical survivor
+    (min id — deterministic, unlike the paper's centroid-distance
+    rule, so re-runs and engines agree).
+    """
+    import numpy as np
+
+    from data_pipeline_001_spark.operators.dedup import connected_components
+
+    if n_clusters is None:
+        n = corpus.count()  # one cheap count job, driver-side scalar
+        # ceiling 4096 = what the driver-side NumPy Lloyd loop trains
+        # comfortably; a cluster deployment swaps kmeans_centroids for
+        # a distributed trainer (the assignment map stays as-is) and
+        # raises it — the sub-bucket cap below bounds the work either
+        # way.
+        n_clusters = max(8, min(4096, n // target_cluster_size))
+    cents = kmeans_centroids(
+        corpus,
+        k=n_clusters,
+        sample=max(2000, min(8 * n_clusters, 16384)),
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+    )
+    cmat = np.array(cents)
+
+    out_schema = f"{id_col} long, cluster_id int"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0, 1, norms)
+            best = np.argmax(mat @ cmat.T, axis=1).astype("int32")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cluster_id": best}
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    base = corpus.select(id_col, vec_col).join(assigned, id_col)
+
+    # bounded sub-buckets inside oversized clusters (crc32 of the id —
+    # deterministic and engine-independent)
+    sizes = base.groupBy("cluster_id").agg(F.count("*").alias("_csz"))
+    sub = F.when(
+        F.col("_csz") > max_cluster_size,
+        F.pmod(
+            F.crc32(F.col(id_col).cast("string")),
+            F.ceil(F.col("_csz") / F.lit(max_cluster_size)).cast("long"),
+        ),
+    ).otherwise(F.lit(0))
+    # unit-normalize ONCE per row before the pair join: cosine inside
+    # an n² join would recompute both norms per PAIR (~3× the per-pair
+    # array work — same hoist the ANN paths use)
+    unit = F.transform(
+        F.col(vec_col),
+        lambda x: x.cast("double")
+        / F.greatest(norm(F.col(vec_col)), F.lit(1e-12)),
+    )
+    keyed = base.join(F.broadcast(sizes), "cluster_id").select(
+        id_col, "cluster_id", sub.cast("int").alias("_sub"), unit.alias("_u")
+    )
+
+    a = keyed.select(
+        F.col("cluster_id"), F.col("_sub"),
+        F.col(id_col).alias("id_a"), F.col("_u").alias("_ua"),
+    )
+    b = keyed.select(
+        F.col("cluster_id"), F.col("_sub"),
+        F.col(id_col).alias("id_b"), F.col("_u").alias("_ub"),
+    )
+    pairs = (
+        a.join(b, ["cluster_id", "_sub"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dot(F.col("_ua"), F.col("_ub")) >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(pairs).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("group_id")
+    )
+    return (
+        assigned.join(comps, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "group_id",
+            (
+                F.col("group_id").isNull()
+                | (F.col("group_id") == F.col(id_col))
+            ).alias("keep"),
+        )
     )

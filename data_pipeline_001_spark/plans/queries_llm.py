@@ -636,6 +636,20 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@query("dedup_semantic_clusters")  # k-means routing — rows-only check
+def dedup_semantic_q(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse
+    k-means clusters bound the pairwise cosine search; one canonical
+    survivor per near-dup component. Rows-only: the cluster routing is
+    a trained quantizer no SQL engine reproduces; the keep/remove
+    contract is property-tested (planted near-identical vectors must
+    collapse; every removed row has a kept neighbor ≥ threshold)."""
+    from data_pipeline_001_spark.operators.similarity import semantic_dedup
+
+    t = load_tables(spark, sf_dir)
+    return semantic_dedup(t["embeddings"], threshold=0.93)
+
+
 @query("similarity_pq_topk")  # sample-trained codebooks — rows-only check
 def similarity_pq(spark, sf_dir):
     """Product-quantization ANN (ADC scan over m-byte codes + exact

@@ -7,15 +7,18 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
-ROWS_ONLY = [
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "similarity_pq_topk",
-    "dedup_incremental_near",
-    "dedup_embedding_lsh",
-]
+def _rows_only_names():
+    """Derive the list from the registry so a new rows-only entry is
+    covered the moment it registers (a stale static list silently
+    skips it). dedup_incremental_near / multimodal etc. graduated to
+    property-form oracles in round 3 and fall out automatically."""
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    return sorted(n for n in qs if n not in oracles)
+
+
+ROWS_ONLY = _rows_only_names()
 
 
 def _canon(df):

@@ -411,3 +411,59 @@ def test_minhash_incremental_rejects_near_copies(spark):
     assert out[10]["best_jaccard"] >= 0.5
     assert out[12]["admitted"] == 0 and out[12]["best_jaccard"] == 1.0
     assert out[11]["admitted"] == 1
+
+
+def test_semantic_dedup_collapses_planted_near_identicals(spark, tables):
+    """SemDeDup contract: planted near-identical copies of an existing
+    vector are removed (one canonical survivor, min id), distinct
+    vectors keep, and every removed row has a kept near neighbor at or
+    above the threshold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.functions.vectors import cosine_similarity
+    from data_pipeline_001_spark.operators.similarity import semantic_dedup
+
+    e = tables["embeddings"]
+    base = e.orderBy("vec_id").limit(3).collect()
+    planted = []
+    for i, r in enumerate(base):
+        v = np.array(r["embedding"], dtype=np.float64)
+        noisy = v + np.random.RandomState(i).normal(0, 1e-4, len(v))
+        planted.append((900000 + i, [float(x) for x in noisy]))
+    corpus = e.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    )
+    out = semantic_dedup(corpus, n_clusters=8, threshold=0.95)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == corpus.count()
+    for i, r in enumerate(base):
+        twin = rows[900000 + i]
+        orig = rows[r["vec_id"]]
+        # the planted copy joins its original's group; min id survives
+        assert twin["group_id"] == orig["group_id"] == orig["vec_id"]
+        assert not twin["keep"] and orig["keep"]
+
+    # every removed row has a kept neighbor >= threshold
+    removed = out.where(~F.col("keep")).select(
+        F.col("vec_id").alias("rid"), F.col("group_id").alias("g")
+    )
+    kept = out.where(F.col("keep")).select(F.col("vec_id").alias("kid"))
+    vecs = corpus.select("vec_id", "embedding")
+    pairs = (
+        removed.join(vecs.withColumnRenamed("vec_id", "rid"), "rid")
+        .withColumnRenamed("embedding", "ev_r")
+        .join(kept.join(vecs.withColumnRenamed("vec_id", "kid"), "kid"), F.col("g") == F.col("kid"))
+        .withColumnRenamed("embedding", "ev_k")
+        .where(cosine_similarity(F.col("ev_r"), F.col("ev_k")) >= 0.95)
+    )
+    assert pairs.count() == removed.count()
+
+
+def test_semantic_dedup_deterministic(spark, tables):
+    from data_pipeline_001_spark.operators.similarity import semantic_dedup
+
+    e = tables["embeddings"]
+    a = semantic_dedup(e, n_clusters=8, threshold=0.93).collect()
+    b = semantic_dedup(e.repartition(5), n_clusters=8, threshold=0.93).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
