@@ -306,3 +306,75 @@ def stratified_sample(spark, sf_dir):
             ).alias("within_binomial_bound"),
         )
     )
+
+
+@query(
+    "curation_temperature_mixture",
+    """
+    WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    p AS (SELECT source, n_docs,
+                 n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE) AS share FROM s)
+    SELECT source, n_docs,
+           ROUND(share, 6) AS natural_share,
+           ROUND(POWER(share, 0.5) / SUM(POWER(share, 0.5)) OVER (), 6)
+               AS temp_weight
+    FROM p
+    """,
+)
+def temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture weights (the multilingual-corpus
+    rebalancing rule, q_i ∝ p_i^α with α = 0.5): upweights rare
+    sources relative to their natural share without flattening the
+    mixture entirely — the knob between proportional (α=1) and
+    uniform (α=0) sampling that multilingual/ multi-source training
+    mixes tune. One aggregation; the unpartitioned window frames run
+    over the per-SOURCE table (rows = distinct sources, bounded), not
+    the corpus."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy()
+    s = t["documents"].groupBy("source").agg(F.count("*").alias("n_docs"))
+    share = F.col("n_docs") / F.sum("n_docs").over(w).cast("double")
+    tw = F.pow(share, 0.5) / F.sum(F.pow(share, 0.5)).over(w)
+    return s.select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("natural_share"),
+        F.round(tw, 6).alias("temp_weight"),
+    )
+
+
+@query(
+    "curation_global_shuffle",
+    """
+    WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents)
+    SELECT doc_id,
+           CAST(('0x' || substr(key, 1, 4))::UBIGINT % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY ('0x' || substr(key, 1, 4))::UBIGINT % 8
+                ORDER BY key, doc_id) AS INT) AS pos
+    FROM k
+    """,
+)
+def global_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: every document
+    gets a (shard, position) from the md5 of its stable key — the
+    reproducible-shuffle contract training pipelines need (same order
+    on re-run, no RNG state, appends don't permute existing epochs'
+    shards). Scale shape: NO global sort — the hash assigns the shard
+    map-side, and each shard orders independently in its own window
+    partition, so parallelism = n_shards and a 100 TB corpus shuffles
+    as 4096 independent sorts (8 here to match the test corpus)."""
+    t = load_tables(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(F.conv(F.substring(key, 1, 4), 16, 10).cast("long"), F.lit(8))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        t["documents"]
+        .select("doc_id", key.alias("key"), shard.cast("int").alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "pos")
+    )
