@@ -33,6 +33,9 @@ def main() -> None:
         "dedup_embedding_cosine",
         "dedup_cluster_components",
         "ngram_jaccard_pairs",
+        # within-lang pairwise gram jaccard — the oracle-expressible
+        # quadratic twin of dedup_cluster_components_lsh (which IS swept)
+        "dedup_cluster_canonical",
     }
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
