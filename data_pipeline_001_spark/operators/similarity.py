@@ -716,14 +716,22 @@ def semantic_dedup(
     ).otherwise(F.lit(0))
     # unit-normalize ONCE per row before the pair join: cosine inside
     # an n² join would recompute both norms per PAIR (~3× the per-pair
-    # array work — same hoist the ANN paths use)
-    unit = F.transform(
-        F.col(vec_col),
-        lambda x: x.cast("double")
-        / F.greatest(norm(F.col(vec_col)), F.lit(1e-12)),
-    )
-    keyed = base.join(F.broadcast(sizes), "cluster_id").select(
-        id_col, "cluster_id", sub.cast("int").alias("_sub"), unit.alias("_u")
+    # array work — same hoist the ANN paths use). The norm itself is
+    # hoisted to its own column FIRST: referencing norm() inside the
+    # transform lambda would re-evaluate the O(d) aggregate per
+    # ELEMENT (Spark doesn't hoist lambda-invariant subexpressions out
+    # of higher-order functions), turning normalization O(d²) per row.
+    keyed = (
+        base.join(F.broadcast(sizes), "cluster_id")
+        .withColumn("_n", F.greatest(norm(F.col(vec_col)), F.lit(1e-12)))
+        .select(
+            id_col,
+            "cluster_id",
+            sub.cast("int").alias("_sub"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("_n")
+            ).alias("_u"),
+        )
     )
 
     a = keyed.select(

@@ -794,18 +794,21 @@ def window_quartiles_approx(spark, sf_dir):
     parallel at any scale. Boundary-tied rows may land one quartile
     off vs NTILE; tests/test_window_ops.py bounds the disagreement.
 
-    Oracle-checkable because percentile_approx's sketch (accuracy
-    10000) stores EVERY value while the input is smaller than the
-    accuracy — in that regime it returns exactly DuckDB's
-    ``quantile_disc`` boundary element (verified value-for-value at
-    sf0.01), and the bucketing arithmetic is shared. Beyond the
-    accuracy the boundaries are approximate and only the pytest
-    disagreement bound applies."""
+    Oracle-checkable because percentile_approx's sketch stores EVERY
+    value while the input is smaller than the accuracy — in that
+    regime it returns exactly DuckDB's ``quantile_disc`` boundary
+    element, and the bucketing arithmetic is shared. Accuracy is set
+    to 100k so the exact regime covers every shipped correctness
+    point (customer: 150 / 1.5k / 15k rows at sf0.001/0.01/0.1 —
+    review round 3 demonstrated 3-row hash drift at sf0.1 under the
+    old 10k accuracy); beyond it the boundaries are approximate and
+    only the pytest disagreement bound applies. The sketch stays a
+    bounded-memory tree aggregation either way."""
     t = load_tables(spark, sf_dir)
     c = t["customer"]
     # 3 scalars to the driver — bounded, never data-plane
     b1, b2, b3 = c.agg(
-        F.percentile_approx("c_acctbal", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]), 10000).alias("b")
+        F.percentile_approx("c_acctbal", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]), 100_000).alias("b")
     ).collect()[0]["b"]
     return c.select(
         "c_custkey",

@@ -44,14 +44,17 @@ def _auto_buckets(sf_dir: str) -> int:
     of two. A fixed small count caps scan/join parallelism at larger
     scale points (16 buckets = 16 tasks regardless of cores); the same
     rule at 100 TB gives 4096 — the ceiling a deployment would raise."""
-    try:
-        nbytes = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
-    except OSError:
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.isdir(path):
+        # getsize on a directory returns the inode size, not the data —
+        # walk it (Spark-written datasets are directories of part files)
         nbytes = sum(
             os.path.getsize(os.path.join(r, f))
-            for r, _d, fs in os.walk(os.path.join(sf_dir, "lineitem.parquet"))
+            for r, _d, fs in os.walk(path)
             for f in fs
         )
+    else:
+        nbytes = os.path.getsize(path)  # raises for a missing table — loud
     want = max(16, nbytes // (32 * 1024 * 1024))
     return min(4096, 1 << (int(want) - 1).bit_length())
 

@@ -685,13 +685,18 @@ def dedup_incremental_near_q(spark, sf_dir):
     The MinHash estimates themselves are murmur3-sketch values no
     other engine reproduces, so the cross-engine gate checks the
     sketch's GUARANTEE: a batch document whose normalized text exists
-    verbatim in the corpus has an identical signature, must collide in
+    verbatim in the corpus has an identical signature, collides in
     every band, and must therefore be rejected (admitted = 0). The
     oracle independently finds those exact duplicates in SQL and
     expects ``exact_dup_rejected = TRUE`` for each (NULL for docs too
-    short to shingle). The full LSH pipeline runs — the flag derives
-    from its ``admitted`` output; near-dup (non-verbatim) behavior
-    stays covered by the planted-pair pytest suite."""
+    short to shingle). The bucket-size cap is DISABLED here
+    (``max_bucket_size=0``): the guarantee is only unconditional
+    without it — a boilerplate-heavy corpus can push a band bucket
+    past the cap and silently drop the exact dup's collisions
+    (review round 3) — while the production ingest path keeps the
+    operator's default cap and accepts that documented miss class.
+    Near-dup (non-verbatim) behavior stays covered by the
+    planted-pair pytest suite."""
     from data_pipeline_001_spark.functions.text import normalize_text
     from data_pipeline_001_spark.operators.dedup import minhash_incremental
 
@@ -699,7 +704,9 @@ def dedup_incremental_near_q(spark, sf_dir):
     docs = t["documents"]
     batch = docs.where(F.col("doc_id") % 2 == 1)
     corpus = docs.where(F.col("doc_id") % 2 == 0)
-    gate = minhash_incremental(batch, corpus, jaccard_threshold=0.5)
+    gate = minhash_incremental(
+        batch, corpus, jaccard_threshold=0.5, max_bucket_size=0
+    )
 
     normb = batch.select(
         "doc_id", normalize_text(F.col("text")).alias("s")

@@ -41,7 +41,8 @@ def time_spine(spark, sf_dir):
       SELECT range AS ws FROM range(TIMESTAMP '2024-11-02 07:00:00',
                                     TIMESTAMP '2024-11-05 08:00:00', INTERVAL 1 HOUR)
     ),
-    loc AS (SELECT timezone('America/Los_Angeles', ws::TIMESTAMPTZ) AS lws FROM hrs)
+    loc AS (SELECT timezone('America/Los_Angeles', timezone('UTC', ws)) AS lws
+            FROM hrs)
     SELECT CAST(lws AS DATE) AS local_day,
            COUNT(*) AS n_hours,
            MIN(lws) AS first_local_hour,
