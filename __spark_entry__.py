@@ -17,6 +17,7 @@ def _registry():
     # importing the satellite modules populates the shared REGISTRY
     from data_pipeline_001_spark.plans import queries as base
     from data_pipeline_001_spark.plans import queries_agg2  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_analytics  # noqa: F401
     from data_pipeline_001_spark.plans import queries_bucketed  # noqa: F401
     from data_pipeline_001_spark.plans import queries_curation  # noqa: F401
     from data_pipeline_001_spark.plans import queries_curation2  # noqa: F401

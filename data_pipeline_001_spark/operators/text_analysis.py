@@ -252,6 +252,78 @@ def word_ngram_array(text: Column, n: int) -> Column:
     )
 
 
+def exploded_word_ngrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, gram) — one row per word ``n``-gram position of the
+    normalized text. posexplode + ``lead`` + concat_ws, NOT the array
+    HOF form: transform/slice lambdas run interpreted (the ~20×
+    pathology ``exploded_shingles`` documents). Full windows only —
+    docs with < n words contribute nothing."""
+    from pyspark.sql import Window
+
+    toks = F.split(TX.normalize_text(F.col(text_col)), r"\s+")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        exploded.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("tok", n - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "gram")
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty score: the fraction of the document's
+    DISTINCT word ``n``-grams whose first corpus appearance (minimum
+    doc_id over all docs containing the gram) is this document — a
+    curation signal for "how much new content does each doc add"
+    (high-novelty docs are kept first when budgeting a training mix).
+
+    Shuffle shape: one exchange keyed on gram (the unbounded-frame
+    window min), one keyed on doc — both linear in corpus grams; no
+    joins between gram-sized relations.
+
+    Returns (doc_id, n_grams, n_novel, novelty) for every document;
+    docs with < n words score 0 over 0 grams.
+    """
+    from pyspark.sql import Window
+
+    grams = exploded_word_ngrams(docs, text_col, id_col, n).distinct()
+    first = grams.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("gram"))
+    )
+    per = first.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        ).alias("n_novel"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel") / F.col("n_grams"), F.lit(0.0)), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -275,27 +347,7 @@ def decontaminate(
     grams it contains) and a 0/1 ``contaminated`` flag.
     """
     def exploded_ngrams(df: DataFrame) -> DataFrame:
-        # posexplode + lead + concat_ws, NOT word_ngram_array: the
-        # array HOF form (transform/slice lambdas) runs interpreted —
-        # same ~20× pathology exploded_shingles documents. Full
-        # windows only: docs with < n words contribute nothing.
-        from pyspark.sql import Window
-
-        toks = F.split(TX.normalize_text(F.col(text_col)), r"\s+")
-        exploded = df.select(
-            F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
-        )
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-        return (
-            exploded.select(
-                "doc_id",
-                F.concat_ws(" ", *parts).alias("gram"),
-                F.lead("tok", n - 1).over(w).alias("_last"),
-            )
-            .where(F.col("_last").isNotNull())
-            .select("doc_id", "gram")
-        )
+        return exploded_word_ngrams(df, text_col, id_col, n)
 
     bench_grams = exploded_ngrams(benchmark).select("gram").distinct()
     train_grams = exploded_ngrams(train)

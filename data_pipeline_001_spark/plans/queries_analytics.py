@@ -1,0 +1,112 @@
+"""Vector/corpus analytics queries (SURVEY.md §2.13 extension):
+distributed covariance (tree-aggregated Gram matrix), PCA projection,
+per-label centroids, and n-gram novelty scoring. Registers into the
+shared REGISTRY.
+
+``embedding_covariance`` / ``embedding_centroids`` /
+``text_ngram_novelty`` carry exact DuckDB oracles.
+``embedding_pca`` is rows-only by necessity (SQL has no
+eigendecomposition) — its correctness is pinned by property tests
+(components orthonormal, projections match NumPy exactly on a toy
+corpus, variance ordering) in tests/test_vector_stats.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.plans.queries import query
+from data_pipeline_001_spark.session import load_tables
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "embedding_covariance",
+    """
+    WITH e AS (SELECT vec_id, unnest(embedding) AS val,
+                      generate_subscripts(embedding, 1) - 1 AS dim
+               FROM embeddings)
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           ROUND(covar_pop(a.val::DOUBLE, b.val::DOUBLE), 6) + 0.0 AS cov
+    FROM e a JOIN e b ON a.vec_id = b.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def embedding_covariance_q(spark, sf_dir):
+    """d×d population covariance of the embedding corpus. Per-batch
+    NumPy partial Gram matrices via mapInPandas, so the shuffle input
+    is one d²-entry partial per Arrow batch — never n·d² rows."""
+    from data_pipeline_001_spark.operators.vector_stats import covariance_matrix
+
+    t = load_tables(spark, sf_dir)
+    return covariance_matrix(t["embeddings"])
+
+
+@query(
+    "embedding_centroids",
+    """
+    WITH e AS (SELECT label, unnest(embedding) AS val,
+                      generate_subscripts(embedding, 1) - 1 AS dim
+               FROM embeddings)
+    SELECT label, dim, ROUND(AVG(val::DOUBLE), 6) + 0.0 AS centroid
+    FROM e GROUP BY label, dim
+    """,
+)
+def embedding_centroids_q(spark, sf_dir):
+    """Per-label mean embedding (the class-centroid table used by
+    nearest-centroid classification and semantic-cluster summaries).
+    posexplode fans out executor-side; the grouped average
+    partial-aggregates map-side."""
+    from data_pipeline_001_spark.operators.vector_stats import label_centroids
+
+    t = load_tables(spark, sf_dir)
+    return label_centroids(t["embeddings"])
+
+
+@query("embedding_pca")
+def embedding_pca_q(spark, sf_dir):
+    """Top-4 PCA projection of the embedding corpus. Eig on the d×d
+    covariance happens driver-side (bounded by embedding dim, not
+    corpus size); the projection is one codegen dot-product scan.
+    Rows-only: SQL cannot express the eigendecomposition — pinned by
+    NumPy-equivalence property tests instead."""
+    from data_pipeline_001_spark.operators.vector_stats import pca_project
+
+    t = load_tables(spark, sf_dir)
+    return pca_project(t["embeddings"], k=4)
+
+
+@query(
+    "text_ngram_novelty",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(CASE WHEN len(w) >= 3
+                        THEN [array_to_string(w[i:i+2], ' ')
+                              for i in range(1, len(w) - 3 + 2)]
+                        ELSE [] END) AS gram
+          FROM t),
+    f AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+          FROM g),
+    per AS (SELECT doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                       AS n_novel
+            FROM f GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           ROUND(COALESCE(CAST(p.n_novel AS DOUBLE) / p.n_grams, 0.0), 6)
+               AS novelty
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+)
+def ngram_novelty_q(spark, sf_dir):
+    """Word-3-gram novelty per document: the fraction of the doc's
+    distinct grams first seen (min doc_id) in this doc — the "new
+    content" budget signal for curation ordering."""
+    from data_pipeline_001_spark.operators.text_analysis import ngram_novelty
+
+    t = load_tables(spark, sf_dir)
+    return ngram_novelty(t["documents"], n=3)

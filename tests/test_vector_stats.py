@@ -1,0 +1,144 @@
+"""Vector-statistics operators (operators/vector_stats.py): the
+tree-aggregated covariance matrix, PCA projection, per-label
+centroids, and the n-gram novelty score.
+
+The covariance/PCA checks pin the distributed computation against a
+single-process NumPy computation over the SAME rows — the strongest
+oracle available for the non-SQL-expressible eig path.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.operators.vector_stats import (
+    covariance_matrix,
+    label_centroids,
+    pca_project,
+    _principal_components,
+)
+from data_pipeline_001_spark.operators.text_analysis import ngram_novelty
+
+
+@pytest.fixture(scope="module")
+def emb_np(tables):
+    rows = (
+        tables["embeddings"]
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .collect()
+    )
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    return ids, M, labels
+
+
+def test_covariance_matches_numpy(tables, emb_np):
+    _, M, _ = emb_np
+    expected = np.cov(M, rowvar=False, bias=True)  # population covariance
+    got = covariance_matrix(tables["embeddings"]).collect()
+    d = M.shape[1]
+    assert len(got) == d * d
+    C = np.zeros((d, d))
+    for r in got:
+        C[r["dim_i"], r["dim_j"]] = r["cov"]
+    assert np.allclose(C, expected, atol=1e-6)
+    # rounding canonicalized: no negative zeros in the output
+    assert not any(r["cov"] == 0 and np.signbit(r["cov"]) for r in got)
+
+
+def test_covariance_partials_are_batch_sized(tables):
+    """The shuffle input is per-batch partials (d²+d+1 rows each), not
+    n·d² exploded products — the property that makes this 100 TB-safe."""
+    from data_pipeline_001_spark.operators.vector_stats import _gram_partials
+
+    emb = tables["embeddings"]
+    n_vecs = emb.count()
+    d = len(emb.select("embedding").first()[0])
+    n_partial_rows = _gram_partials(emb, "embedding").count()
+    per_batch = d * d + d + 1
+    n_batches = n_partial_rows / per_batch
+    # far fewer batches than vectors (Arrow batches are thousands of rows)
+    assert n_partial_rows % per_batch == 0
+    assert n_batches <= max(n_vecs / 100, 32)
+
+
+def test_pca_matches_numpy(tables, emb_np):
+    ids, M, _ = emb_np
+    k = 3
+    comps, eigvals = _principal_components(tables["embeddings"], "embedding", k)
+    # components orthonormal, eigenvalues descending
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-8)
+    assert all(eigvals[i] >= eigvals[i + 1] - 1e-12 for i in range(k - 1))
+    # sign fix: largest-|coeff| entry of each component is positive
+    for v in comps:
+        assert v[np.argmax(np.abs(v))] > 0
+    got = (
+        pca_project(tables["embeddings"], k=k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    got_ids = np.array([r["vec_id"] for r in got])
+    P = np.array([[r[f"pc{i + 1}"] for i in range(k)] for r in got])
+    assert (got_ids == ids).all()
+    assert np.allclose(P, M @ comps.T, atol=1e-5)
+    # variance along pc1 >= variance along pc2 >= ... (top-k ordering)
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(k - 1))
+
+
+def test_label_centroids_match_numpy(tables, emb_np):
+    _, M, labels = emb_np
+    got = label_centroids(tables["embeddings"]).collect()
+    d = M.shape[1]
+    n_labels = len(set(labels.tolist()))
+    assert len(got) == n_labels * d
+    for r in got:
+        expected = M[labels == r["label"], r["dim"]].mean()
+        assert abs(r["centroid"] - expected) < 1e-6
+
+
+def test_ngram_novelty_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            # doc 1: all grams first seen here -> novelty 1
+            (1, "alpha beta gamma delta"),
+            # doc 2: exact copy of doc 1 -> nothing novel
+            (2, "alpha beta gamma delta"),
+            # doc 3: shares one gram with doc 1, adds one new gram
+            (3, "alpha beta gamma zeta"),
+            # doc 4: too short for a 3-gram
+            (4, "one two"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert len(out) == 4
+    assert out[1]["n_grams"] == 2 and out[1]["n_novel"] == 2
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["n_grams"] == 2 and out[2]["n_novel"] == 0
+    assert out[2]["novelty"] == 0.0
+    # doc 3 grams: "alpha beta gamma" (seen in doc 1), "beta gamma zeta" (new)
+    assert out[3]["n_grams"] == 2 and out[3]["n_novel"] == 1
+    assert out[3]["novelty"] == 0.5
+    assert out[4]["n_grams"] == 0 and out[4]["novelty"] == 0.0
+
+
+def test_ngram_novelty_distinct_grams(spark):
+    # a repeated gram inside one doc counts once (distinct semantics)
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], ["doc_id", "text"]
+    )
+    r = ngram_novelty(docs, n=3).collect()[0]
+    # windows: abc bca cab abc bca cab abc -> 3 distinct
+    assert r["n_grams"] == 3
+    assert r["n_novel"] == 3
+
+
+def test_covariance_plan_no_python_row_udf(tables):
+    """mapInPandas (Arrow-batched) is the only Python boundary — no
+    row-at-a-time BatchEvalPython anywhere in the plan."""
+    plan = covariance_matrix(tables["embeddings"])._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
