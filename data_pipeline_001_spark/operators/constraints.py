@@ -118,3 +118,70 @@ def referential_integrity(
         [(f"fk_{child_key}_in_{parent_key}", float(frac), 1.0, 1.0, int(frac >= 1.0))],
         "check_name string, observed double, lo double, hi double, passed int",
     )
+
+def drift_psi(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard training-data drift monitor (PSI > 0.2 is
+    the conventional "investigate" threshold).
+
+    Deterministic equi-width bins over [lo, hi) (fixed edges, NOT
+    quantile-derived, so the report is reproducible and incremental
+    snapshots are comparable); values outside the range clamp to the
+    edge bins. Each side is one narrow aggregation keyed on bin
+    (map-side partial counts — at 100 TB the shuffle carries n_bins
+    partials per task); the join between two n_bins-row tables is
+    trivially broadcast.
+
+    Returns one row per bin: (bin, pct_base, pct_cur, psi_term) with
+    psi_term = (p_cur − p_base)·ln(p_cur / p_base), eps-floored so
+    empty bins contribute a finite penalty. Total PSI = Σ psi_term.
+    """
+    if hi <= lo:
+        raise ValueError("hi must be > lo")
+    width = (hi - lo) / n_bins
+
+    def _binned(df: DataFrame, cnt_name: str) -> DataFrame:
+        b = F.floor((F.col(value_col).cast("double") - lo) / width)
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(cnt_name))
+        )
+
+    spine = baseline.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    base = _binned(baseline, "n_base")
+    cur = _binned(current, "n_cur")
+    joined = (
+        spine.join(F.broadcast(base), "bin", "left")
+        .join(F.broadcast(cur), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    p_base = F.greatest(F.col("n_base") / F.col("tb"), F.lit(eps))
+    p_cur = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(eps))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.round(F.col("n_base") / F.col("tb"), 6).alias("pct_base"),
+        F.round(F.col("n_cur") / F.col("tc"), 6).alias("pct_cur"),
+        (F.round((p_cur - p_base) * F.log(p_cur / p_base), 6) + F.lit(0.0)).alias(
+            "psi_term"
+        ),
+    )

@@ -110,3 +110,50 @@ def ngram_novelty_q(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return ngram_novelty(t["documents"], n=3)
+
+
+@query(
+    "quality_drift_psi",
+    """
+    WITH base AS (SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INT), 0), 9) AS bin,
+                         COUNT(*) AS n
+                  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+                  GROUP BY 1),
+    cur AS (SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INT), 0), 9) AS bin,
+                   COUNT(*) AS n
+            FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+            GROUP BY 1),
+    spine AS (SELECT unnest(range(10))::INT AS bin),
+    j AS (SELECT s.bin,
+                 COALESCE(b.n, 0) AS n_base,
+                 COALESCE(c.n, 0) AS n_cur
+          FROM spine s LEFT JOIN base b ON s.bin = b.bin
+                       LEFT JOIN cur c ON s.bin = c.bin),
+    tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j)
+    SELECT j.bin,
+           ROUND(CAST(j.n_base AS DOUBLE) / t.tb, 6) AS pct_base,
+           ROUND(CAST(j.n_cur AS DOUBLE) / t.tc, 6) AS pct_cur,
+           ROUND((GREATEST(CAST(j.n_cur AS DOUBLE) / t.tc, 1e-6)
+                  - GREATEST(CAST(j.n_base AS DOUBLE) / t.tb, 1e-6))
+                 * LN(GREATEST(CAST(j.n_cur AS DOUBLE) / t.tc, 1e-6)
+                      / GREATEST(CAST(j.n_base AS DOUBLE) / t.tb, 1e-6)), 6)
+               + 0.0 AS psi_term
+    FROM j, tot t
+    """,
+)
+def drift_psi_q(spark, sf_dir):
+    """Distribution drift (PSI) of events.value between the even/odd
+    event_id snapshot halves: deterministic equi-width bins over
+    [0, 500), one narrow agg per side, broadcast bin-table join."""
+    from data_pipeline_001_spark.operators.constraints import drift_psi
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    return drift_psi(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_bins=10,
+    )

@@ -247,3 +247,56 @@ def test_constraint_checker_flags_violations(spark):
     child = spark.createDataFrame([(1,), (9,)], "fk long")
     fk = referential_integrity(child, "fk", parent, "pk").collect()[0]
     assert fk["observed"] == 0.5 and fk["passed"] == 0
+
+
+class TestDriftPSI:
+    def test_identical_distributions_score_zero(self, spark):
+        from data_pipeline_001_spark.operators.constraints import drift_psi
+
+        df = spark.range(1000).select(
+            (F.col("id") % 100).cast("double").alias("v")
+        )
+        out = drift_psi(df, df, "v", lo=0.0, hi=100.0, n_bins=10).collect()
+        assert len(out) == 10
+        assert sum(r["psi_term"] for r in out) == 0.0
+
+    def test_planted_shift_detected(self, spark):
+        from data_pipeline_001_spark.operators.constraints import drift_psi
+
+        base = spark.range(1000).select(
+            (F.col("id") % 100).cast("double").alias("v")
+        )
+        # current: shifted by +50 — half the mass moves bins
+        cur = base.select((F.col("v") + 50.0).alias("v"))
+        out = drift_psi(base, cur, "v", lo=0.0, hi=100.0, n_bins=10).collect()
+        psi = sum(r["psi_term"] for r in out)
+        assert psi > 0.2  # conventional "investigate" threshold
+        # every psi_term is finite and non-negative by construction:
+        # (p_c - p_b) and ln(p_c/p_b) always share a sign
+        assert all(r["psi_term"] >= 0.0 for r in out)
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        from data_pipeline_001_spark.operators.constraints import drift_psi
+
+        base = spark.createDataFrame(
+            [(-5.0,), (500.0,), (50.0,)], ["v"]
+        )
+        out = {
+            r["bin"]: r
+            for r in drift_psi(base, base, "v", lo=0.0, hi=100.0, n_bins=10).collect()
+        }
+        # -5 clamps into bin 0, 500 into bin 9
+        assert out[0]["pct_base"] > 0
+        assert out[9]["pct_base"] > 0
+
+    def test_empty_bins_get_eps_floor(self, spark):
+        from data_pipeline_001_spark.operators.constraints import drift_psi
+
+        base = spark.createDataFrame([(5.0,)], ["v"])
+        cur = spark.createDataFrame([(95.0,)], ["v"])
+        out = drift_psi(base, cur, "v", lo=0.0, hi=100.0, n_bins=10).collect()
+        # disjoint single-bin masses: finite terms, no NaN/inf
+        import math
+
+        assert all(math.isfinite(r["psi_term"]) for r in out)
+        assert sum(r["psi_term"] for r in out) > 1.0
