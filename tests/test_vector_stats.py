@@ -142,3 +142,19 @@ def test_covariance_plan_no_python_row_udf(tables):
     plan = covariance_matrix(tables["embeddings"])._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
+
+
+def test_covariance_single_corpus_scan(tables):
+    """The n/s/G branches share one persisted partial-agg, so the
+    corpus parquet is computed once and every branch reads the cache
+    (4 independent corpus scans before the persist fix). The printed
+    plan repeats the cached lineage per branch, so assert the cache
+    boundary rather than counting scan strings."""
+    df = covariance_matrix(tables["embeddings"])
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # all three branches (Gram entries, per-dim sums, count) hit the
+    # in-memory relation, never the raw parquet directly
+    assert plan.count("InMemoryTableScan") >= 3 or plan.count(
+        "TableCacheQueryStage"
+    ) >= 3
