@@ -158,3 +158,12 @@ def test_covariance_single_corpus_scan(tables):
     assert plan.count("InMemoryTableScan") >= 3 or plan.count(
         "TableCacheQueryStage"
     ) >= 3
+
+
+def test_ngram_novelty_exchange_count(tables):
+    """The gram repartition is reused by the (gram, doc) dedup agg and
+    the first-seen window: exactly 3 exchanges (tokens→doc window,
+    gram partition, doc agg), not 4."""
+    df = ngram_novelty(tables["documents"], n=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 3
