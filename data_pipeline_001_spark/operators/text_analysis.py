@@ -486,3 +486,90 @@ def duplicated_substring_spans(
         )
         .drop("grp")
     )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-domain-like its hashed unigram profile is.
+
+    log w(doc) = Σ_tokens log p̂_target(bucket(tok)) − log p̂_raw(bucket(tok))
+
+    with add-one-smoothed bucket probabilities over ``n_buckets``
+    md5-hashed feature buckets. Sampling ∝ softmax of these weights
+    reproduces the target distribution in expectation — the published
+    recipe for "give me web data that looks like Wikipedia".
+
+    Scale shape: the two bucket-count tables are BOUNDED BY
+    ``n_buckets`` (not corpus size) so the log-ratio table broadcasts
+    by construction; corpus tokens stream map-side through that
+    broadcast join with no shuffle, then one doc-keyed aggregation.
+    The md5-prefix bucket hash is engine-portable (same arithmetic in
+    the DuckDB oracle).
+
+    Returns (doc_id, n_tokens, log_weight) for every raw document.
+    """
+    B = n_buckets
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        toks = F.split(TX.normalize_text(F.col(text_col)), " ")
+        tok = F.explode(toks).alias("tok")
+        return df.select(F.col(id_col).alias("doc_id"), tok).select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(B),
+            ).alias("bucket"),
+        )
+
+    spark = raw.sparkSession
+    spine = spark.range(B).select(F.col("id").cast("long").alias("bucket"))
+
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        c = _buckets(df).groupBy("bucket").agg(F.count("*").alias(name))
+        return spine.join(F.broadcast(c), "bucket", "left").select(
+            "bucket", F.coalesce(name, F.lit(0)).alias(name)
+        )
+
+    tc = _counts(target, "n_t")
+    rc = _counts(raw, "n_r")
+    totals = tc.agg(F.sum("n_t").alias("tot_t")).crossJoin(
+        rc.agg(F.sum("n_r").alias("tot_r"))
+    )
+    ratio = (
+        tc.join(rc, "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("n_t") + 1) / (F.col("tot_t") + B))
+                - F.log((F.col("n_r") + 1) / (F.col("tot_r") + B))
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        _buckets(raw)
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.round(F.sum("log_ratio"), 6) + F.lit(0.0)).alias("log_weight"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )

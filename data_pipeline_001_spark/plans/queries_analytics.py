@@ -157,3 +157,54 @@ def drift_psi_q(spark, sf_dir):
         hi=500.0,
         n_bins=10,
     )
+
+
+@query(
+    "curation_dsir_weights",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+               FROM documents),
+    tok AS (SELECT doc_id,
+                   ('0x' || substr(md5(unnest(w)), 1, 4))::UBIGINT % 1024
+                       AS bucket
+            FROM t),
+    tt AS (SELECT bucket, COUNT(*) AS n FROM tok
+           WHERE doc_id % 29 = 0 GROUP BY 1),
+    rr AS (SELECT bucket, COUNT(*) AS n FROM tok
+           WHERE doc_id % 29 <> 0 GROUP BY 1),
+    spine AS (SELECT unnest(range(1024))::UBIGINT AS bucket),
+    cnt AS (SELECT s.bucket, COALESCE(t2.n, 0) AS n_t, COALESCE(r2.n, 0) AS n_r
+            FROM spine s
+            LEFT JOIN tt t2 ON s.bucket = t2.bucket
+            LEFT JOIN rr r2 ON s.bucket = r2.bucket),
+    tot AS (SELECT SUM(n_t) AS tot_t, SUM(n_r) AS tot_r FROM cnt),
+    ratio AS (SELECT bucket,
+                     LN((n_t + 1.0) / (tot_t + 1024))
+                     - LN((n_r + 1.0) / (tot_r + 1024)) AS lr
+              FROM cnt, tot),
+    scored AS (SELECT k.doc_id, COUNT(*) AS n_tokens,
+                      ROUND(SUM(r.lr), 6) + 0.0 AS lw
+               FROM (SELECT * FROM tok WHERE doc_id % 29 <> 0) k
+               JOIN ratio r ON k.bucket = r.bucket
+               GROUP BY k.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           COALESCE(s.lw, 0.0) AS log_weight
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) d
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def dsir_weights_q(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score raw docs by
+    hashed-unigram likelihood ratio against the doc_id%29 target
+    split. Bucket tables are bounded by n_buckets so the log-ratio
+    join broadcasts; corpus tokens never shuffle."""
+    from data_pipeline_001_spark.operators.text_analysis import dsir_log_weights
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    return dsir_log_weights(
+        docs.where(F.col("doc_id") % 29 != 0),
+        docs.where(F.col("doc_id") % 29 == 0),
+        n_buckets=1024,
+    )

@@ -167,3 +167,43 @@ def test_ngram_novelty_exchange_count(tables):
     df = ngram_novelty(tables["documents"], n=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 3
+
+
+class TestDSIR:
+    def test_target_like_docs_score_higher(self, spark):
+        from data_pipeline_001_spark.operators.text_analysis import (
+            dsir_log_weights,
+        )
+
+        target = spark.createDataFrame(
+            [(100 + i, "wiki article reference cite " * 5) for i in range(5)],
+            ["doc_id", "text"],
+        )
+        raw = spark.createDataFrame(
+            [
+                (1, "wiki article reference cite " * 5),  # target-like
+                (2, "buy cheap pills now click " * 5),  # spam
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in dsir_log_weights(raw, target).collect()}
+        assert out[1]["log_weight"] > out[2]["log_weight"]
+        # the target-like doc's tokens all appear in the target: its
+        # per-token ratio is positive; the spam doc's is negative
+        assert out[1]["log_weight"] > 0 > out[2]["log_weight"]
+
+    def test_ratio_join_is_broadcast(self, tables):
+        from pyspark.sql import functions as F
+        from data_pipeline_001_spark.operators.text_analysis import (
+            dsir_log_weights,
+        )
+
+        docs = tables["documents"]
+        df = dsir_log_weights(
+            docs.where(F.col("doc_id") % 29 != 0),
+            docs.where(F.col("doc_id") % 29 == 0),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the bounded log-ratio table broadcasts; the token stream is
+        # never the build side of a shuffle join
+        assert "BroadcastHashJoin" in plan
