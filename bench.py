@@ -58,6 +58,11 @@ EXTENDED = [
     "text_lm_perplexity",
     "quality_constraint_report",
     "layout_zorder_events",
+    # round-3 additions
+    "embedding_covariance",
+    "quality_drift_psi",
+    "curation_dsir_weights",
+    "text_ngram_novelty",
 ]
 
 TABLES = (

@@ -43,3 +43,40 @@ def register_all(spark) -> None:
     """Expose the Python extensions to SQL (spark.sql callers)."""
     spark.udf.register("py_sigmoid", py_sigmoid)
     spark.udf.register("weighted_mean", weighted_mean)
+
+
+@pandas_udf("string")
+def nfc_normalize(s: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (composed form) — the canonical first
+    step of a multilingual text pipeline, so that 'é' composed and
+    'é' decomposed hash/dedup identically. Arrow-vectorized;
+    matches DuckDB's ``nfc_normalize`` (both implement UAX #15)."""
+    import unicodedata
+
+    return s.map(
+        lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+    )
+
+
+@pandas_udf("string")
+def strip_accents(s: pd.Series) -> pd.Series:
+    """Remove combining marks: NFD-decompose, drop M* category chars,
+    recompose. 'Amélie' → 'Amelie'; characters with no canonical
+    decomposition (ø, ß) pass through unchanged — the same contract as
+    DuckDB's ``strip_accents`` for decomposable Latin, which the
+    oracle relies on."""
+    import unicodedata
+
+    def _strip(x):
+        if x is None:
+            return None
+        return unicodedata.normalize(
+            "NFC",
+            "".join(
+                c
+                for c in unicodedata.normalize("NFD", x)
+                if not unicodedata.combining(c)
+            ),
+        )
+
+    return s.map(_strip)

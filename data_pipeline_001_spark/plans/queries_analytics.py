@@ -208,3 +208,36 @@ def dsir_weights_q(spark, sf_dir):
         docs.where(F.col("doc_id") % 29 == 0),
         n_buckets=1024,
     )
+
+
+@query(
+    "text_unicode_normalize",
+    """
+    SELECT doc_id,
+           nfc_normalize(text) AS nfc_text,
+           strip_accents(text) AS ascii_text,
+           CAST(CASE WHEN strip_accents(text) <> text THEN 1 ELSE 0 END
+                AS INT) AS had_accents
+    FROM documents
+    """,
+)
+def unicode_normalize_q(spark, sf_dir):
+    """Unicode NFC + accent-strip normalization over the corpus —
+    Arrow-batched pandas UDFs (both engines implement UAX #15, so the
+    oracle is exact; non-decomposable characters pass through on both
+    sides). The synthetic corpus is ASCII, so the non-ASCII contract
+    is pinned by planted unit tests rather than this oracle."""
+    from data_pipeline_001_spark.functions.udfs import (
+        nfc_normalize,
+        strip_accents,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        nfc_normalize(F.col("text")).alias("nfc_text"),
+        strip_accents(F.col("text")).alias("ascii_text"),
+        (strip_accents(F.col("text")) != F.col("text"))
+        .cast("int")
+        .alias("had_accents"),
+    )

@@ -207,3 +207,55 @@ class TestDSIR:
         # the bounded log-ratio table broadcasts; the token stream is
         # never the build side of a shuffle join
         assert "BroadcastHashJoin" in plan
+
+
+class TestUnicodeNormalize:
+    CASES = [
+        "Amélie",       # decomposed e + combining acute
+        "Amélie",        # precomposed é
+        "garçon über naïve",
+        "øß",       # non-decomposable: pass through
+        "plain ascii",
+    ]
+
+    def test_nfc_and_strip_match_duckdb(self, spark):
+        """Cross-engine pin for the NON-ASCII contract the corpus
+        oracle can't exercise (the synthetic text is ASCII)."""
+        import duckdb
+
+        from data_pipeline_001_spark.functions.udfs import (
+            nfc_normalize,
+            strip_accents,
+        )
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.CASES)], ["i", "s"]
+        )
+        got = {
+            r["i"]: (r["nfc"], r["st"])
+            for r in df.select(
+                "i",
+                nfc_normalize(F.col("s")).alias("nfc"),
+                strip_accents(F.col("s")).alias("st"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        for i, s in enumerate(self.CASES):
+            nfc, st = con.execute(
+                "SELECT nfc_normalize(?), strip_accents(?)", [s, s]
+            ).fetchone()
+            assert got[i] == (nfc, st), f"case {i}: {s!r}"
+
+    def test_composed_and_decomposed_unify(self, spark):
+        from data_pipeline_001_spark.functions.udfs import nfc_normalize
+
+        df = spark.createDataFrame(
+            [(1, "Amélie"), (2, "Amélie")], ["i", "s"]
+        )
+        vals = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", nfc_normalize(F.col("s")).alias("n")
+            ).collect()
+        }
+        assert vals[1] == vals[2] == "Am\u00e9lie"
