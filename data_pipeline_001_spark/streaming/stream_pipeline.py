@@ -314,3 +314,58 @@ def constraint_gate_batch_handler(
         batch_df.unpersist()
 
     return handle
+
+
+def drift_gate_batch_handler(
+    baseline_df,
+    value_col: str,
+    lo: float,
+    hi: float,
+    good_path: str,
+    quarantine_path: str,
+    psi_threshold: float = 0.2,
+    n_bins: int = 10,
+    report_path: str | None = None,
+):
+    """foreachBatch handler that gates every micro-batch on
+    distribution drift: the batch's ``value_col`` histogram is
+    compared to a STATIC baseline snapshot via PSI
+    (operators/constraints.drift_psi); a batch whose total PSI stays
+    under ``psi_threshold`` appends to ``good_path``, a drifted batch
+    is quarantined whole. The per-batch, per-bin PSI report
+    (n_bins tiny rows) optionally lands under ``report_path``.
+
+    The baseline side of the PSI plan is re-evaluated per batch;
+    callers should pass an already-persisted (or parquet-backed)
+    baseline so each micro-batch pays one small aggregation, not a
+    baseline recompute. Same replay-idempotence contract as
+    constraint_gate_batch_handler: every output keyed by batch id,
+    written with OVERWRITE.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.operators.constraints import drift_psi
+
+    def handle(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        report = drift_psi(
+            baseline_df, batch_df, value_col, lo=lo, hi=hi, n_bins=n_bins
+        )
+        rows = report.collect()  # n_bins rows — bounded
+        psi = sum(r["psi_term"] for r in rows)
+        ok = psi < psi_threshold
+        if report_path is not None:
+            batch_df.sparkSession.createDataFrame(rows, report.schema).withColumn(
+                "total_psi", F.lit(psi)
+            ).write.mode("overwrite").parquet(
+                os.path.join(report_path, f"batch_id={batch_id}")
+            )
+        dest = good_path if ok else quarantine_path
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(dest, f"batch_id={batch_id}")
+        )
+        batch_df.unpersist()
+
+    return handle

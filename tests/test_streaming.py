@@ -352,3 +352,60 @@ def test_constraint_gate_routes_batches(spark, tmp_path):
     assert spark.read.parquet(quar).count() == 10
     assert spark.read.parquet(good).count() == 10
     assert spark.read.parquet(rep).count() == 2
+
+
+def test_drift_gate_routes_batches(spark, tmp_path):
+    """A batch distributed like the baseline lands in good/; a shifted
+    batch trips the PSI threshold and is quarantined whole; the report
+    carries per-bin terms plus the batch's total PSI."""
+    import os
+
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        drift_gate_batch_handler,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    good, quar, rep = (
+        str(tmp_path / "good"),
+        str(tmp_path / "quar"),
+        str(tmp_path / "rep"),
+    )
+    baseline = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(500)], "k long, v double"
+    ).persist()
+    handler = drift_gate_batch_handler(
+        baseline, "v", lo=0.0, hi=100.0, good_path=good,
+        quarantine_path=quar, psi_threshold=0.2, report_path=rep,
+    )
+
+    like_baseline = spark.createDataFrame(
+        [(i, float((i * 7) % 100)) for i in range(200)], "k long, v double"
+    )
+    shifted = spark.createDataFrame(
+        [(i, float(i % 30)) for i in range(200)], "k long, v double"
+    )
+
+    like_baseline.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(like_baseline.schema).parquet(src)
+    q = stream.writeStream.foreachBatch(handler).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    shifted.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    assert spark.read.parquet(good).count() == 200
+    assert spark.read.parquet(quar).count() == 200
+    reports = spark.read.parquet(rep)
+    totals = {
+        r["batch_id"]: r["total_psi"]
+        for r in reports.select("batch_id", "total_psi").distinct().collect()
+    }
+    assert totals[0] < 0.2 <= totals[1]
+
+    # replay idempotence: re-running a committed batch overwrites
+    handler(shifted, 1)
+    assert spark.read.parquet(quar).count() == 200
+    baseline.unpersist()
