@@ -259,3 +259,79 @@ class TestUnicodeNormalize:
             ).collect()
         }
         assert vals[1] == vals[2] == "Am\u00e9lie"
+
+
+def test_ngram_novelty_matches_python_reference(spark):
+    """Seeded random corpus vs a pure-Python computation of the same
+    contract — catches any divergence in gram construction, distinct
+    semantics, or first-seen attribution."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for i in range(50)
+    ]
+    n = 3
+    # python reference
+    def grams(text):
+        toks = text.split()
+        return {
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        }
+
+    first: dict[str, int] = {}
+    for i, t in docs:
+        for g in sorted(grams(t)):
+            first.setdefault(g, i)
+    expected = {}
+    for i, t in docs:
+        gs = grams(t)
+        novel = sum(1 for g in gs if first[g] == i)
+        expected[i] = (len(gs), novel)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = ngram_novelty(df, n=n).collect()
+    assert len(out) == 50
+    for r in out:
+        eg, en = expected[r["doc_id"]]
+        assert (r["n_grams"], r["n_novel"]) == (eg, en), r
+        want = round(en / eg, 6) if eg else 0.0
+        assert abs(r["novelty"] - want) < 1e-9
+
+
+def test_drift_psi_matches_python_reference(spark):
+    import math
+    import random
+
+    from data_pipeline_001_spark.operators.constraints import drift_psi
+
+    rng = random.Random(11)
+    base_vals = [rng.uniform(-10, 110) for _ in range(400)]
+    cur_vals = [rng.gauss(70, 15) for _ in range(300)]
+    lo, hi, nb, eps = 0.0, 100.0, 10, 1e-6
+    w = (hi - lo) / nb
+
+    def hist(vals):
+        h = [0] * nb
+        for v in vals:
+            b = min(max(int(math.floor((v - lo) / w)), 0), nb - 1)
+            h[b] += 1
+        return h
+
+    hb, hc = hist(base_vals), hist(cur_vals)
+    tb, tc = sum(hb), sum(hc)
+    expected = []
+    for b in range(nb):
+        pb, pc = max(hb[b] / tb, eps), max(hc[b] / tc, eps)
+        expected.append(round((pc - pb) * math.log(pc / pb), 6))
+
+    base = spark.createDataFrame([(v,) for v in base_vals], ["v"])
+    cur = spark.createDataFrame([(v,) for v in cur_vals], ["v"])
+    out = {
+        r["bin"]: r["psi_term"]
+        for r in drift_psi(base, cur, "v", lo=lo, hi=hi, n_bins=nb).collect()
+    }
+    for b in range(nb):
+        assert abs(out[b] - expected[b]) < 2e-6, (b, out[b], expected[b])
