@@ -21,6 +21,7 @@ def _registry():
     from data_pipeline_001_spark.plans import queries_bucketed  # noqa: F401
     from data_pipeline_001_spark.plans import queries_curation  # noqa: F401
     from data_pipeline_001_spark.plans import queries_curation2  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_curation3  # noqa: F401
     from data_pipeline_001_spark.plans import queries_llm  # noqa: F401
     from data_pipeline_001_spark.plans import queries_scalar  # noqa: F401
     from data_pipeline_001_spark.plans import queries_tpch2  # noqa: F401
@@ -66,9 +67,15 @@ def _coverage_order(names, oracles=None) -> list[str]:
         return n not in seen or (n in oracles and n not in hash_checked)
 
     ordered = list(names)
-    return [n for n in ordered if fronted(n)] + [
-        n for n in ordered if not fronted(n)
-    ]
+    # within the fronted block, oracle-backed queries come before
+    # rows-only ones: a sampled oracle query yields a hash-gate row,
+    # a rows-only query only an execution row — spend the driver's
+    # sample budget where the check is strongest
+    return (
+        [n for n in ordered if fronted(n) and n in oracles]
+        + [n for n in ordered if fronted(n) and n not in oracles]
+        + [n for n in ordered if not fronted(n)]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

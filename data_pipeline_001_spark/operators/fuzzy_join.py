@@ -1,0 +1,96 @@
+"""Fuzzy (edit-distance) self-join via deletion-neighborhood blocking.
+
+Entity-resolution primitive the reference's exact-key joins cannot
+express (SURVEY.md §2.13 extension; closest reference surface is the
+exact expected-vs-existing anti-join, `pipeline_utils/documents_utils.py`
+record matching): find all pairs of strings within Levenshtein
+distance 1 WITHOUT the O(n²) cross join.
+
+Algorithm (the classic FastSS / SymDelete blocking, public domain —
+used by SymSpell and described in Bocek et al., "Fast Similarity
+Search in Large Dictionaries", 2007): two strings u, v satisfy
+lev(u, v) = 1 iff exactly one of
+
+  * substitution — deleting position i from BOTH yields the same
+    string: del_i(u) = del_i(v), u ≠ v;
+  * insertion/deletion — deleting one position from the longer yields
+    the shorter: del_i(u) = v.
+
+So the candidate key is short and exact: ``(i, del_i(s))`` for
+substitutions, ``del_i(s)`` against the full string for indels. Each
+row of length L expands to L variant rows, the join is a plain
+equi-join on those keys, and a final ``levenshtein() = 1`` check
+removes nothing (the blocking is exact for k = 1) but is kept as a
+cheap defense against future generalization to k > 1.
+
+Scale shape: |variants| = Σ len(s) rows with short keys — one hash
+shuffle, no cross product. Bucket skew (many strings sharing a
+variant) is bounded by the alphabet: a deletion bucket of size m
+yields m² candidate pairs, and m ≤ alphabet size + 1 for substitution
+buckets. AQE's skew-join split handles pathological buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _variants(df: DataFrame, col: str) -> DataFrame:
+    """(s, i, v) — every single-character deletion of ``col``:
+    v = s with character i removed (1-based). Rows with empty strings
+    contribute nothing (guards Spark's descending ``sequence(1, 0)``).
+    """
+    return (
+        df.select(F.col(col).alias("s"))
+        .where(F.length("s") >= 1)
+        .select("s", F.explode(F.expr("sequence(1, length(s))")).alias("i"))
+        .select(
+            "s",
+            "i",
+            F.expr(
+                "concat(substring(s, 1, i - 1), substring(s, i + 1, length(s) - i))"
+            ).alias("v"),
+        )
+    )
+
+
+def editdist1_pairs(
+    df: DataFrame,
+    col: str,
+    out_a: str = "name_a",
+    out_b: str = "name_b",
+) -> DataFrame:
+    """All unordered DISTINCT-value pairs at Levenshtein distance
+    exactly 1, as (out_a < out_b, dist=1). Exact — finds precisely the
+    pairs an O(n²) levenshtein scan would, at O(n·L) candidate rows.
+    """
+    base = df.select(F.col(col).alias("s")).where(F.length("s") >= 1).distinct()
+    var = _variants(base, "s")
+
+    # substitution: same deletion position, same remainder, different s
+    a = var.select(F.col("i"), F.col("v"), F.col("s").alias("sa"))
+    b = var.select(F.col("i"), F.col("v"), F.col("s").alias("sb"))
+    sub = (
+        a.join(b, ["i", "v"])
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("x"), F.col("sb").alias("y"))
+    )
+
+    # insertion/deletion: deleting one char of the longer equals the
+    # shorter (lengths differ, so least/greatest ordering is safe)
+    ind = (
+        var.select(F.col("v"), F.col("s").alias("sa"))
+        .join(base.select(F.col("s").alias("sb")), F.col("v") == F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("x"), F.greatest("sa", "sb").alias("y")
+        )
+        .where(F.col("x") != F.col("y"))
+    )
+
+    cand = sub.unionByName(ind).distinct()
+    return cand.where(F.levenshtein("x", "y") == 1).select(
+        F.col("x").alias(out_a),
+        F.col("y").alias(out_b),
+        F.lit(1).cast("int").alias("dist"),
+    )

@@ -364,3 +364,35 @@ def zorder_layout(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """SCD1 merge (MERGE INTO ... WHEN MATCHED UPDATE, WHEN NOT
+    MATCHED INSERT): source rows replace target rows on key collision,
+    unmatched rows from both sides pass through.
+
+    Reference analogue: the delete-then-reinsert window reload
+    (`pipeline_utils/documents_utils.py` target range delete + bulk
+    insert) — this is the same idempotent-overwrite contract expressed
+    as one relational operator instead of two sink mutations.
+
+    Shape: union + row_number over the merge key — ONE hash shuffle on
+    ``keys``, no join (a left-anti + union would shuffle both sides
+    twice). At warehouse scale this is the copy-on-write MERGE body:
+    pair it with partition pruning so only partitions containing
+    source keys are rewritten, and the shuffle covers just those.
+    Columns are aligned by name; both inputs must share a schema.
+    """
+    tagged = source.withColumn("_pri", F.lit(0)).unionByName(
+        target.withColumn("_pri", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy("_pri")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_pri")
+    )

@@ -1,0 +1,415 @@
+"""Third wave of training-data curation queries (SURVEY.md §2.13):
+Gopher-style rule-based quality gating, per-source quota capping,
+train/holdout contamination (split leakage), SCD1 merge-upsert,
+fastText-style hashed linear classifier scoring, and a fuzzy
+edit-distance self-join with deletion-neighborhood blocking.
+
+Every query here has an exact DuckDB oracle: the rule arithmetic is
+integer/IEEE-deterministic, the classifier uses integer hash-bucket
+weights summed exactly before one float division, and the fuzzy join
+is blocked-but-exact (the oracle may brute-force what the engine
+blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.plans.queries import query
+from data_pipeline_001_spark.plans.queries_curation2 import _NORM_SQL
+from data_pipeline_001_spark.session import load_tables
+
+
+def _words():
+    from data_pipeline_001_spark.functions.text import normalize_text
+
+    return F.split(normalize_text(F.col("text")), " ")
+
+
+# ---------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, appendix A1.1 — public)
+# ---------------------------------------------------------------------
+
+_MIN_WORDS, _MAX_WORDS = 25, 100_000
+_MIN_MWL, _MAX_MWL = 3.0, 10.0
+_MIN_STOP = 2
+_MIN_ALPHA = 0.8
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+@query(
+    "quality_gopher_rules",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      string_split({_NORM_SQL}, ' ') AS w,
+                      len(string_split({_NORM_SQL}, ' ')) AS n_words,
+                      length({_NORM_SQL}) AS n_chars
+               FROM documents),
+    m AS (SELECT doc_id, n_words,
+                 ROUND((n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE), 6)
+                     AS mean_word_len,
+                 CAST(len(list_filter(w, x -> x IN {_STOPWORDS!r})) AS BIGINT)
+                     AS n_stop,
+                 ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                       / CAST(n_words AS DOUBLE), 6) AS alpha_frac
+          FROM t)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           n_stop, alpha_frac,
+           CAST(CASE WHEN n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                THEN 1 ELSE 0 END AS INT) AS f_words,
+           CAST(CASE WHEN mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL}
+                THEN 1 ELSE 0 END AS INT) AS f_mwl,
+           CAST(CASE WHEN n_stop >= {_MIN_STOP} THEN 1 ELSE 0 END AS INT)
+               AS f_stop,
+           CAST(CASE WHEN alpha_frac >= {_MIN_ALPHA} THEN 1 ELSE 0 END AS INT)
+               AS f_alpha,
+           CAST(CASE WHEN n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                      AND mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL}
+                      AND n_stop >= {_MIN_STOP}
+                      AND alpha_frac >= {_MIN_ALPHA}
+                THEN 1 ELSE 0 END AS INT) AS passes
+    FROM m
+    """,
+)
+def gopher_rules_q(spark, sf_dir):
+    """Rule-based quality gate per Gopher's document filters (word
+    count bounds, mean word length bounds, stop-word presence,
+    alphabetic-word fraction) with a per-rule flag and the conjunction.
+    All JVM-side array/HOF expressions over one scan — the mean word
+    length needs no per-word pass at all: on single-space-normalized
+    text it is (chars - (words-1)) / words exactly."""
+    t = load_tables(spark, sf_dir)
+    w = _words()
+    n_words = F.size(w).cast("long")
+    from data_pipeline_001_spark.functions.text import normalize_text
+
+    mwl = F.round(
+        (F.length(normalize_text(F.col("text"))) - (n_words - 1))
+        / n_words.cast("double"),
+        6,
+    )
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).cast("long")
+    alpha = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / n_words.cast("double"),
+        6,
+    )
+    m = t["documents"].select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        n_stop.alias("n_stop"),
+        alpha.alias("alpha_frac"),
+    )
+    f_words = F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+    f_mwl = F.col("mean_word_len").between(_MIN_MWL, _MAX_MWL)
+    f_stop = F.col("n_stop") >= _MIN_STOP
+    f_alpha = F.col("alpha_frac") >= _MIN_ALPHA
+    as_int = lambda c: c.cast("int")  # noqa: E731
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stop",
+        "alpha_frac",
+        as_int(f_words).alias("f_words"),
+        as_int(f_mwl).alias("f_mwl"),
+        as_int(f_stop).alias("f_stop"),
+        as_int(f_alpha).alias("f_alpha"),
+        as_int(f_words & f_mwl & f_stop & f_alpha).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Per-source quota capping
+# ---------------------------------------------------------------------
+
+_QUOTA = 50
+
+
+@query(
+    "curation_source_quota",
+    f"""
+    WITH r AS (SELECT doc_id, source,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY n_chars DESC, doc_id) AS rk
+               FROM documents)
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_QUOTA}
+    """,
+)
+def source_quota_q(spark, sf_dir):
+    """Per-source quota cap: keep the top-{quota} docs per source by
+    length (ties broken by doc_id) — the anti-over-representation
+    step a web-corpus mix applies per domain. One window shuffle on
+    ``source``; for heavy-tailed domain distributions the salted
+    two-phase top-k twin (operators/windows.py topk_per_key_salted)
+    is the drop-in replacement, same contract."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _QUOTA)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Train/holdout split leakage (n-gram containment across the split)
+# ---------------------------------------------------------------------
+
+_LEAK_MOD = 10  # holdout = doc_id % 10 == 0
+_LEAK_N = 8
+_LEAK_THRESHOLD = 0.5
+
+
+@query(
+    "curation_split_leakage",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(w) >= {_LEAK_N}
+                     THEN [array_to_string(w[i:i+{_LEAK_N - 1}], ' ')
+                           for i in range(1, len(w) - {_LEAK_N} + 2)]
+                     ELSE [] END) AS grams
+          FROM t),
+    hold AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+             FROM g WHERE doc_id % {_LEAK_MOD} = 0),
+    train AS (SELECT DISTINCT unnest(grams) AS gram
+              FROM g WHERE doc_id % {_LEAK_MOD} <> 0),
+    hits AS (SELECT h.doc_id, COUNT(*) AS n_hit
+             FROM hold h JOIN train t ON h.gram = t.gram
+             GROUP BY h.doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0)
+                 / CAST(GREATEST(len(d.grams), 1) AS DOUBLE), 6)
+               AS containment,
+           CAST(CASE WHEN COALESCE(h.n_hit, 0)
+                          >= {_LEAK_THRESHOLD} * len(d.grams)
+                      AND len(d.grams) > 0
+                THEN 1 ELSE 0 END AS INT) AS leaked
+    FROM g d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {_LEAK_MOD} = 0
+    """,
+)
+def split_leakage_q(spark, sf_dir):
+    """Split-leakage detector: for every HOLDOUT document, the
+    fraction of its distinct word {n}-grams that also occur anywhere
+    in the TRAIN split (containment), and a leaked flag at ≥ 50 % —
+    the eval-hygiene check decontamination does for external
+    benchmarks, applied to the pipeline's own split.
+
+    Scale shape: the holdout side is the small one (here 10 %, in
+    practice <1 %), so its distinct (doc, gram) set is the broadcast
+    side; train grams stream map-side through the join with no
+    corpus-side shuffle, and only matches shuffle into the per-doc
+    count (count_distinct dedupes the train-side multiplicity)."""
+    from data_pipeline_001_spark.operators.text_analysis import (
+        exploded_word_ngrams,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    hold = docs.where(F.col("doc_id") % _LEAK_MOD == 0)
+    train = docs.where(F.col("doc_id") % _LEAK_MOD != 0)
+
+    hold_grams = exploded_word_ngrams(hold, n=_LEAK_N).distinct()
+    # the train side contributes ONLY its gram column — after the join
+    # the surviving doc_id is unambiguously the holdout one, and
+    # count_distinct absorbs the train-side multiplicity
+    hits = (
+        exploded_word_ngrams(train, n=_LEAK_N)
+        .select("gram")
+        .join(F.broadcast(hold_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit"))
+    )
+    per_doc = (
+        hold.select("doc_id")
+        .join(
+            hold_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        )
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+                6,
+            ).alias("containment"),
+            (
+                (
+                    F.coalesce(F.col("n_hit"), F.lit(0))
+                    >= _LEAK_THRESHOLD * F.col("n_grams")
+                )
+                & (F.col("n_grams") > 0)
+            )
+            .cast("int")
+            .alias("leaked"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# SCD1 merge upsert
+# ---------------------------------------------------------------------
+
+
+@query(
+    "merge_scd1_upsert",
+    """
+    WITH src AS (
+        SELECT c_custkey, c_acctbal + 100 AS c_acctbal, 'update' AS src
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 0.0, 'insert'
+        FROM customer WHERE c_custkey % 97 = 0),
+    tgt AS (SELECT c_custkey, c_acctbal, 'target' AS src FROM customer),
+    u AS (SELECT *, 0 AS pri FROM src
+          UNION ALL SELECT *, 1 AS pri FROM tgt),
+    r AS (SELECT c_custkey, c_acctbal, src,
+                 ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY pri)
+                     AS rn
+          FROM u)
+    SELECT c_custkey, c_acctbal, src FROM r WHERE rn = 1
+    """,
+)
+def merge_upsert_q(spark, sf_dir):
+    """SCD1 MERGE INTO: a deterministic update/insert batch (every
+    7th key updated, every 97th key re-inserted under a new key)
+    merged into the customer table; source wins on collision,
+    everything else passes through. One hash shuffle on the merge key
+    — see operators/relational.merge_upsert for the copy-on-write
+    framing at table scale."""
+    from data_pipeline_001_spark.operators.relational import merge_upsert
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    target = cust.select("c_custkey", "c_acctbal", F.lit("target").alias("src"))
+    updates = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            F.lit("update").alias("src"),
+        )
+    )
+    inserts = (
+        cust.where(F.col("c_custkey") % 97 == 0)
+        .select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("insert").alias("src"),
+        )
+    )
+    return merge_upsert(target, updates.unionByName(inserts), ["c_custkey"])
+
+
+# ---------------------------------------------------------------------
+# fastText-style hashed linear classifier scoring
+# ---------------------------------------------------------------------
+
+_CLS_BUCKETS = 4096
+_CLS_MIX = 2654435761  # Knuth multiplicative-hash constant (public)
+_CLS_MOD = 1000003
+
+
+@query(
+    "text_classifier_score",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+               FROM documents),
+    s AS (SELECT doc_id, len(w) AS n,
+                 CAST(list_sum(list_transform(w, x ->
+                      CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT
+                           % {_CLS_BUCKETS} AS BIGINT)
+                      * {_CLS_MIX} % {_CLS_MOD})) AS BIGINT) AS wsum
+          FROM t)
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-4.0
+               * (wsum / {_CLS_MOD}.0 / n - 0.5))), 6) AS score,
+           CAST(CASE WHEN 1.0 / (1.0 + exp(-4.0
+               * (wsum / {_CLS_MOD}.0 / n - 0.5))) >= 0.5
+                THEN 1 ELSE 0 END AS INT) AS label
+    FROM s WHERE n > 0
+    """,
+)
+def classifier_score_q(spark, sf_dir):
+    """fastText-style quality classifier scoring: each token hashes
+    into one of {buckets} weight buckets (md5-prefix), the bucket's
+    weight is a fixed multiplicative-hash pseudo-weight, and the doc
+    score is a sigmoid over the mean token weight — the exact
+    execution shape of a trained hashed linear model (CCNet / GPT-3
+    quality filters), with deterministic weights standing in for
+    learned ones so the oracle can check bit-for-bit.
+
+    Integer weights are summed EXACTLY (one BIGINT aggregate per doc,
+    order-free); the only float math is a single division + sigmoid,
+    identical expression on both engines. JVM HOF transform/aggregate
+    over one scan, no shuffle at all."""
+    t = load_tables(spark, sf_dir)
+    w = _words()
+    bucket = lambda x: (  # noqa: E731
+        F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long") % _CLS_BUCKETS
+    )
+    weights = F.transform(w, lambda x: bucket(x) * _CLS_MIX % _CLS_MOD)
+    wsum = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(w)
+    base = t["documents"].select(
+        "doc_id", wsum.alias("wsum"), n.alias("n")
+    ).where(F.col("n") > 0)
+    margin = (
+        F.col("wsum") / F.lit(float(_CLS_MOD)) / F.col("n") - 0.5
+    ) * 4.0
+    score = 1.0 / (1.0 + F.exp(-margin))
+    return base.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).cast("int").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Fuzzy edit-distance self-join (deletion-neighborhood blocking)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "join_fuzzy_editdist1",
+    """
+    SELECT a.c_name AS name_a, b.c_name AS name_b, CAST(1 AS INT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_name < b.c_name
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+     AND levenshtein(a.c_name, b.c_name) = 1
+    """,
+)
+def fuzzy_editdist_q(spark, sf_dir):
+    """Fuzzy self-join: all customer-name pairs at Levenshtein
+    distance exactly 1, found via deletion-neighborhood blocking
+    (O(n·L) candidates, one equi-join) instead of the O(n²)
+    levenshtein cross join the oracle brute-forces. Exact for k = 1
+    by construction — see operators/fuzzy_join.py."""
+    from data_pipeline_001_spark.operators.fuzzy_join import editdist1_pairs
+
+    t = load_tables(spark, sf_dir)
+    return editdist1_pairs(t["customer"], "c_name")

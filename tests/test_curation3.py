@@ -1,0 +1,149 @@
+"""Third-wave curation operators: fuzzy edit-distance join exactness
+vs a brute-force reference, SCD1 merge semantics + idempotence,
+Gopher rule flags on crafted documents, classifier-score equivalence
+to a hashlib recomputation, source quota caps, and a planted split
+leak."""
+
+import hashlib
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    from data_pipeline_001_spark.operators.fuzzy_join import editdist1_pairs
+
+    vals = [
+        "abc", "abd", "ab", "abcd", "xyz", "xxyz", "a", "b", "",
+        "hello", "hallo", "hell", "shell",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["name"])
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in editdist1_pairs(df, "name").collect()
+    }
+    want = {
+        tuple(sorted((u, v)))
+        for u, v in itertools.combinations([v for v in vals if v], 2)
+        if _lev(u, v) == 1
+    }
+    assert got == want
+
+
+def test_fuzzy_join_empty_and_no_self_pairs(spark):
+    from data_pipeline_001_spark.operators.fuzzy_join import editdist1_pairs
+
+    df = spark.createDataFrame([("same",), ("same",), ("far",)], ["name"])
+    rows = editdist1_pairs(df, "name").collect()
+    # duplicates of the same value are NOT distance-1 pairs
+    assert rows == []
+
+
+def test_merge_upsert_semantics_and_idempotence(spark):
+    from data_pipeline_001_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10.0, "target"), (2, 20.0, "target"), (3, 30.0, "target")],
+        ["k", "v", "src"],
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0, "update"), (4, 40.0, "insert")], ["k", "v", "src"]
+    )
+    merged = merge_upsert(target, source, ["k"])
+    rows = {r["k"]: (r["v"], r["src"]) for r in merged.collect()}
+    assert rows == {
+        1: (10.0, "target"),
+        2: (99.0, "update"),
+        3: (30.0, "target"),
+        4: (40.0, "insert"),
+    }
+    # re-merging the same source is a no-op (idempotent replay)
+    again = merge_upsert(merged, source, ["k"])
+    assert {r["k"]: (r["v"], r["src"]) for r in again.collect()} == rows
+
+
+def test_gopher_rules_flag_crafted_failures(spark, monkeypatch):
+    from data_pipeline_001_spark.plans import queries_curation3 as c3
+
+    short = "the a " + "scan " * 5          # 7 words -> fails f_words
+    nostop = "scan batch merge window " * 10  # no stopwords -> fails f_stop
+    good = ("the a scan batch merge window value table " * 5).strip()
+    df = spark.createDataFrame(
+        [(1, short), (2, nostop), (3, good)], ["doc_id", "text"]
+    )
+    monkeypatch.setattr(
+        c3, "load_tables", lambda _s, _d: {"documents": df}
+    )
+    out = {r["doc_id"]: r for r in c3.gopher_rules_q(spark, SF).collect()}
+    assert out[1]["f_words"] == 0
+    assert out[2]["f_stop"] == 0 and out[2]["f_words"] == 1
+    assert out[3]["passes"] == 1
+
+
+def test_classifier_score_matches_hashlib(spark, monkeypatch):
+    from data_pipeline_001_spark.plans import queries_curation3 as c3
+
+    text = "the quick brown fox jumps"
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    monkeypatch.setattr(c3, "load_tables", lambda _s, _d: {"documents": df})
+    row = c3.classifier_score_q(spark, SF).collect()[0]
+
+    import math
+
+    toks = text.split()
+    wsum = sum(
+        (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % c3._CLS_BUCKETS)
+        * c3._CLS_MIX
+        % c3._CLS_MOD
+        for t in toks
+    )
+    margin = (wsum / c3._CLS_MOD / len(toks) - 0.5) * 4.0
+    want = 1.0 / (1.0 + math.exp(-margin))
+    assert abs(row["score"] - round(want, 6)) < 1e-9
+    assert row["label"] == int(want >= 0.5)
+
+
+def test_source_quota_caps_every_source(spark):
+    from data_pipeline_001_spark.plans.queries_curation3 import (
+        _QUOTA,
+        source_quota_q,
+    )
+
+    out = source_quota_q(spark, SF)
+    per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert per and all(r["n"] <= _QUOTA for r in per)
+    assert out.where(F.col("rk") > _QUOTA).count() == 0
+
+
+def test_split_leakage_detects_planted_copy(spark, monkeypatch):
+    from data_pipeline_001_spark.plans import queries_curation3 as c3
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"filler{i} " + " ".join(f"w{i}_{j}" for j in range(12)))
+            for i in range(1, 9)]          # train docs, unique grams
+    rows.append((3 * c3._LEAK_MOD, base))  # holdout copy ...
+    rows.append((9, base))                 # ... of a train doc
+    rows.append((2 * c3._LEAK_MOD, "tiny doc below gram width"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    monkeypatch.setattr(c3, "load_tables", lambda _s, _d: {"documents": df})
+    out = {r["doc_id"]: r for r in c3.split_leakage_q(spark, SF).collect()}
+
+    leaked = out[3 * c3._LEAK_MOD]
+    assert leaked["leaked"] == 1 and leaked["containment"] == 1.0
+    tiny = out[2 * c3._LEAK_MOD]
+    assert tiny["n_grams"] == 0 and tiny["leaked"] == 0
