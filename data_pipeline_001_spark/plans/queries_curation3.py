@@ -413,3 +413,64 @@ def fuzzy_editdist_q(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return editdist1_pairs(t["customer"], "c_name")
+
+
+# ---------------------------------------------------------------------
+# Winsorization (percentile outlier clipping)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "quality_winsorize_values",
+    """
+    WITH s AS (SELECT event_type,
+                      quantile_cont(value, 0.01) AS p01,
+                      quantile_cont(value, 0.99) AS p99
+               FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(s.p01, 6) AS p01,
+           ROUND(s.p99, 6) AS p99,
+           ROUND(AVG(e.value), 6) AS avg_raw,
+           ROUND(AVG(LEAST(GREATEST(e.value, s.p01), s.p99)), 6)
+               AS avg_clipped,
+           CAST(SUM(CASE WHEN e.value < s.p01 OR e.value > s.p99
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN s USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, s.p01, s.p99
+    """,
+)
+def winsorize_q(spark, sf_dir):
+    """Winsorization: clip each event's value to its type's [p01, p99]
+    band and report the mean shift + clip count — the numeric-feature
+    outlier guard before training-statistics jobs. Exact percentiles
+    here (same function the oracle uses); percentile_approx is the
+    drop-in at 100 TB. The tiny per-type stats frame broadcasts back
+    onto the fact scan, so the data side shuffles once (final agg)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_raw"),
+            F.round(F.avg(clipped), 6).alias("avg_clipped"),
+            F.sum(
+                ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99")))
+                .cast("long")
+            ).alias("n_clipped"),
+        )
+        .select(
+            "event_type",
+            F.round("p01", 6).alias("p01"),
+            F.round("p99", 6).alias("p99"),
+            "avg_raw",
+            "avg_clipped",
+            "n_clipped",
+        )
+    )

@@ -1,0 +1,213 @@
+"""Manifest-based versioned parquet table: snapshot isolation, time
+travel, rollback, and optimistic-concurrency commits on plain parquet
+— the Delta/Iceberg commit protocol (public: Armbrust et al., "Delta
+Lake: High-Performance ACID Table Storage over Cloud Object Stores",
+VLDB 2020) re-expressed with nothing but directories and JSON.
+
+The reference's sink discipline is delete-then-reinsert per window
+(`pipeline_utils/documents_utils.py` target range delete + bulk
+insert) — mutation in place, no history. This component gives the
+same idempotent-overwrite contract PLUS history: every commit is a
+new immutable manifest, readers pin a manifest and never see a
+partial write, and rollback is a metadata-only commit.
+
+Layout:
+
+    <root>/data/<commit-uuid>/part-*.parquet     immutable data dirs
+    <root>/_manifests/v00000001.json             {"version", "op",
+                                                  "files": [dirs],
+                                                  "parent", "ts"}
+
+Protocol:
+
+* A commit writes its data directory FIRST, then claims the next
+  version by creating ``v{N}.json`` with O_EXCL. Creation is the
+  atomic commit point: a crash before it leaves an unreferenced data
+  dir (invisible garbage, reclaimed by ``vacuum``); two racing
+  writers cannot both create the same manifest file, so the loser
+  gets ``ConcurrentCommitError`` and retries on the new snapshot —
+  exactly the optimistic-concurrency loop Delta runs on object
+  stores.
+* Readers list manifests, pick the highest complete one (or an
+  explicit ``version=`` for time travel), and read only the dirs it
+  names. Appends never rewrite old dirs, so old snapshots stay
+  readable until vacuumed.
+* ``rollback(v)`` commits a NEW manifest whose file list is v's —
+  history moves forward only, the bad commit stays inspectable.
+
+At 100 TB the same protocol holds: manifests are KB-sized JSON no
+matter the data volume, and the one non-scalable piece here — listing
+``data/`` in ``vacuum`` — is the piece real lakehouses move into the
+manifest themselves (file-level listings), which ``files`` already is.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed this version first; re-read and retry."""
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest bookkeeping -----------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version:08d}.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """All complete manifests, oldest first. Manifests are created
+        by atomic link of fully-written temp files, so invalid JSON can
+        only come from external interference — such a file is skipped
+        for reads but still burns its version number (see
+        ``_next_version``), which is harmless."""
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(self.manifest_dir, name)) as fh:
+                    out.append(json.load(fh))
+            except (OSError, ValueError):
+                continue
+        return out
+
+    def current_version(self) -> int:
+        """Latest READABLE version; 0 when the table has no commits."""
+        hist = self.history()
+        return hist[-1]["version"] if hist else 0
+
+    def _next_version(self) -> int:
+        """One past the highest version NUMBER present on disk — valid
+        or not — so a corrupt manifest burns its slot instead of
+        wedging every future commit on a FileExists collision."""
+        versions = [0]
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    versions.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return max(versions) + 1
+
+    # -- commit protocol ----------------------------------------------
+
+    def _write_data(self, df: DataFrame) -> str:
+        rel = os.path.join("data", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def _commit(self, files: list[str], op: str) -> int:
+        """Claim the next version atomically: write the manifest to a
+        temp file, then ``os.link`` it into place. The link either
+        creates the final name with COMPLETE content or fails — there
+        is no window in which a reader can observe a half-written
+        manifest, and two racing writers cannot both link the same
+        version (the loser raises ``ConcurrentCommitError``)."""
+        version = self._next_version()
+        manifest = {
+            "version": version,
+            "op": op,
+            "files": files,
+            "parent": self.current_version(),
+            "ts": time.time(),
+        }
+        tmp = os.path.join(
+            self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError as exc:
+            raise ConcurrentCommitError(
+                f"version {version} already committed"
+            ) from exc
+        finally:
+            os.remove(tmp)
+        return version
+
+    # -- write ops ----------------------------------------------------
+
+    def append(self, df: DataFrame) -> int:
+        """New version = previous file list + one new data dir."""
+        rel = self._write_data(df)
+        prev = self.history()
+        files = (prev[-1]["files"] if prev else []) + [rel]
+        return self._commit(files, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """New version references ONLY the new data dir; old versions
+        keep reading their own dirs until vacuum."""
+        rel = self._write_data(df)
+        return self._commit([rel], "overwrite")
+
+    def merge(self, source: DataFrame, keys: list[str]) -> int:
+        """SCD1 MERGE commit: upsert ``source`` into the current
+        snapshot (operators/relational.merge_upsert) and commit the
+        result as a full rewrite. Copy-on-write, snapshot-isolated:
+        concurrent readers of the old version are untouched."""
+        from data_pipeline_001_spark.operators.relational import merge_upsert
+
+        current = self.read()
+        merged = merge_upsert(current, source, keys)
+        return self.overwrite(merged)
+
+    def rollback(self, to_version: int) -> int:
+        """Metadata-only commit restoring ``to_version``'s file list."""
+        target = self._read_manifest(to_version)
+        return self._commit(target["files"], f"rollback:{to_version}")
+
+    # -- read ops -----------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The snapshot at ``version`` (default: latest)."""
+        if version is None:
+            version = self.current_version()
+        if version == 0:
+            raise ValueError("table has no commits")
+        manifest = self._read_manifest(version)
+        paths = [os.path.join(self.root, rel) for rel in manifest["files"]]
+        return self.spark.read.parquet(*paths)
+
+    # -- maintenance --------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Drop data dirs referenced by NO retained manifest, and
+        manifests older than the retention window. Returns removed
+        dirs. Never touches dirs referenced by a kept version, so
+        time travel within the window survives."""
+        hist = self.history()
+        keep = hist[-keep_versions:] if keep_versions else hist
+        referenced = {rel for m in keep for rel in m["files"]}
+        removed = []
+        for name in os.listdir(self.data_dir):
+            rel = os.path.join("data", name)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+                removed.append(rel)
+        for m in hist[: len(hist) - keep_versions if keep_versions else 0]:
+            try:
+                os.remove(self._manifest_path(m["version"]))
+            except OSError:
+                pass
+        return removed

@@ -114,3 +114,12 @@ def test_no_row_python_udfs_anywhere(spark, registry):
     ]:
         plan = _plan(registry[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_fuzzy_join_has_no_cross_product(spark, registry):
+    """The deletion-neighborhood fuzzy join must stay an equi-join:
+    a regression to BroadcastNestedLoop/CartesianProduct would make
+    the levenshtein predicate an O(n^2) scan at scale."""
+    plan = _plan(registry["join_fuzzy_editdist1"](spark, SF))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan

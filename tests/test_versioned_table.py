@@ -1,0 +1,100 @@
+"""VersionedTable: commit protocol, time travel, rollback, merge,
+optimistic concurrency, vacuum retention, and crash debris handling."""
+
+import json
+import os
+
+import pytest
+
+from data_pipeline_001_spark.sources.versioned_table import (
+    ConcurrentCommitError,
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path / "tbl"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def test_append_time_travel_and_history(spark, vt):
+    v1 = vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = vt.append(_df(spark, [(3, "c")]))
+    assert (v1, v2) == (1, 2)
+    assert vt.read(1).count() == 2
+    assert vt.read(2).count() == 3
+    assert vt.read().count() == 3
+    assert [m["op"] for m in vt.history()] == ["append", "append"]
+
+
+def test_overwrite_isolates_old_snapshot(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.overwrite(_df(spark, [(9, "z")]))
+    assert {r["k"] for r in vt.read(1).collect()} == {1}
+    assert {r["k"] for r in vt.read(2).collect()} == {9}
+
+
+def test_merge_upserts_against_snapshot(spark, vt):
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.merge(_df(spark, [(2, "B"), (3, "c")]), ["k"])
+    assert {(r["k"], r["v"]) for r in vt.read().collect()} == {
+        (1, "a"), (2, "B"), (3, "c"),
+    }
+    # pre-merge snapshot untouched
+    assert {(r["k"], r["v"]) for r in vt.read(1).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+
+
+def test_rollback_is_forward_commit(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.overwrite(_df(spark, [(2, "bad")]))
+    v3 = vt.rollback(1)
+    assert v3 == 3
+    assert {r["k"] for r in vt.read().collect()} == {1}
+    # the bad commit stays inspectable
+    assert {r["k"] for r in vt.read(2).collect()} == {2}
+
+
+def test_concurrent_commit_loses_cleanly(spark, vt, monkeypatch):
+    vt.append(_df(spark, [(1, "a")]))
+    # simulate the race: both writers compute next version = 2, the
+    # other one links its manifest first
+    monkeypatch.setattr(vt, "_next_version", lambda: 2)
+    with open(vt._manifest_path(2), "w") as fh:
+        json.dump({"version": 2, "op": "append", "files": [], "parent": 1,
+                   "ts": 0}, fh)
+    with pytest.raises(ConcurrentCommitError):
+        vt._commit(["data/x"], "append")
+    # retry re-reads the snapshot and claims the NEXT slot
+    monkeypatch.undo()
+    assert vt._commit(["data/x"], "append") == 3
+    # no temp debris left behind either way
+    assert not [n for n in os.listdir(vt.manifest_dir) if n.startswith(".tmp")]
+
+
+def test_vacuum_respects_retention(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    vt.overwrite(_df(spark, [(2, "b")]))
+    removed = vt.vacuum(keep_versions=1)
+    assert len(removed) == 1
+    assert {r["k"] for r in vt.read().collect()} == {2}
+    with pytest.raises(Exception):
+        vt.read(1).collect()
+
+
+def test_corrupt_manifest_burns_slot_without_wedging(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    # external interference: a manifest file containing invalid JSON
+    with open(vt._manifest_path(2), "w") as fh:
+        fh.write('{"version": 2, "op"')
+    # reads skip it ...
+    assert vt.current_version() == 1
+    assert vt.read().count() == 1
+    # ... and the next commit burns the slot instead of colliding
+    assert vt.append(_df(spark, [(2, "b")])) == 3
+    assert vt.read().count() == 2
