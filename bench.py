@@ -63,6 +63,10 @@ EXTENDED = [
     "quality_drift_psi",
     "curation_dsir_weights",
     "text_ngram_novelty",
+    "join_fuzzy_editdist1",
+    "text_classifier_score",
+    "quality_gopher_rules",
+    "merge_scd1_upsert",
 ]
 
 TABLES = (
