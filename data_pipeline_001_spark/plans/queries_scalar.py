@@ -470,3 +470,34 @@ def derived_projection(spark, sf_dir):
             window_duration_minutes(start, end).alias("duration_minutes"),
         )
     )
+
+
+@query(
+    "json_variant_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS k_missing
+    FROM events WHERE event_id < 3000
+    """,
+)
+def json_variant_extract(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` encodes
+    the document once into the binary variant form, then typed field
+    reads via ``try_variant_get`` — the open-schema twin of the fixed
+    ``from_json`` struct in json_from_struct. Missing keys read as
+    NULL (try_ semantics), matching SQL JSON-path extraction. At scale
+    this is the shape for ingesting heterogeneous JSON without a
+    declared schema: one parse, shredded typed access."""
+    t = load_tables(spark, sf_dir)
+    v = F.parse_json("props")
+    return (
+        t["events"]
+        .where(F.col("event_id") < 3000)
+        .withColumn("v", v)
+        .select(
+            "event_id",
+            F.try_variant_get("v", "$.k", "int").alias("k_val"),
+            F.try_variant_get("v", "$.missing", "int").alias("k_missing"),
+        )
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_pipeline_001_spark.plans.queries import query
+from data_pipeline_001_spark.plans.queries_curation2 import _NORM_SQL
 from data_pipeline_001_spark.session import load_tables
 
 
@@ -57,4 +58,46 @@ def udf_grouped(spark, sf_dir):
         .where(F.col("k") > 0)
         .groupBy("event_type")
         .agg(F.round(weighted_mean(F.col("value"), F.col("k")), 6).alias("weighted_value"))
+    )
+
+
+@query(
+    "udtf_word_counts",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      unnest(string_split({_NORM_SQL}, ' ')) AS word
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id, word, CAST(COUNT(*) AS INT) AS cnt
+    FROM t GROUP BY doc_id, word
+    """,
+)
+def udtf_word_counts_q(spark, sf_dir):
+    """Python UDTF (Spark 4 table function): one input row fans out to
+    many output rows from Python. This is the LAST-resort escape hatch
+    in the UDF ladder (scalar pandas → grouped agg → grouped map →
+    mapInPandas → UDTF): row-at-a-time Python, so it's demonstrated on
+    a bounded slice and everything it does here COULD be done with
+    explode+groupBy (which the oracle and the explode_word_frequency
+    query prove). Real use is logic that genuinely needs per-row
+    Python fan-out (parsers, tokenizers with state)."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, cnt int")
+    class WordCounts:
+        def eval(self, text: str):
+            norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+            for word, cnt in sorted(Counter(norm.split(" ")).items()):
+                yield word, cnt
+
+    spark.udtf.register("word_counts_udtf", WordCounts)
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, u.word, u.cnt
+        FROM documents d, LATERAL word_counts_udtf(d.text) u
+        WHERE d.doc_id < 50
+        """
     )
