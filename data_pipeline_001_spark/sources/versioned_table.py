@@ -116,7 +116,7 @@ class VersionedTable:
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         return rel
 
-    def _commit(self, files: list[str], op: str) -> int:
+    def _commit(self, files: list[str], op: str, extra: dict | None = None) -> int:
         """Claim the next version atomically: write the manifest to a
         temp file, then ``os.link`` it into place. The link either
         creates the final name with COMPLETE content or fails — there
@@ -130,6 +130,7 @@ class VersionedTable:
             "files": files,
             "parent": self.current_version(),
             "ts": time.time(),
+            **(extra or {}),
         }
         tmp = os.path.join(
             self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json"
@@ -211,3 +212,38 @@ class VersionedTable:
             except OSError:
                 pass
         return removed
+
+
+def versioned_stream_sink(table: VersionedTable):
+    """foreachBatch handler committing each micro-batch as one
+    VersionedTable append — EXACTLY-ONCE streaming table writes on
+    plain parquet.
+
+    Structured Streaming's foreachBatch contract is at-least-once: a
+    crash between the sink write and the checkpoint commit replays the
+    batch. Here the manifest absorbs the replay: every commit records
+    its ``batch_id``, and a replayed batch whose id already appears in
+    history is skipped WITHOUT writing data — the dedup is on the
+    atomic commit record itself, not on the data files, so a crash at
+    any point (data written, manifest not linked) leaves only invisible
+    garbage for ``vacuum``. This is the idempotent-foreachBatch pattern
+    Delta's ``txnAppId``/``txnVersion`` implements, on bare manifests.
+
+    Usage::
+
+        q = (df.writeStream.foreachBatch(versioned_stream_sink(vt))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def handle(batch_df, batch_id: int) -> None:
+        committed = {
+            m.get("batch_id") for m in table.history() if "batch_id" in m
+        }
+        if batch_id in committed:
+            return
+        rel = table._write_data(batch_df)
+        prev = table.history()
+        files = (prev[-1]["files"] if prev else []) + [rel]
+        table._commit(files, "stream-append", extra={"batch_id": batch_id})
+
+    return handle
