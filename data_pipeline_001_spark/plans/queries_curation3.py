@@ -474,3 +474,124 @@ def winsorize_q(spark, sf_dir):
             "n_clipped",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Composite filter decision (the full curation funnel, attributed)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "curation_filter_decision",
+    f"""
+    WITH base AS (SELECT doc_id,
+                         md5({_NORM_SQL}) AS fp,
+                         string_split({_NORM_SQL}, ' ') AS w,
+                         len(string_split({_NORM_SQL}, ' ')) AS n_words,
+                         length({_NORM_SQL}) AS n_chars
+                  FROM documents),
+    m AS (SELECT doc_id, n_words,
+                 ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS fp_rn,
+                 (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE)
+                     AS mean_word_len,
+                 len(list_filter(w, x -> x IN {_STOPWORDS!r})) AS n_stop,
+                 len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                     / CAST(n_words AS DOUBLE) AS alpha_frac,
+                 CAST(list_sum(list_transform(w, x ->
+                      CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT
+                           % {_CLS_BUCKETS} AS BIGINT)
+                      * {_CLS_MIX} % {_CLS_MOD})) AS BIGINT) AS wsum
+          FROM base),
+    d AS (SELECT doc_id,
+                 CASE
+                   WHEN fp_rn > 1 THEN 'duplicate'
+                   WHEN NOT (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                             AND mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL}
+                             AND n_stop >= {_MIN_STOP}
+                             AND alpha_frac >= {_MIN_ALPHA})
+                        THEN 'quality_rules'
+                   WHEN 1.0 / (1.0 + exp(-4.0
+                        * (wsum / {_CLS_MOD}.0 / n_words - 0.5))) < 0.5
+                        THEN 'classifier'
+                   ELSE 'ok'
+                 END AS reason
+          FROM m)
+    SELECT doc_id, reason,
+           CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep
+    FROM d
+    """,
+)
+def filter_decision_q(spark, sf_dir):
+    """The full curation funnel as ONE attributed decision per
+    document — exact-dup check, Gopher rule conjunction, classifier
+    threshold, applied in pipeline order with the FIRST failing stage
+    recorded as the drop reason (the funnel-attrition accounting a
+    FineWeb/RefinedWeb-style recipe reports). One scan + one
+    fingerprint window shuffle; every rule expression is shared with
+    its standalone query, so the stage oracles and this composite
+    oracle cross-check each other."""
+    from pyspark.sql import Window
+
+    from data_pipeline_001_spark.functions.text import (
+        fingerprint,
+        normalize_text,
+    )
+
+    t = load_tables(spark, sf_dir)
+    w = _words()
+    n_words = F.size(w).cast("long")
+    mwl = (
+        F.length(normalize_text(F.col("text"))) - (n_words - 1)
+    ) / n_words.cast("double")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / n_words.cast(
+        "double"
+    )
+    bucket = lambda x: (  # noqa: E731
+        F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long") % _CLS_BUCKETS
+    )
+    wsum = F.aggregate(
+        F.transform(w, lambda x: bucket(x) * _CLS_MIX % _CLS_MOD),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = t["documents"].select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        n_stop.alias("n_stop"),
+        alpha.alias("alpha_frac"),
+        wsum.alias("wsum"),
+    )
+    fp_rn = F.row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")
+    )
+    gopher_ok = (
+        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+        & F.col("mean_word_len").between(_MIN_MWL, _MAX_MWL)
+        & (F.col("n_stop") >= _MIN_STOP)
+        & (F.col("alpha_frac") >= _MIN_ALPHA)
+    )
+    score = 1.0 / (
+        1.0
+        + F.exp(
+            -(F.col("wsum") / F.lit(float(_CLS_MOD)) / F.col("n_words") - 0.5)
+            * 4.0
+        )
+    )
+    reason = (
+        F.when(F.col("fp_rn") > 1, F.lit("duplicate"))
+        .when(~gopher_ok, F.lit("quality_rules"))
+        .when(score < 0.5, F.lit("classifier"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        base.withColumn("fp_rn", fp_rn)
+        .select("doc_id", reason.alias("reason"))
+        .select(
+            "doc_id",
+            "reason",
+            (F.col("reason") == "ok").cast("int").alias("keep"),
+        )
+    )
