@@ -381,3 +381,93 @@ def funnel_steps(spark, sf_dir):
         .groupBy("funnel_stage")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "agg_hll_sketch_reaggregate",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS reagg_matches_direct,
+           TRUE AS within_rsd_bound
+    FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    """,
+)
+def hll_sketch_reaggregate(spark, sf_dir):
+    """MERGEABLE distinct-count sketches (DataSketches HLL): per-day
+    sketches built once, then rolled up per event type with
+    ``hll_union_agg`` — the two-level shape that makes distinct counts
+    cheap at 100 TB (daily partials are KB-sized and re-aggregate
+    without touching raw data; approx_count_distinct can't be re-rolled
+    from saved results). HLL register state is a max over hashes, so
+    union-of-partials is EXACTLY the direct sketch — the query asserts
+    that equality, plus the rsd contract vs the exact count (the
+    cross-engine gate checks both flags and the exact twin; sketch
+    bytes themselves are engine-specific)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    reagg = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_reagg")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return direct.join(reagg, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.col("est_reagg") == F.col("est_direct")).alias(
+            "reagg_matches_direct"
+        ),
+        (
+            F.abs(F.col("est_reagg") - F.col("exact_users"))
+            <= F.greatest(
+                F.col("exact_users") * F.lit(5 * 0.0208), F.lit(1.0)
+            )
+        ).alias("within_rsd_bound"),
+    )
+
+
+@query(
+    "agg_kll_quantile_sketch",
+    """
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           TRUE AS rank_err_ok
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def kll_quantile_sketch(spark, sf_dir):
+    """Streaming-quantile sketch (DataSketches KLL): the sketch's
+    median estimate must sit within the published rank-error bound —
+    asserted by computing the TRUE rank of the estimate against the
+    exact distribution (|rank − 0.5| ≤ 0.03 at default k=200). KLL
+    partials merge like HLL's, which is what percentile dashboards
+    roll up at scale instead of re-scanning history. The oracle checks
+    the contract flag, the exact-median twin column, and the count."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("value").isNotNull())
+    est = ev.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value"), F.lit(0.5)
+        ).alias("est_p50")
+    )
+    return (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("est_p50")).cast("double"))
+                    - 0.5
+                )
+                <= 0.03
+            ).alias("rank_err_ok"),
+        )
+    )
