@@ -185,3 +185,29 @@ def drift_psi(
             "psi_term"
         ),
     )
+
+
+_CHECKSUM_MOD = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+
+
+def content_checksum(cols: list[str]) -> Column:
+    """Order-insensitive content checksum AGGREGATE over the given
+    columns: per-row 60-bit md5 digests summed exactly (decimal
+    accumulator — a bigint SUM would overflow silently) and reduced
+    mod 2⁶¹−1.
+
+    This upgrades the count-only audit (reference A5,
+    `pipeline_utils/audit_utils.py` count reconciliation) to CONTENT
+    reconciliation: equal counts with a flipped row still mismatch.
+    Sum is commutative, so the checksum is independent of row order
+    and partitioning — two tables agree iff their multisets of
+    selected columns agree (modulo 2⁻⁶⁰ collision odds per row).
+    Nulls are folded in by concat_ws's empty-string convention; pick
+    columns with engine-stable string forms (ints, strings — not
+    floats or timestamps, whose text renderings differ by engine).
+    """
+    row = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return (
+        F.sum(h.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD)
+    ).cast("long")

@@ -471,3 +471,43 @@ def kll_quantile_sketch(spark, sf_dir):
             ).alias("rank_err_ok"),
         )
     )
+
+
+@query(
+    "agg_content_checksum",
+    """
+    WITH h AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(('0x' || substr(md5(concat_ws('|',
+                           CAST(event_id AS VARCHAR),
+                           CAST(user_id AS VARCHAR),
+                           event_type, props)), 1, 15))::UBIGINT
+                           AS HUGEINT) AS hv
+               FROM events)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(hv) % 2305843009213693951 AS BIGINT) AS checksum
+    FROM h GROUP BY day
+    """,
+)
+def content_checksum_q(spark, sf_dir):
+    """Per-day order-insensitive CONTENT checksum of the events table
+    — the deep-audit primitive behind content reconciliation
+    (operators/constraints.content_checksum). The oracle recomputes
+    the same 60-bit md5 arithmetic, so the checksum VALUE itself must
+    agree across engines: any row-level divergence between the two
+    reads would flip it. One scan, one narrow agg."""
+    from data_pipeline_001_spark.operators.constraints import (
+        content_checksum,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            content_checksum(
+                ["event_id", "user_id", "event_type", "props"]
+            ).alias("checksum"),
+        )
+    )

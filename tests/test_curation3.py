@@ -147,3 +147,29 @@ def test_split_leakage_detects_planted_copy(spark, monkeypatch):
     assert leaked["leaked"] == 1 and leaked["containment"] == 1.0
     tiny = out[2 * c3._LEAK_MOD]
     assert tiny["n_grams"] == 0 and tiny["leaked"] == 0
+
+
+def test_content_checksum_detects_mutation_and_ignores_order(spark):
+    from data_pipeline_001_spark.operators.constraints import content_checksum
+
+    rows = [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]
+    df = spark.createDataFrame(rows, ["k", "s", "t"])
+    ck = lambda d: d.agg(  # noqa: E731
+        content_checksum(["k", "s", "t"]).alias("c")
+    ).collect()[0]["c"]
+
+    base = ck(df)
+    # row order / partitioning changes nothing
+    assert ck(df.repartition(7).sortWithinPartitions("s")) == base
+    # a single flipped cell changes the checksum (count stays equal)
+    mutated = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "Z")], ["k", "s", "t"]
+    )
+    assert ck(mutated) != base
+    # a moved row between groups is caught even at equal total counts
+    g = (
+        df.groupBy((df.k % 2).alias("g"))
+        .agg(content_checksum(["k", "s", "t"]).alias("c"))
+        .collect()
+    )
+    assert len({r["c"] for r in g}) == 2
