@@ -144,3 +144,40 @@ def test_stream_sink_through_real_stream(spark, vt, tmp_path):
         q.stop()
     rows = [r["k"] for r in vt.read().collect()]
     assert len(rows) == len(set(rows)) and rows  # no duplicates
+
+
+def test_stats_pruned_read_skips_dirs(spark, tmp_path):
+    from data_pipeline_001_spark.sources.versioned_table import (
+        StatsVersionedTable,
+    )
+
+    vt = StatsVersionedTable(spark, str(tmp_path / "st"), stats_cols=["k"])
+    vt.append(_df(spark, [(1, "a"), (5, "b")]))       # k in [1, 5]
+    vt.append(_df(spark, [(100, "c"), (200, "d")]))   # k in [100, 200]
+    vt.append(_df(spark, [(1000, "e")]))              # k in [1000, 1000]
+
+    pruned = vt.read_pruned("k", 90, 300)
+    assert {r["k"] for r in pruned.collect()} == {100, 200}
+    # only the one overlapping dir is in the scan
+    dirs = {f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}
+    assert len(dirs) == 1
+    # full read still sees everything
+    assert vt.read().count() == 5
+    # disjoint range -> empty without scanning anything
+    assert vt.read_pruned("k", -50, -10).count() == 0
+
+
+def test_snapshot_diff_reports_cdc_rows(spark, vt):
+    from data_pipeline_001_spark.sources.versioned_table import snapshot_diff
+
+    vt.append(_df(spark, [(1, "a"), (2, "b")]))
+    vt.merge(_df(spark, [(2, "B"), (3, "c")]), ["k"])
+    changes = {
+        (r["k"], r["v"], r["_change"])
+        for r in snapshot_diff(vt, 1, 2).collect()
+    }
+    assert changes == {
+        (2, "b", "delete"),   # update = delete old ...
+        (2, "B", "insert"),   # ... + insert new
+        (3, "c", "insert"),
+    }
