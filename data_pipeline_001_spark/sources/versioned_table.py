@@ -162,7 +162,9 @@ class VersionedTable:
         rel = self._write_data(df)
         return self._commit([rel], "overwrite")
 
-    def merge(self, source: DataFrame, keys: list[str]) -> int:
+    def merge(
+        self, source: DataFrame, keys: list[str], extra: dict | None = None
+    ) -> int:
         """SCD1 MERGE commit: upsert ``source`` into the current
         snapshot (operators/relational.merge_upsert) and commit the
         result as a full rewrite. Copy-on-write, snapshot-isolated:
@@ -171,7 +173,8 @@ class VersionedTable:
 
         current = self.read()
         merged = merge_upsert(current, source, keys)
-        return self.overwrite(merged)
+        rel = self._write_data(merged)
+        return self._commit([rel], "merge", extra=extra)
 
     def rollback(self, to_version: int) -> int:
         """Metadata-only commit restoring ``to_version``'s file list."""
@@ -245,6 +248,35 @@ def versioned_stream_sink(table: VersionedTable):
         prev = table.history()
         files = (prev[-1]["files"] if prev else []) + [rel]
         table._commit(files, "stream-append", extra={"batch_id": batch_id})
+
+    return handle
+
+
+def versioned_stream_merge_sink(table: VersionedTable, keys: list[str]):
+    """foreachBatch handler UPSERTING each micro-batch into the table
+    by key — streaming CDC materialization (a Kafka changelog keeping
+    a lakehouse table current), with the same batch_id-on-the-manifest
+    idempotency as ``versioned_stream_sink``: a replayed batch is
+    skipped even though merge rewrites data, so the upsert applies
+    exactly once. An empty table bootstraps from the first batch.
+
+    Ordering note: within one micro-batch the LAST writer per key is
+    not defined by arrival order — dedupe the batch on an event-time
+    column upstream (e.g. ``dropDuplicates`` after a window max) when
+    the changelog can carry multiple updates per key per trigger.
+    """
+
+    def handle(batch_df, batch_id: int) -> None:
+        committed = {
+            m.get("batch_id") for m in table.history() if "batch_id" in m
+        }
+        if batch_id in committed:
+            return
+        if table.current_version() == 0:
+            rel = table._write_data(batch_df)
+            table._commit([rel], "stream-merge", extra={"batch_id": batch_id})
+        else:
+            table.merge(batch_df, keys, extra={"batch_id": batch_id})
 
     return handle
 

@@ -181,3 +181,23 @@ def test_snapshot_diff_reports_cdc_rows(spark, vt):
         (2, "B", "insert"),   # ... + insert new
         (3, "c", "insert"),
     }
+
+
+def test_stream_merge_sink_upserts_exactly_once(spark, vt):
+    from data_pipeline_001_spark.sources.versioned_table import (
+        versioned_stream_merge_sink,
+    )
+
+    handle = versioned_stream_merge_sink(vt, ["k"])
+    handle(_df(spark, [(1, "a"), (2, "b")]), 0)     # bootstrap
+    b1 = _df(spark, [(2, "B"), (3, "c")])
+    handle(b1, 1)                                    # upsert
+    handle(b1, 1)                                    # crash replay
+    assert {(r["k"], r["v"]) for r in vt.read().collect()} == {
+        (1, "a"), (2, "B"), (3, "c"),
+    }
+    assert [m["batch_id"] for m in vt.history()] == [0, 1]
+    # pre-merge snapshot still time-travelable
+    assert {(r["k"], r["v"]) for r in vt.read(1).collect()} == {
+        (1, "a"), (2, "b"),
+    }
