@@ -173,3 +173,31 @@ def test_content_checksum_detects_mutation_and_ignores_order(spark):
         .collect()
     )
     assert len({r["c"] for r in g}) == 2
+
+
+def test_fuzzy_join_random_corpus_matches_bruteforce(spark):
+    """Seeded random corpus over a 3-letter alphabet (dense distance-1
+    neighborhoods, lengths 0-6 incl. duplicates) — the blocking must
+    reproduce the brute-force pair set exactly."""
+    import random
+
+    from data_pipeline_001_spark.operators.fuzzy_join import editdist1_pairs
+
+    rng = random.Random(1234)
+    vals = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["name"])
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in editdist1_pairs(df, "name").collect()
+    }
+    uniq = sorted({v for v in vals if v})
+    want = {
+        (u, v)
+        for i, u in enumerate(uniq)
+        for v in uniq[i + 1 :]
+        if _lev(u, v) == 1
+    }
+    assert got == want and len(want) > 20
