@@ -3,6 +3,7 @@ stream, check tumbling/session/sliding window results against the
 equivalent batch computation (stream-batch parity)."""
 
 import shutil
+from datetime import datetime
 
 import pytest
 from pyspark.sql import functions as F
@@ -409,3 +410,61 @@ def test_drift_gate_routes_batches(spark, tmp_path):
     handler(shifted, 1)
     assert spark.read.parquet(quar).count() == 200
     baseline.unpersist()
+
+
+def test_timeout_closes_idle_sessions(spark, tables, tmp_path):
+    """State-TTL sessionization: a key that stops arriving is closed
+    (terminal row emitted, state removed) when a LATER batch fires
+    past its inactivity timeout. File-source micro-batches make the
+    timing explicit: batch 1 = user 10 activity, batch 2 (written
+    after the timeout elapses) = user 20 activity + user 10's closure."""
+    import time as _t
+
+    from data_pipeline_001_spark.streaming.stateful import (
+        timeout_closed_sessions,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "user_id bigint, ts timestamp, value double"
+    spark.createDataFrame(
+        [(10, datetime(2024, 1, 1, 0, 0, 0), 1.0),
+         (10, datetime(2024, 1, 1, 0, 0, 1), 2.0)],
+        schema,
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "10"
+    ).parquet(src)
+    q = (
+        timeout_closed_sessions(stream, timeout_ms=1500)
+        .writeStream.format("memory")
+        .queryName("ttl_sessions")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM ttl_sessions WHERE user_id = 10 AND closed = 0"
+            ).collect()
+            if rows:
+                break
+            _t.sleep(0.3)
+        assert rows, "user 10's open-session row never arrived"
+        _t.sleep(2.0)  # let the inactivity timeout elapse
+        spark.createDataFrame(
+            [(20, datetime(2024, 1, 1, 0, 1, 0), 5.0)], schema
+        ).write.mode("append").parquet(src)
+        deadline = _t.time() + 30
+        closed = []
+        while _t.time() < deadline and not closed:
+            closed = spark.sql(
+                "SELECT * FROM ttl_sessions WHERE user_id = 10 AND closed = 1"
+            ).collect()
+            _t.sleep(0.3)
+    finally:
+        q.stop()
+    assert closed, "idle session was never closed by the timeout"
+    assert closed[0]["n_events"] == 2
+    assert abs(closed[0]["sum_value"] - 3.0) < 1e-9
