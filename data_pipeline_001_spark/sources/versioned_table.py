@@ -183,15 +183,26 @@ class VersionedTable:
 
     # -- read ops -----------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """The snapshot at ``version`` (default: latest)."""
+    def read(
+        self, version: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
+        """The snapshot at ``version`` (default: latest).
+
+        ``merge_schema`` unifies schemas ACROSS commits (columns added
+        by later appends read as NULL in older dirs) — schema
+        evolution without rewriting history. Off by default: the merge
+        reads every dir's footer at planning time, which matters when
+        a snapshot references thousands of commits."""
         if version is None:
             version = self.current_version()
         if version == 0:
             raise ValueError("table has no commits")
         manifest = self._read_manifest(version)
         paths = [os.path.join(self.root, rel) for rel in manifest["files"]]
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     # -- maintenance --------------------------------------------------
 
@@ -369,3 +380,29 @@ def snapshot_diff(
     inserted = new.exceptAll(old).withColumn("_change", F.lit("insert"))
     deleted = old.exceptAll(new).withColumn("_change", F.lit("delete"))
     return inserted.unionByName(deleted)
+
+
+def optimize_zorder(
+    table: VersionedTable,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    target_files: int = 16,
+) -> int:
+    """OPTIMIZE ZORDER as a versioned commit: rewrite the current
+    snapshot clustered along the 2-D Z-curve
+    (operators/relational.zorder_layout) and commit the result — same
+    rows, new layout, so readers of prior versions are untouched and a
+    bad rewrite is one ``rollback`` away. Pair with ``vacuum`` to
+    reclaim the pre-optimize dirs once the retention window passes.
+    """
+    from data_pipeline_001_spark.operators.relational import zorder_layout
+    from pyspark.sql import functions as F
+
+    current = table.read()
+    clustered = zorder_layout(
+        current, F.col(col_a), F.col(col_b), bits=bits,
+        target_files=target_files,
+    )
+    rel = table._write_data(clustered)
+    return table._commit([rel], f"optimize-zorder:{col_a},{col_b}")

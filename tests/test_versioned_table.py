@@ -201,3 +201,31 @@ def test_stream_merge_sink_upserts_exactly_once(spark, vt):
     assert {(r["k"], r["v"]) for r in vt.read(1).collect()} == {
         (1, "a"), (2, "b"),
     }
+
+
+def test_optimize_zorder_preserves_rows_and_allows_rollback(spark, vt):
+    from data_pipeline_001_spark.sources.versioned_table import optimize_zorder
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 50, f"r{i}") for i in range(200)], ["a", "b", "v"]
+    )
+    vt.append(df)
+    v2 = optimize_zorder(vt, "a", "b", bits=6, target_files=4)
+    assert v2 == 2
+    # same multiset of rows, new layout
+    assert vt.read().exceptAll(df).count() == 0
+    assert df.exceptAll(vt.read()).count() == 0
+    assert vt.history()[-1]["op"].startswith("optimize-zorder")
+    # a bad optimize is one rollback away
+    vt.rollback(1)
+    assert vt.read().count() == 200
+
+
+def test_schema_evolution_across_commits(spark, vt):
+    vt.append(_df(spark, [(1, "a")]))
+    wider = spark.createDataFrame([(2, "b", 9.5)], ["k", "v", "score"])
+    vt.append(wider)
+    merged = vt.read(merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "score"}
+    rows = {r["k"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
