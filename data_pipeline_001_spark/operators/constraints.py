@@ -202,11 +202,16 @@ def content_checksum(cols: list[str]) -> Column:
     Sum is commutative, so the checksum is independent of row order
     and partitioning — two tables agree iff their multisets of
     selected columns agree (modulo 2⁻⁶⁰ collision odds per row).
-    Nulls are folded in by concat_ws's empty-string convention; pick
-    columns with engine-stable string forms (ints, strings — not
-    floats or timestamps, whose text renderings differ by engine).
+    NULLs map to an explicit sentinel BEFORE the join — concat_ws
+    silently drops nulls, which would give (a, NULL, x) and
+    (a, x, NULL) the same digest. Pick columns with engine-stable
+    string forms (ints, strings — not floats or timestamps, whose
+    text renderings differ by engine).
     """
-    row = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    row = F.concat_ws(
+        "|",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols],
+    )
     h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
     return (
         F.sum(h.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD)

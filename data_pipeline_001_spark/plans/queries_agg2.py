@@ -478,9 +478,10 @@ def kll_quantile_sketch(spark, sf_dir):
     """
     WITH h AS (SELECT CAST(ts AS DATE) AS day,
                       CAST(('0x' || substr(md5(concat_ws('|',
-                           CAST(event_id AS VARCHAR),
-                           CAST(user_id AS VARCHAR),
-                           event_type, props)), 1, 15))::UBIGINT
+                           COALESCE(CAST(event_id AS VARCHAR), '␀'),
+                           COALESCE(CAST(user_id AS VARCHAR), '␀'),
+                           COALESCE(event_type, '␀'),
+                           COALESCE(props, '␀'))), 1, 15))::UBIGINT
                            AS HUGEINT) AS hv
                FROM events)
     SELECT day,

@@ -201,3 +201,14 @@ def test_fuzzy_join_random_corpus_matches_bruteforce(spark):
         if _lev(u, v) == 1
     }
     assert got == want and len(want) > 20
+
+
+def test_content_checksum_distinguishes_null_positions(spark):
+    from data_pipeline_001_spark.operators.constraints import content_checksum
+
+    a = spark.createDataFrame([("a", None, "x")], "c1 string, c2 string, c3 string")
+    b = spark.createDataFrame([("a", "x", None)], "c1 string, c2 string, c3 string")
+    ck = lambda d: d.agg(  # noqa: E731
+        content_checksum(["c1", "c2", "c3"]).alias("c")
+    ).collect()[0]["c"]
+    assert ck(a) != ck(b)
