@@ -71,8 +71,12 @@ def editdist1_pairs(
     ``materialize_variants`` it is localCheckpoint-ed so the explode
     runs once instead of three times (measured 1.3× at the sf1 bench
     point; the win grows with the source-scan cost).
+
+    The empty string participates: ("" , any 1-char string) is a valid
+    distance-1 pair, found by the indel probe (the 1-char side's
+    deletion variant IS ""). Only NULLs are excluded.
     """
-    base = df.select(F.col(col).alias("s")).where(F.length("s") >= 1).distinct()
+    base = df.select(F.col(col).alias("s")).where(F.col(col).isNotNull()).distinct()
     var = _variants(base, "s")
     if materialize_variants:
         var = var.localCheckpoint()

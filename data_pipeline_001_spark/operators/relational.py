@@ -386,6 +386,11 @@ def merge_upsert(
     pair it with partition pruning so only partitions containing
     source keys are rewritten, and the shuffle covers just those.
     Columns are aligned by name; both inputs must share a schema.
+
+    ``source`` must be key-unique (SQL MERGE raises on multiple
+    matches; here the survivor among same-key source rows would be
+    arbitrary) — dedupe upstream, e.g. row_number over an event-time
+    ordering, as the streaming CDC sink's docstring prescribes.
     """
     tagged = source.withColumn("_pri", F.lit(0)).unionByName(
         target.withColumn("_pri", F.lit(1))

@@ -39,9 +39,11 @@ def test_fuzzy_join_matches_bruteforce(spark):
     }
     want = {
         tuple(sorted((u, v)))
-        for u, v in itertools.combinations([v for v in vals if v], 2)
+        for u, v in itertools.combinations(sorted(set(vals)), 2)
         if _lev(u, v) == 1
     }
+    # ("", "a") and ("", "b") are distance-1 pairs via the indel probe
+    assert ("", "a") in want
     assert got == want
 
 
@@ -193,7 +195,7 @@ def test_fuzzy_join_random_corpus_matches_bruteforce(spark):
         (r["name_a"], r["name_b"])
         for r in editdist1_pairs(df, "name").collect()
     }
-    uniq = sorted({v for v in vals if v})
+    uniq = sorted(set(vals))
     want = {
         (u, v)
         for i, u in enumerate(uniq)
