@@ -93,15 +93,12 @@ def _dir_bytes(sf_dir: str) -> int:
 def _time_spark_point(spark, qs, sf_dir: str, names=None) -> dict[str, float]:
     from data_pipeline_001_spark.session import load_tables
 
-    # size AQE to the data, like the shuffle-partition rule: adaptive
-    # re-planning needs runtime shuffle stats, and collecting them puts
-    # a scheduling barrier after every exchange — at sub-GB inputs
-    # there is nothing to re-plan (no skew, no oversized partitions),
-    # so the barriers are pure overhead (~22% of the sf0.1 headline
-    # total, measured). Above 1 GB the re-plan pays for itself; at
-    # cluster scale it is non-negotiable (skew splits, coalesce).
-    aqe = "true" if _dir_bytes(sf_dir) > (1 << 30) else "false"
-    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    # size AQE to the scale point (see session.size_adaptive_execution:
+    # sub-GB inputs have nothing for AQE to re-plan, and its
+    # per-exchange barriers cost ~22% of the sf0.1 headline)
+    from data_pipeline_001_spark.session import size_adaptive_execution
+
+    size_adaptive_execution(spark, _dir_bytes(sf_dir))
 
     # warm the JVM + file listing + codegen pipeline once so per-query
     # times measure the plans, not session startup

@@ -512,3 +512,36 @@ def content_checksum_q(spark, sf_dir):
             ).alias("checksum"),
         )
     )
+
+
+@query(
+    "join_hint_shuffle_hash",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_hint_shuffle_hash(spark, sf_dir):
+    """Join-strategy control: the SHUFFLE_HASH hint overrides
+    Catalyst's default sort-merge choice for this fact-fact join —
+    the right call when one side comfortably fits a per-task hash map
+    (build-side rows / shuffle partitions), because it skips BOTH
+    sort passes. The hint is advisory surface the engine exposes to
+    users who know their data; plan-shape test asserts it actually
+    takes effect (ShuffledHashJoin, no SortMergeJoin)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )

