@@ -229,3 +229,38 @@ def test_schema_evolution_across_commits(spark, vt):
     assert set(merged.columns) == {"k", "v", "score"}
     rows = {r["k"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_curation_pipeline_commits_each_stage(spark, tmp_path):
+    """The user workflow the pieces compose into: each curation stage
+    lands as an auditable versioned commit — raw load, funnel filter,
+    quota cap — every intermediate state time-travelable and the whole
+    run reversible with one rollback."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.plans import queries_curation3 as c3
+    from data_pipeline_001_spark.sources.versioned_table import VersionedTable
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vt = VersionedTable(spark, str(tmp_path / "corpus"))
+
+    v1 = vt.append(docs)                                   # raw load
+    decisions = c3.filter_decision_q(spark, "/root/testdata/sf0.001")
+    kept = vt.read(v1).join(
+        decisions.where(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+    v2 = vt.overwrite(kept)                                # funnel filter
+    import unittest.mock as _m
+
+    with _m.patch.object(c3, "load_tables", lambda s, d: {"documents": vt.read(v2)}):
+        quota = c3.source_quota_q(spark, "ignored").select("doc_id")
+    v3 = vt.overwrite(vt.read(v2).join(quota, "doc_id"))   # quota cap
+
+    n_raw, n_kept, n_final = (vt.read(v).count() for v in (v1, v2, v3))
+    assert n_raw >= n_kept >= n_final > 0
+    assert n_kept < n_raw  # the funnel actually dropped documents
+    # audit trail: three ops, every stage still readable
+    assert [m["op"] for m in vt.history()] == ["append", "overwrite", "overwrite"]
+    # the whole run is one rollback away from the raw corpus
+    vt.rollback(v1)
+    assert vt.read().count() == n_raw
