@@ -595,3 +595,67 @@ def filter_decision_q(spark, sf_dir):
             (F.col("reason") == "ok").cast("int").alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Corpus datasheet (one-pass summary report)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "curation_corpus_datasheet",
+    f"""
+    WITH base AS (SELECT doc_id, lang, source,
+                         md5({_NORM_SQL}) AS fp,
+                         len(string_split({_NORM_SQL}, ' ')) AS n_words,
+                         length({_NORM_SQL}) AS n_chars
+                  FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT)                     AS n_docs,
+           CAST(SUM(n_words) AS BIGINT)                 AS total_words,
+           CAST(SUM(n_chars) AS BIGINT)                 AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT)         AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT)       AS n_sources,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+           ROUND(AVG(n_words), 6)                       AS avg_words,
+           ROUND(quantile_cont(n_words, 0.5), 6)        AS p50_words,
+           ROUND(quantile_cont(n_words, 0.95), 6)       AS p95_words,
+           CAST(MIN(n_words) AS BIGINT)                 AS min_words,
+           CAST(MAX(n_words) AS BIGINT)                 AS max_words
+    FROM base
+    """,
+)
+def corpus_datasheet_q(spark, sf_dir):
+    """Corpus datasheet (Gebru et al. 2021, "Datasheets for
+    Datasets"): the one-row release summary — volume, vocabulary of
+    sources/languages, exact-dup count, length distribution — computed
+    in ONE scan + one aggregate. The multi-DISTINCT columns share the
+    single aggregation (Catalyst's expand handles them); nothing here
+    re-reads the corpus, which is the difference between a datasheet
+    that ships with every snapshot and one nobody regenerates at
+    100 TB."""
+    from data_pipeline_001_spark.functions.text import (
+        fingerprint,
+        normalize_text,
+    )
+
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select(
+        "lang",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_words"),
+        F.length(normalize_text(F.col("text"))).alias("n_chars"),
+    )
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        (F.count("*") - F.count_distinct("fp")).alias("n_exact_dups"),
+        F.round(F.avg("n_words"), 6).alias("avg_words"),
+        F.round(F.expr("percentile(n_words, 0.5)"), 6).alias("p50_words"),
+        F.round(F.expr("percentile(n_words, 0.95)"), 6).alias("p95_words"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+    )
