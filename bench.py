@@ -110,7 +110,8 @@ def _time_spark_point(spark, qs, sf_dir: str, names=None) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in (names or HEADLINE):
         best = float("inf")
-        for _ in range(2):  # best-of-2: first run absorbs codegen/cache
+        for _ in range(3):  # best-of-3: first run absorbs codegen/cache,
+            # the extra run damps system-load noise between rounds
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
@@ -132,7 +133,7 @@ def _time_duckdb_point(oracles: dict[str, str], sf_dir: str, names=None) -> dict
         if not sql:
             continue
         best = float("inf")
-        for _ in range(2):  # best-of-2, symmetric with the Spark side
+        for _ in range(3):  # best-of-3, symmetric with the Spark side
             t0 = time.perf_counter()
             con.sql(sql).fetchall()
             best = min(best, time.perf_counter() - t0)
