@@ -401,3 +401,47 @@ def merge_upsert(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_pri")
     )
+
+
+def global_row_index(
+    df: DataFrame,
+    order_col: str,
+    bucket_width: int,
+    index_name: str = "row_idx",
+) -> DataFrame:
+    """Global CONTIGUOUS 1-based row index ordered by ``order_col``
+    WITHOUT a single-partition sort — the two-phase shape every
+    "assign stable example ids" export step needs at scale:
+
+    1. bucket rows by contiguous ranges of the (numeric) order key;
+    2. count per bucket, prefix-sum the counts driver-side (one row
+       per bucket — bounded metadata, like the window-audit collects);
+    3. index = bucket offset + rank within bucket, each bucket ranked
+       in parallel.
+
+    A plain ``row_number() OVER (ORDER BY …)`` funnels the entire
+    table through ONE task; this runs B parallel window partitions
+    and touches the driver only with B counts. For non-numeric or
+    skewed keys, substitute step 1 with ``repartitionByRange``
+    boundaries (sampled); the deterministic arithmetic form here keeps
+    the operator oracle-checkable.
+    """
+    bucket = (F.col(order_col) / F.lit(bucket_width)).cast("long")
+    with_b = df.withColumn("_gb", bucket)
+    counts = (
+        with_b.groupBy("_gb").count().orderBy("_gb").collect()
+    )
+    offsets = {}
+    running = 0
+    for r in counts:
+        offsets[r["_gb"]] = running
+        running += r["count"]
+    off_df = with_b.sparkSession.createDataFrame(
+        [(b, o) for b, o in offsets.items()], ["_gb", "_off"]
+    )
+    w = Window.partitionBy("_gb").orderBy(order_col)
+    return (
+        with_b.join(F.broadcast(off_df), "_gb")
+        .withColumn(index_name, F.row_number().over(w) + F.col("_off"))
+        .drop("_gb", "_off")
+    )

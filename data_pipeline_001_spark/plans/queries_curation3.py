@@ -659,3 +659,30 @@ def corpus_datasheet_q(spark, sf_dir):
         F.min("n_words").cast("long").alias("min_words"),
         F.max("n_words").cast("long").alias("max_words"),
     )
+
+
+# ---------------------------------------------------------------------
+# Global contiguous row index (two-phase, no single-partition sort)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "order_global_index",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS row_idx
+    FROM documents
+    """,
+)
+def global_index_q(spark, sf_dir):
+    """Stable contiguous example ids for the whole corpus — computed
+    with operators/relational.global_row_index's two-phase plan (B
+    parallel bucket windows + a B-row driver prefix sum) instead of
+    the oracle's single-partition ROW_NUMBER sort, which is exactly
+    the plan that cannot survive 100 TB."""
+    from data_pipeline_001_spark.operators.relational import global_row_index
+
+    t = load_tables(spark, sf_dir)
+    return global_row_index(
+        t["documents"].select("doc_id"), "doc_id", bucket_width=100
+    ).select("doc_id", F.col("row_idx").cast("long").alias("row_idx"))

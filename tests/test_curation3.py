@@ -214,3 +214,20 @@ def test_content_checksum_distinguishes_null_positions(spark):
         content_checksum(["c1", "c2", "c3"]).alias("c")
     ).collect()[0]["c"]
     assert ck(a) != ck(b)
+
+
+def test_global_row_index_contiguous_and_parallel(spark):
+    from data_pipeline_001_spark.operators.relational import global_row_index
+
+    df = spark.createDataFrame(
+        [(i * 3,) for i in range(0, 100)], ["k"]
+    ).repartition(13)
+    out = global_row_index(df, "k", bucket_width=25)
+    rows = sorted((r["k"], r["row_idx"]) for r in out.collect())
+    # contiguous 1..n following the key order
+    assert [idx for _, idx in rows] == list(range(1, 101))
+    # and no single-partition global sort in the plan
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange SinglePartition" not in plan
