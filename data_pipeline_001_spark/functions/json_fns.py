@@ -66,3 +66,46 @@ def json_double_fast(json_col: str | Column, key: str) -> Column:
     return F.when(
         col.rlike(_FLAT_DOC) & (fast != ""), fast.cast("double")
     ).otherwise(slow)
+
+
+def parse_json_quarantine(
+    df,
+    col: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Schema-on-read with malformed-record capture: PERMISSIVE
+    ``from_json`` keeps the pipeline running when a poison document
+    arrives (FAILFAST would kill a 100 TB job 90 TB in), and the raw
+    text of every unparseable record is preserved in ``corrupt_col``
+    so the quarantine side keeps the evidence.
+
+    Returns (good, quarantined): ``good`` carries the parsed struct
+    fields, ``quarantined`` the original rows plus the corrupt text.
+    A record is quarantined only if it failed to parse, not if it
+    merely misses fields (those read as NULL — the schema-evolution
+    convention the file sources already follow).
+    """
+    from pyspark.sql import functions as F
+
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    parsed = df.withColumn(
+        "_p",
+        F.from_json(
+            F.col(col),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ),
+    )
+    bad = F.col(f"_p.{corrupt_col}").isNotNull()
+    good = (
+        parsed.where(~bad | F.col(col).isNull())
+        .select("*", "_p.*")
+        .drop("_p", corrupt_col)
+    )
+    quarantined = (
+        parsed.where(bad & F.col(col).isNotNull())
+        .select("*", F.col(f"_p.{corrupt_col}").alias(corrupt_col))
+        .drop("_p")
+    )
+    return good, quarantined

@@ -231,3 +231,26 @@ def test_global_row_index_contiguous_and_parallel(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange SinglePartition" not in plan
+
+
+def test_parse_json_quarantine_routes_poison_records(spark):
+    from data_pipeline_001_spark.functions.json_fns import (
+        parse_json_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5}'),
+            (2, '{"k": not-json'),
+            (3, '{"other": 1}'),   # missing field -> NULL, not quarantine
+            (4, None),
+        ],
+        ["id", "payload"],
+    )
+    good, bad = parse_json_quarantine(df, "payload", "k INT")
+    g = {r["id"]: r["k"] for r in good.collect()}
+    assert g == {1: 5, 3: None, 4: None}
+    b = bad.collect()
+    assert [r["id"] for r in b] == [2]
+    # the evidence survives verbatim
+    assert b[0]["_corrupt_record"] == '{"k": not-json'
