@@ -264,3 +264,23 @@ def test_curation_pipeline_commits_each_stage(spark, tmp_path):
     # the whole run is one rollback away from the raw corpus
     vt.rollback(v1)
     assert vt.read().count() == n_raw
+
+
+def test_table_cli_history_and_rollback(spark, vt, capsys):
+    import json as _json
+
+    from data_pipeline_001_spark.table_cli import main as cli
+
+    vt.append(_df(spark, [(1, "a")]))
+    vt.overwrite(_df(spark, [(2, "b")]))
+
+    assert cli([vt.root, "history"]) == 0
+    lines = [
+        _json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [m["version"] for m in lines] == [1, 2]
+
+    assert cli([vt.root, "rollback", "--version", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"rolled_back_to": 1, "new_version": 3}
+    assert {r["k"] for r in vt.read().collect()} == {1}
