@@ -545,3 +545,44 @@ def join_hint_shuffle_hash(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "window_rank_distribution",
+    """
+    WITH u AS (SELECT user_id, SUM(value) AS total
+               FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+               GROUP BY user_id)
+    SELECT user_id,
+           ROUND(total, 6) AS total,
+           ROUND(PERCENT_RANK() OVER (ORDER BY total), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY total), 6) AS cume,
+           CAST(NTILE(10) OVER (ORDER BY total) AS INT) AS decile
+    FROM u
+    """,
+)
+def window_rank_distribution(spark, sf_dir):
+    """Distribution-position window functions (percent_rank,
+    cume_dist, ntile deciles) over per-user value totals — the
+    user-scoring shape behind spend percentiles / engagement deciles.
+    The global ORDER BY window runs on the per-user aggregate (one row
+    per user), not the raw events — the same bounded-intermediate rule
+    the as-of join's carry table follows; for billions of KEYS use
+    global_row_index's bucket decomposition on the rank."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    u = (
+        t["events"]
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"))
+    )
+    w = Window.orderBy("total")
+    return u.select(
+        "user_id",
+        F.round("total", 6).alias("total"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
