@@ -763,3 +763,137 @@ def rolling_anomaly_q(spark, sf_dir):
         .cast("int")
         .alias("anomaly"),
     )
+
+
+# ---------------------------------------------------------------------
+# Resample with linear interpolation (beyond forward-fill)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "time_resample_interpolate",
+    """
+    WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                        CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS v
+                 FROM events
+                 WHERE value IS NOT NULL AND user_id % 20 = 0
+                 GROUP BY event_type, date_trunc('hour', ts)),
+    b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+                 date_trunc('hour', MAX(ts)) AS h1 FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT t.event_type,
+                     unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+              FROM types t, b),
+    j AS (SELECT s.event_type, s.h, o.v FROM spine s
+          LEFT JOIN obs o USING (event_type, h)),
+    f AS (SELECT event_type, h, v,
+                 LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+                 LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                     OVER wp AS pt,
+                 FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+                 FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                     OVER wn AS nt
+          FROM j
+          WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, h,
+           CAST(FLOOR(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (epoch(h) - epoch(pt)) / (epoch(nt) - epoch(pt))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv
+           END * 1000000 + 0.5) AS BIGINT) AS filled_micro,
+           CASE WHEN v IS NOT NULL THEN 'observed'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                WHEN pv IS NOT NULL THEN 'ffill'
+                ELSE 'bfill' END AS fill_kind
+    FROM f
+    """,
+)
+def resample_interpolate_q(spark, sf_dir):
+    """Dense-spine resample with LINEAR interpolation between the
+    surrounding observations (forward/backward fill only at the series
+    edges) — the gauge-densification step ffill can't serve when the
+    metric trends between sparse readings. The sparse series here is a
+    5%-of-users sample so the spine has real gaps to fill. Both fill
+    directions are one ordered window per event type over HOURLY rows
+    (bounded intermediate); at raw-event scale the same shape rides
+    the bucketed as-of join like time_resample_ffill. The interpolation
+    arithmetic is the identical IEEE expression on both engines."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    obs = (
+        ev.where(F.col("value").isNotNull() & (F.col("user_id") % 20 == 0))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("v"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    j = spine.join(obs, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = j.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(wn).alias("nt"),
+    )
+    frac = (F.unix_timestamp("h") - F.unix_timestamp("pt")) / (
+        F.unix_timestamp("nt") - F.unix_timestamp("pt")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    kind = (
+        F.when(F.col("v").isNotNull(), F.lit("observed"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), F.lit("interp")
+        )
+        .when(F.col("pv").isNotNull(), F.lit("ffill"))
+        .otherwise(F.lit("bfill"))
+    )
+    # emit micro-units via floor(x*1e6 + 0.5): ROUND's half-case on
+    # binary floats differs between engines (measured: one boundary row
+    # per ~3600), floor of the identical IEEE expression cannot
+    return f.select(
+        "event_type",
+        "h",
+        F.floor(filled * 1_000_000 + 0.5).cast("long").alias("filled_micro"),
+        kind.alias("fill_kind"),
+    )
