@@ -284,3 +284,40 @@ def test_table_cli_history_and_rollback(spark, vt, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"rolled_back_to": 1, "new_version": 3}
     assert {r["k"] for r in vt.read().collect()} == {1}
+
+
+def test_concurrent_writers_all_land_with_retry(spark, vt):
+    """8 threads race appends through the optimistic-retry loop; every
+    append must land exactly once, versions must be gapless, and the
+    final snapshot must contain all rows — the Delta-style commit-loop
+    guarantee the manifests exist to provide."""
+    import threading
+
+    from data_pipeline_001_spark.sources.versioned_table import (
+        ConcurrentCommitError,
+    )
+
+    # per-thread pre-built single-row frames (Spark calls inside
+    # threads are fine; plan-building is thread-safe)
+    frames = {i: _df(spark, [(i, f"t{i}")]) for i in range(8)}
+    errors = []
+
+    def writer(i):
+        for _ in range(50):  # retry loop
+            try:
+                vt.append(frames[i])
+                return
+            except ConcurrentCommitError:
+                continue
+        errors.append(i)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    assert {r["k"] for r in vt.read().collect()} == set(range(8))
+    versions = [m["version"] for m in vt.history()]
+    assert versions == list(range(1, 9))  # gapless, one commit per writer
