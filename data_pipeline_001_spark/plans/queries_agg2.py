@@ -586,3 +586,63 @@ def window_rank_distribution(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@query(
+    "window_user_paths",
+    """
+    WITH seq AS (SELECT user_id, event_type,
+                        LEAD(event_type, 1) OVER w AS e2,
+                        LEAD(event_type, 2) OVER w AS e3
+                 FROM events WHERE user_id IS NOT NULL
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY ts, event_id)),
+    paths AS (SELECT user_id,
+                     event_type || '>' || e2 || '>' || e3 AS path
+              FROM seq WHERE e3 IS NOT NULL)
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT 20
+    """,
+)
+def user_paths_q(spark, sf_dir):
+    """Path analysis: the 20 most-travelled 3-step event sequences
+    across all users — the product-analytics "what do users actually
+    do" query. Sequences come from two LEADs over the per-user
+    event-time window (ties broken by event_id so the path strings are
+    deterministic), then one count shuffle on the path string; the
+    per-user window partitions on user_id, so no step touches a global
+    sort. Top-k via TakeOrderedAndProject like the other sort/limit
+    queries."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+    )
+    paths = seq.select(
+        "user_id",
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(20)
+    )
