@@ -646,3 +646,50 @@ def user_paths_q(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "window_event_transitions",
+    """
+    WITH seq AS (SELECT event_type AS src,
+                        LEAD(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS dst
+                 FROM events WHERE user_id IS NOT NULL),
+    t AS (SELECT src, dst, COUNT(*) AS n FROM seq
+          WHERE dst IS NOT NULL GROUP BY src, dst),
+    tot AS (SELECT src, SUM(n) AS row_total FROM t GROUP BY src)
+    SELECT t.src, t.dst,
+           CAST(t.n AS BIGINT) AS n,
+           ROUND(t.n / CAST(tot.row_total AS DOUBLE), 6) AS p
+    FROM t JOIN tot USING (src)
+    """,
+)
+def event_transitions_q(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event | current event) — the behavioral model
+    behind churn/next-action prediction features. One LEAD window per
+    user, one (src, dst) count shuffle, and the row totals broadcast
+    back (|event types|² cells — bounded however big the corpus is).
+    The probability is an exact integer ratio, so it is cross-engine
+    deterministic without quantization tricks."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    counts = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("row_total"))
+    return counts.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias("p"),
+    )
