@@ -406,3 +406,77 @@ def optimize_zorder(
     )
     rel = table._write_data(clustered)
     return table._commit([rel], f"optimize-zorder:{col_a},{col_b}")
+
+
+# ---------------------------------------------------------------------
+# Windowed Sink adapter: the pipeline's target as a versioned table
+# ---------------------------------------------------------------------
+
+
+class VersionedTableSink(VersionedTable):
+    """The engine's windowed Sink contract (S5/S6/S7/A4 —
+    sources/base.py) on versioned commits, one data dir per window:
+
+    * ``load`` commits the window's rows and DROPS any prior dirs for
+      the same window from the file list — the reference's
+      delete-then-reinsert (target/target_cleaner.py:7-69) becomes a
+      single atomic commit, and the pre-reload state stays
+      time-travelable;
+    * ``clean`` is a METADATA-ONLY commit (the window's dirs leave the
+      file list; bytes wait for vacuum) — a range delete with no
+      delete job;
+    * ``count``/``read_window`` scan ONLY the window's dirs — partition
+      pruning via the manifest, no directory listing of the table.
+
+    Implements the abstract Sink surface structurally (same method
+    signatures); it does not inherit the ABC to keep the lakehouse
+    module importable without the connector layer.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, ts_col: str = "ts"):
+        super().__init__(spark, root)
+        self.ts_col = ts_col
+
+    @staticmethod
+    def _wkey(start) -> str:
+        return start.isoformat()
+
+    def _windows(self) -> dict:
+        hist = self.history()
+        return dict(hist[-1].get("windows", {})) if hist else {}
+
+    def _commit_windows(self, windows: dict, op: str) -> int:
+        files = [rel for rels in windows.values() for rel in rels]
+        return self._commit(files, op, extra={"windows": windows})
+
+    def load(self, df: DataFrame, start, end) -> None:
+        key = self._wkey(start)
+        rel = self._write_data(df)
+        windows = self._windows()
+        windows[key] = [rel]
+        self._commit_windows(windows, f"window-load:{key}")
+
+    def exists(self, start, end) -> bool:
+        return self._wkey(start) in self._windows()
+
+    def clean(self, start, end) -> None:
+        key = self._wkey(start)
+        windows = self._windows()
+        if windows.pop(key, None) is not None:
+            self._commit_windows(windows, f"window-clean:{key}")
+
+    def read_window(self, start) -> DataFrame:
+        rels = self._windows().get(self._wkey(start), [])
+        if not rels:
+            from pyspark.sql import functions as F
+
+            return self.read().where(F.lit(False))
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, rel) for rel in rels]
+        )
+
+    def count(self, start, end) -> int:
+        rels = self._windows().get(self._wkey(start), [])
+        if not rels:
+            return 0
+        return self.read_window(start).count()
