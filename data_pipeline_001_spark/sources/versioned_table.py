@@ -431,6 +431,12 @@ class VersionedTableSink(VersionedTable):
     Implements the abstract Sink surface structurally (same method
     signatures); it does not inherit the ABC to keep the lakehouse
     module importable without the connector layer.
+
+    Use the WINDOWED ops exclusively on a sink table: the base-class
+    write ops (append/overwrite/merge) commit without a ``windows``
+    map, which resets window bookkeeping to empty for subsequent
+    exists/clean/count — by design (an overwrite really did replace
+    every window), but surprising if mixed casually.
     """
 
     def __init__(self, spark: SparkSession, root: str, ts_col: str = "ts"):
