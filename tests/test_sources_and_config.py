@@ -266,3 +266,48 @@ def test_source_schema_evolution(spark, tmp_path):
         datetime(2024, 1, 1), datetime(2024, 1, 2)
     ).orderBy("ts").collect()
     assert [r["tag"] for r in rows2] == [None, "new"]
+
+
+def test_python_datasource_generates_on_executors(spark):
+    """Custom PySpark 4 Python DataSource: deterministic, partition-
+    parallel synthetic events — same options, same content, regardless
+    of partition layout; no driver-side row path."""
+    from data_pipeline_001_spark.operators.constraints import content_checksum
+    from data_pipeline_001_spark.sources import synthetic
+
+    synthetic.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 5000)
+        .option("partitions", 16)
+        .option("seed", 7)
+        .load()
+    )
+    assert df.count() == 5000
+    assert df.rdd.getNumPartitions() == 16
+    ck = lambda d: d.agg(  # noqa: E731
+        content_checksum(["event_id", "user_id", "event_type"]).alias("c")
+    ).collect()[0]["c"]
+    base = ck(df)
+    # different partitioning, same content
+    df2 = (
+        spark.read.format("synthetic_events")
+        .option("rows", 5000)
+        .option("partitions", 3)
+        .option("seed", 7)
+        .load()
+    )
+    assert ck(df2) == base
+    # a different seed is a different corpus
+    df3 = (
+        spark.read.format("synthetic_events")
+        .option("rows", 5000)
+        .option("partitions", 16)
+        .option("seed", 8)
+        .load()
+    )
+    assert ck(df3) != base
+    # schema mirrors the events table (minus props)
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value",
+    ]
