@@ -82,3 +82,59 @@ class SyntheticEventsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the custom format."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------
+# Streaming variant: a replayable micro-batch source with offsets
+# ---------------------------------------------------------------------
+
+
+class SyntheticEventsStreamReader:
+    """SimpleDataSourceStreamReader: offsets are row indices into the
+    same deterministic stream the batch reader generates, so the
+    source is REPLAYABLE — after a crash, readBetweenOffsets
+    regenerates exactly the rows of the uncommitted batch, which is
+    the contract that makes end-to-end exactly-once possible (same
+    role Kafka offsets play). Each poll advances by ``batch_rows``."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("max_rows", 10_000))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        lo = start["idx"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        return iter(self._rows(lo, hi)), {"idx": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["idx"], end["idx"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # stateless: regeneration IS the replay
+
+    def _rows(self, lo: int, hi: int):
+        part = _Slice(lo, hi, self.seed)
+        return list(SyntheticEventsReader({}).read(part))
+
+
+class SyntheticEventsStreamSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthetic_events_stream"
+
+    def schema(self):
+        return (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SyntheticEventsStreamSource)

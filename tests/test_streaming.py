@@ -468,3 +468,48 @@ def test_timeout_closes_idle_sessions(spark, tables, tmp_path):
     assert closed, "idle session was never closed by the timeout"
     assert closed[0]["n_events"] == 2
     assert abs(closed[0]["sum_value"] - 3.0) < 1e-9
+
+
+def test_python_stream_datasource_replayable_offsets(spark, tmp_path):
+    """Custom Python streaming DataSource: deterministic offset-based
+    micro-batches land exactly-once through a checkpointed query, and
+    the rows match the batch source's for the same seed (one
+    generator, two read paths)."""
+    from data_pipeline_001_spark.sources import synthetic
+
+    synthetic.register(spark)
+    synthetic.register_stream(spark)
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("batch_rows", "500")
+        .option("max_rows", "2000")
+        .option("seed", "5")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        if spark.table("synth_stream").count() >= 2000:
+            break
+        _t.sleep(0.5)
+    q.stop()
+    got = spark.table("synth_stream")
+    assert got.count() == 2000
+    assert got.select("event_id").distinct().count() == 2000  # no dups
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("rows", "2000")
+        .option("partitions", "4")
+        .option("seed", "5")
+        .load()
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
