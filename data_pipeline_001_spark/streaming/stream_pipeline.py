@@ -117,8 +117,9 @@ def interval_join_streams(
     right_ts: str = "r_ts",
     max_delay: str = "1h",
     watermark: str = "1h",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on a key within a time interval:
+    """Stream-stream join on a key within a time interval:
     ``right.ts ∈ [left.ts, left.ts + max_delay]`` — e.g. purchases
     attributed to the click that preceded them within an hour.
 
@@ -126,18 +127,26 @@ def interval_join_streams(
     once they can no longer match (without the interval bound, a
     stream-stream join would buffer both streams forever). State is
     partitioned by the join key across executors.
+
+    ``how="leftOuter"`` emits unmatched left rows null-extended — but
+    only once the watermark proves no match can still arrive, so outer
+    results trail the inner ones by the watermark delay and rows
+    younger than (max event time − watermark) at query end never emit
+    their null form. That latency is the price of a correct outer
+    result under late data, not an implementation artifact.
     """
     delay_s = parse_duration_seconds(max_delay)
     wm_s = parse_duration_seconds(watermark)
     lw = left.withWatermark(left_ts, f"{wm_s} seconds")
     rw = right.withWatermark(right_ts, f"{wm_s} seconds")
-    return lw.join(
+    joined = lw.join(
         rw,
         (lw[key_col] == rw[key_col])
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {delay_s} SECONDS")),
-        "inner",
-    ).drop(rw[key_col])
+        how,
+    )
+    return joined.drop(rw[key_col])
 
 
 def enrich_stream_with_dim(

@@ -513,3 +513,52 @@ def test_python_stream_datasource_replayable_offsets(spark, tmp_path):
     )
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_stream_left_outer_interval_join(spark, tables, stream_dir):
+    """Left-outer stream-stream join: inner pairs match the batch
+    join, and clicks with no purchase within the interval emit
+    null-extended ONCE the watermark passes them."""
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        interval_join_streams,
+    )
+
+    def sides(df):
+        clicks = (
+            df.where(F.col("event_type") == "click")
+            .where(F.col("user_id").isNotNull())
+            .select("user_id", F.col("ts").alias("l_ts"))
+        )
+        purchases = (
+            df.where(F.col("event_type") == "purchase")
+            .where(F.col("user_id").isNotNull())
+            .select("user_id", F.col("ts").alias("r_ts"))
+        )
+        return clicks, purchases
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    out = _run_stream_to_memory(
+        spark,
+        interval_join_streams(
+            *sides(stream), max_delay="2h", watermark="1h", how="leftOuter"
+        ),
+        "louter_join",
+    )
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    bc, bp = sides(batch)
+    inner = bc.join(
+        bp,
+        (bc["user_id"] == bp["user_id"])
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).drop(bp["user_id"])
+
+    matched = out.where(F.col("r_ts").isNotNull())
+    unmatched = out.where(F.col("r_ts").isNull())
+    assert matched.count() == inner.count()
+    # null-extended rows exist and are genuinely matchless in batch
+    assert unmatched.count() > 0
+    false_nulls = unmatched.select("user_id", "l_ts").join(
+        inner.select("user_id", "l_ts"), ["user_id", "l_ts"]
+    )
+    assert false_nulls.count() == 0
