@@ -5,6 +5,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_pipeline_001_spark.sources.versioned_table import (
     ConcurrentCommitError,
@@ -410,3 +411,58 @@ def test_pipeline_e2e_with_versioned_target(spark, tmp_path):
     ops = [m["op"] for m in tgt.history()]
     assert len(ops) == 4 and all(o.startswith("window-load:") for o in ops)
     assert tgt.read().count() == pipe.source.count(day, day_end) > 0
+
+
+def test_live_rollup_table_from_stream(spark, tmp_path):
+    """Composition: streaming windowed counts in UPDATE mode upsert
+    into the versioned table through the CDC merge sink — a
+    continuously-current rollup table where every micro-batch's
+    revision is one commit, replay-safe, and the final state equals
+    the batch aggregation."""
+    from data_pipeline_001_spark.sources.versioned_table import (
+        VersionedTable,
+        versioned_stream_merge_sink,
+    )
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        windowed_counts_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    # several files so availableNow yields several micro-batches
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    vt = VersionedTable(spark, str(tmp_path / "rollup"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    # watermark wider than the whole data span: the repartitioned
+    # files are not time-ordered, so any tighter watermark would
+    # (correctly) drop cross-file "late" rows and diverge from batch
+    counts = windowed_counts_stream(
+        stream, granularity="6h", x_time_back="60d"
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(versioned_stream_merge_sink(vt, ["window_start"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["window_start"]: r["n_events"] for r in vt.read().collect()
+    }
+    want = {
+        r["window_start"]: r["n_events"]
+        for r in events.groupBy(
+            F.window("ts", "360 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .collect()
+    }
+    assert got == want and len(vt.history()) >= 1
