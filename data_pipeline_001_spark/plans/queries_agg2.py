@@ -693,3 +693,76 @@ def event_transitions_q(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias("p"),
     )
+
+
+@query(
+    "agg_equidepth_bins",
+    """
+    WITH b AS (SELECT event_type, value,
+                      NTILE(8) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS bin
+               FROM events WHERE value IS NOT NULL)
+    SELECT event_type, CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM b GROUP BY event_type, bin
+    """,
+)
+def equidepth_bins_q(spark, sf_dir):
+    """Equi-depth (quantile) binning per event type: 8 buckets of
+    near-equal population with their value ranges — the feature-
+    binning step before monotonic encodings or drift comparisons
+    (equi-WIDTH bins are the PSI monitor's choice; equi-depth resists
+    skew). NTILE ties broken by event_id so bin assignment is
+    deterministic. Per-type window then one count shuffle; at billions
+    of rows per type the approx_percentile cut-point form is the
+    drop-in twin (same contract, no full sort)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    b = (
+        t["events"]
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", F.ntile(8).over(w).alias("bin"))
+    )
+    return b.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+@query(
+    "agg_regression_trend",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, epoch(ts)) * 86400, 4)
+               AS slope_per_day,
+           ROUND(regr_r2(value, epoch(ts)), 4) AS r2
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def regression_trend_q(spark, sf_dir):
+    """Per-group linear trend: OLS slope of value over event time
+    (scaled to per-day) with the fit's R² — the drift direction the
+    PSI monitor flags but can't quantify. Built-in regr_* aggregates
+    (one pass, map-side partials); both engines compute the same
+    moment sums, rounded to absorb their accumulation-order ULP."""
+    t = load_tables(spark, sf_dir)
+    epoch = F.unix_timestamp("ts").cast("double")
+    return (
+        t["events"]
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope(F.col("value"), epoch) * 86400, 4).alias(
+                "slope_per_day"
+            ),
+            F.round(F.regr_r2(F.col("value"), epoch), 4).alias("r2"),
+        )
+    )
