@@ -766,3 +766,48 @@ def regression_trend_q(spark, sf_dir):
             F.round(F.regr_r2(F.col("value"), epoch), 4).alias("r2"),
         )
     )
+
+
+@query(
+    "agg_equidepth_bins_approx",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS bins_balanced
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def equidepth_bins_approx_q(spark, sf_dir):
+    """The 100 TB twin of agg_equidepth_bins: cut points from
+    approx_percentile (one pass, mergeable sketch — no per-type full
+    sort), bins assigned by comparing against the broadcast cut array.
+    Contract oracle: every bin's population must sit within ±25% of
+    the ideal n/8 (the sketch's rank error is far tighter than that at
+    the configured accuracy), checked in-query; the oracle supplies
+    the exact per-type counts and expects the flag TRUE."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("value").isNotNull())
+    cuts = ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, "
+            "array(0.125,0.25,0.375,0.5,0.625,0.75,0.875), 10000)"
+        ).alias("cuts")
+    )
+    binned = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        (
+            F.size(F.filter(F.col("cuts"), lambda c: F.col("value") > c)) + 1
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("bn")
+    )
+    return per_bin.groupBy("event_type").agg(
+        F.sum("bn").cast("long").alias("n"),
+        (
+            (F.count("*") == 8)
+            & (F.max("bn") <= F.sum("bn") / 8 * 1.25)
+            & (F.min("bn") >= F.sum("bn") / 8 * 0.75)
+        ).alias("bins_balanced"),
+    )
