@@ -10,6 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_pipeline_001_spark.plans.queries import query
+from data_pipeline_001_spark.plans.queries_curation2 import _NORM_SQL
 from data_pipeline_001_spark.session import load_tables
 
 
@@ -500,4 +501,86 @@ def json_variant_extract(spark, sf_dir):
             F.try_variant_get("v", "$.k", "int").alias("k_val"),
             F.try_variant_get("v", "$.missing", "int").alias("k_missing"),
         )
+    )
+
+
+@query(
+    "scalar_bitwise_ops",
+    """
+    SELECT event_id,
+           CAST(user_id & 255 AS BIGINT)  AS masked,
+           CAST(user_id | 4096 AS BIGINT) AS flagged,
+           CAST(xor(user_id, event_id) AS BIGINT) AS mixed,
+           CAST(user_id << 2 AS BIGINT)   AS shifted_l,
+           CAST(user_id >> 3 AS BIGINT)   AS shifted_r,
+           CAST(bit_count(user_id) AS INT) AS popcount
+    FROM events WHERE user_id IS NOT NULL AND event_id < 3000
+    """,
+)
+def bitwise_ops_q(spark, sf_dir):
+    """Bitwise scalar surface: mask/flag/xor/shifts/popcount — the
+    primitives under bitmap indexes, bloom hashing, and the engine's
+    own Z-order interleave, exercised directly."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .where(F.col("user_id").isNotNull() & (F.col("event_id") < 3000))
+        .select(
+            "event_id",
+            F.expr("user_id & 255").cast("long").alias("masked"),
+            F.expr("user_id | 4096").cast("long").alias("flagged"),
+            F.expr("user_id ^ event_id").cast("long").alias("mixed"),
+            F.expr("shiftleft(user_id, 2)").cast("long").alias("shifted_l"),
+            F.expr("shiftright(user_id, 3)").cast("long").alias("shifted_r"),
+            F.bit_count("user_id").cast("int").alias("popcount"),
+        )
+    )
+
+
+@query(
+    "array_set_ops",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      string_split({_NORM_SQL}, ' ') AS w
+               FROM documents WHERE doc_id < 200),
+    ab AS (SELECT doc_id, w[1:10] AS a, w[-10:] AS b FROM t)
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(list_cat(a, b))), ',')
+               AS union_str,
+           CAST(len(list_distinct(list_intersect(a, b))) AS INT)
+               AS inter_size,
+           CAST(len(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+               AS INT) AS except_size
+    FROM ab
+    """,
+)
+def array_set_ops_q(spark, sf_dir):
+    """Array set algebra (union/intersect/except) over the first and
+    last 10 tokens of each document — the set primitives behind
+    shingle overlap and tag reconciliation, emitted as a sorted joined
+    string + sizes so both engines compare canonically."""
+    from data_pipeline_001_spark.functions.text import normalize_text
+
+    t = load_tables(spark, sf_dir)
+    w = F.split(normalize_text(F.col("text")), " ")
+    ab = (
+        t["documents"]
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.slice(w, 1, 10).alias("a"),
+            F.slice(w, -10, 10).alias("b"),
+        )
+    )
+    return ab.select(
+        "doc_id",
+        F.array_join(
+            F.sort_array(F.array_distinct(F.concat("a", "b"))), ","
+        ).alias("union_str"),
+        F.size(F.array_distinct(F.array_intersect("a", "b")))
+        .cast("int")
+        .alias("inter_size"),
+        F.size(F.array_distinct(F.array_except("a", "b")))
+        .cast("int")
+        .alias("except_size"),
     )
