@@ -897,3 +897,91 @@ def resample_interpolate_q(spark, sf_dir):
         F.floor(filled * 1_000_000 + 0.5).cast("long").alias("filled_micro"),
         kind.alias("fill_kind"),
     )
+
+
+# ---------------------------------------------------------------------
+# Governance: column masking + k-anonymity reporting
+# ---------------------------------------------------------------------
+
+
+@query(
+    "governance_masked_events",
+    """
+    SELECT event_id,
+           md5(CAST(user_id AS VARCHAR)) AS user_token,
+           event_type,
+           CASE WHEN event_type = 'purchase' THEN value ELSE NULL END
+               AS value_restricted,
+           date_trunc('day', ts) AS day_coarse
+    FROM events WHERE user_id IS NOT NULL AND event_id < 3000
+    """,
+)
+def masked_events_q(spark, sf_dir):
+    """Policy-masked view of the events table — the Ranger/Unity-style
+    governance projection as plain column expressions: identifiers
+    pseudonymized (deterministic md5 token, so joins on the token
+    still work across masked views), sensitive measures visible only
+    for permitted categories, timestamps coarsened to day. A masked
+    VIEW costs nothing at rest — the policy runs inside the same
+    codegen projection as any other column."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .where(F.col("user_id").isNotNull() & (F.col("event_id") < 3000))
+        .select(
+            "event_id",
+            F.md5(F.col("user_id").cast("string")).alias("user_token"),
+            "event_type",
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(None))
+            .alias("value_restricted"),
+            F.date_trunc("day", "ts").alias("day_coarse"),
+        )
+    )
+
+
+_K_ANON = 5
+
+
+@query(
+    "governance_k_anonymity",
+    f"""
+    WITH g AS (SELECT event_type,
+                      CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+                      user_id % 100 AS user_bucket,
+                      COUNT(*) AS n
+               FROM events WHERE user_id IS NOT NULL
+               GROUP BY 1, 2, 3)
+    SELECT event_type, hour_of_day, CAST(user_bucket AS BIGINT) AS user_bucket,
+           CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END AS INT)
+               AS below_k
+    FROM g
+    """,
+)
+def k_anonymity_q(spark, sf_dir):
+    """k-anonymity report over the quasi-identifier tuple
+    (event_type, hour-of-day, user bucket): every combination's
+    population and a flag for groups smaller than k={k} — the
+    suppression-candidate list a privacy review starts from
+    (Sweeney 2002, public). One narrow aggregate; at release time the
+    below-k groups get suppressed or generalized, exactly like the
+    curation quota/threshold gates this module already applies."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .groupBy(
+            "event_type",
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            (F.col("user_id") % 100).alias("user_bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "hour_of_day",
+            F.col("user_bucket").cast("long").alias("user_bucket"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("n") < _K_ANON).cast("int").alias("below_k"),
+        )
+    )
