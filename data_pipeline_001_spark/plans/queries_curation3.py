@@ -985,3 +985,62 @@ def k_anonymity_q(spark, sf_dir):
             (F.col("n") < _K_ANON).cast("int").alias("below_k"),
         )
     )
+
+
+_DP_EPS = 0.5
+_DP_SEED = 20240101
+
+
+@query(
+    "governance_dp_counts",
+    f"""
+    WITH c AS (SELECT event_type, COUNT(*) AS n
+               FROM events GROUP BY event_type),
+    u AS (SELECT event_type, n,
+                 (('0x' || substr(md5(event_type || '|{_DP_SEED}'), 1, 13))
+                     ::UBIGINT % 9007199254740992)
+                     / 9007199254740992.0 AS unif
+          FROM c)
+    SELECT event_type,
+           CAST(n + CAST(FLOOR(
+               CASE WHEN unif < 0.5
+                    THEN (1.0 / {_DP_EPS}) * ln(2.0 * unif)
+                    ELSE -(1.0 / {_DP_EPS}) * ln(2.0 * (1.0 - unif))
+               END + 0.5) AS BIGINT) AS BIGINT) AS noisy_n,
+           CAST(CASE WHEN n >= 10 THEN 1 ELSE 0 END AS INT) AS releasable
+    FROM u
+    """,
+)
+def dp_counts_q(spark, sf_dir):
+    """Differentially-private release mechanism plumbing: per-category
+    counts perturbed with Laplace(1/ε) noise via inverse-CDF sampling,
+    plus a minimum-population release gate. The uniform draw is
+    DERIVED from a keyed hash so the oracle can verify the mechanism's
+    arithmetic end-to-end — production DP swaps that one expression
+    for a secure RNG (determinism here is a test seam, not a privacy
+    claim; a seeded release would leak). Same hash→uniform machinery
+    as the engine's weighted samplers."""
+    t = load_tables(spark, sf_dir)
+    c = t["events"].groupBy("event_type").agg(F.count("*").alias("n"))
+    unif = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("event_type"), F.lit(str(_DP_SEED)))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(9007199254740992)
+    ) / F.lit(9007199254740992.0)
+    lap = F.when(
+        unif < 0.5, (1.0 / _DP_EPS) * F.log(2.0 * unif)
+    ).otherwise(-(1.0 / _DP_EPS) * F.log(2.0 * (1.0 - unif)))
+    return c.select(
+        "event_type",
+        (F.col("n") + F.floor(lap + 0.5).cast("long")).cast("long").alias(
+            "noisy_n"
+        ),
+        (F.col("n") >= 10).cast("int").alias("releasable"),
+    )
