@@ -584,3 +584,59 @@ def array_set_ops_q(spark, sf_dir):
         .cast("int")
         .alias("except_size"),
     )
+
+
+@query(
+    "time_business_day_lag",
+    """
+    WITH j AS (SELECT l.l_orderkey, l.l_linenumber,
+                      date_diff('day', DATE '1970-01-01',
+                                CAST(o.o_orderdate AS DATE)) AS e0,
+                      date_diff('day', DATE '1970-01-01',
+                                CAST(l.l_shipdate AS DATE)) AS e1
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+               WHERE l.l_orderkey < 2000)
+    SELECT l_orderkey, l_linenumber,
+           CAST(e1 - e0 AS BIGINT) AS calendar_days,
+           CAST((e1 - e0)
+                - (FLOOR((e1 - 2) / 7.0) - FLOOR((e0 - 2) / 7.0))
+                - (FLOOR((e1 - 3) / 7.0) - FLOOR((e0 - 3) / 7.0))
+                AS BIGINT) AS business_days
+    FROM j
+    """,
+)
+def business_day_lag_q(spark, sf_dir):
+    """Order→ship lag in BUSINESS days: weekends subtracted with the
+    closed-form Saturday/Sunday counters (epoch-day anchors — day 2 =
+    1970-01-03, a Saturday — so no engine-specific day-of-week
+    numbering is ever consulted; Spark's dayofweek is 1=Sunday,
+    DuckDB's is 0=Sunday, a classic cross-engine trap this formula
+    sidesteps). Pure integer/floor arithmetic pushed through the
+    join projection."""
+    t = load_tables(spark, sf_dir)
+    e = lambda c: F.datediff(F.col(c).cast("date"), F.lit("1970-01-01").cast("date"))  # noqa: E731
+    j = (
+        t["lineitem"]
+        .where(F.col("l_orderkey") < 2000)
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            e("o_orderdate").alias("e0"),
+            e("l_shipdate").alias("e1"),
+        )
+    )
+    sat = lambda col: F.floor((F.col(col) - 2) / 7.0)  # noqa: E731
+    sun = lambda col: F.floor((F.col(col) - 3) / 7.0)  # noqa: E731
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("e1") - F.col("e0")).cast("long").alias("calendar_days"),
+        (
+            (F.col("e1") - F.col("e0"))
+            - (sat("e1") - sat("e0"))
+            - (sun("e1") - sun("e0"))
+        )
+        .cast("long")
+        .alias("business_days"),
+    )
