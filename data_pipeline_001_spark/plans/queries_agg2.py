@@ -811,3 +811,112 @@ def equidepth_bins_approx_q(spark, sf_dir):
             & (F.min("bn") >= F.sum("bn") / 8 * 0.75)
         ).alias("bins_balanced"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    """
+    WITH c AS (SELECT event_type, CAST(FLOOR(value) AS INT) AS v,
+                      COUNT(*) AS n
+               FROM events WHERE value IS NOT NULL
+               GROUP BY event_type, CAST(FLOOR(value) AS INT)),
+    r AS (SELECT event_type, v, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, v) AS rk
+          FROM c)
+    SELECT event_type, CAST(v AS INT) AS mode_value,
+           CAST(n AS BIGINT) AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def mode_deterministic_q(spark, sf_dir):
+    """Per-group mode with a DETERMINISTIC tie-break (highest count,
+    then smallest value) — the built-in ``mode()`` breaks ties
+    arbitrarily in both engines, which is exactly the class of silent
+    cross-engine divergence the A2 argmax pattern already guards
+    against; this is that pattern applied to the most-frequent-value
+    statistic. Count shuffle + per-group top-1 window over the
+    bounded distinct-value table."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    c = (
+        t["events"]
+        .where(F.col("value").isNotNull())
+        # explicit FLOOR: Spark's double->int cast truncates, DuckDB's
+        # ROUNDS — a silent cross-engine divergence without it
+        .groupBy("event_type", F.floor("value").cast("int").alias("v"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "v")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("v").cast("int").alias("mode_value"),
+            F.col("n").cast("long").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH x AS (SELECT event_type, value,
+                      1 + user_id % 3 AS wt
+               FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    r AS (SELECT event_type, value, wt,
+                 SUM(wt) OVER (PARTITION BY event_type
+                               ORDER BY value, wt
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                 SUM(wt) OVER (PARTITION BY event_type) AS total
+          FROM x)
+    SELECT event_type,
+           ROUND(MIN(value), 4) AS weighted_median,
+           CAST(MAX(total) AS BIGINT) AS total_weight
+    FROM r WHERE cum * 2 >= total
+    GROUP BY event_type
+    """,
+)
+def weighted_median_q(spark, sf_dir):
+    """Weighted median per group: the first value whose cumulative
+    weight crosses half the total — the statistic mixture rebalancing
+    needs when documents carry importance weights (plain median
+    ignores them). Weights here derive deterministically from the
+    key; the crossing test is pure integer comparison (cum*2 >=
+    total), so no float threshold can straddle engines. One ordered
+    window over the group, then a min-reduce of the crossing set."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    x = (
+        t["events"]
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            (1 + F.col("user_id") % 3).alias("wt"),
+        )
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt_total = Window.partitionBy("event_type")
+    r = x.select(
+        "event_type",
+        "value",
+        F.sum("wt").over(wc).alias("cum"),
+        F.sum("wt").over(wt_total).alias("total"),
+    )
+    return (
+        r.where(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 4).alias("weighted_median"),
+            F.max("total").cast("long").alias("total_weight"),
+        )
+    )
