@@ -1044,3 +1044,153 @@ def dp_counts_q(spark, sf_dir):
         ),
         (F.col("n") >= 10).cast("int").alias("releasable"),
     )
+
+
+# ---------------------------------------------------------------------
+# Distribution diagnostics: Gini, Zipf slope, mixture entropy
+# ---------------------------------------------------------------------
+
+
+@query(
+    "agg_gini_concentration",
+    """
+    WITH u AS (SELECT event_type, user_id, SUM(value) AS spend
+               FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY event_type, user_id),
+    r AS (SELECT event_type, spend,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY spend, user_id) AS i,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n,
+                 SUM(spend) OVER (PARTITION BY event_type) AS tot
+          FROM u)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_users,
+           ROUND(2.0 * SUM(i * spend) / (MAX(n) * MAX(tot))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM r GROUP BY event_type
+    """,
+)
+def gini_q(spark, sf_dir):
+    """Gini coefficient of per-user spend within each event type —
+    the concentration diagnostic that tells a mixture designer whether
+    a source's volume comes from a broad base or a few heavy users
+    (the same question the join-key skew profiler answers for keys,
+    asked of mass). Rank window with user_id tiebreak so the weighted
+    sum is deterministic; one window pass + one aggregate."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    u = (
+        t["events"]
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("value").alias("spend"))
+    )
+    wp = Window.partitionBy("event_type")
+    r = u.select(
+        "event_type",
+        "spend",
+        F.row_number()
+        .over(wp.orderBy("spend", "user_id"))
+        .alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("spend").over(wp).alias("tot"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("spend"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "text_zipf_fit",
+    f"""
+    WITH w AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+               FROM documents),
+    c AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+    r AS (SELECT word, freq,
+                 ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank
+          FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(ln(CAST(freq AS DOUBLE)),
+                            ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(CAST(freq AS DOUBLE)),
+                         ln(CAST(rank AS DOUBLE))), 6) AS fit_r2
+    FROM r
+    """,
+)
+def zipf_fit_q(spark, sf_dir):
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of
+    log-frequency against log-rank (natural text sits near −1; the
+    synthetic corpus's flat vocabulary shows up immediately as a
+    shallow slope with poor fit — which is itself the diagnostic). A
+    frequency distribution far from Zipf flags template/generated
+    text, complementing the repetition and perplexity signals. The
+    rank window runs over the VOCABULARY (bounded), not the corpus."""
+    from pyspark.sql import Window
+
+    from data_pipeline_001_spark.operators.text_analysis import (
+        exploded_word_ngrams,
+    )
+
+    t = load_tables(spark, sf_dir)
+    words = exploded_word_ngrams(t["documents"], n=1).select(
+        F.col("gram").alias("word")
+    )
+    c = words.groupBy("word").agg(F.count("*").alias("freq"))
+    r = c.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "word"))
+        .alias("rank"),
+    )
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rank").cast("double"))
+    return r.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
+    )
+
+
+@query(
+    "curation_source_entropy",
+    """
+    WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT source, n, SUM(n) OVER () AS tot FROM s)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           ROUND(-SUM((n / CAST(tot AS DOUBLE))
+                      * ln(n / CAST(tot AS DOUBLE))), 6) AS entropy_nats,
+           ROUND(-SUM((n / CAST(tot AS DOUBLE))
+                      * ln(n / CAST(tot AS DOUBLE)))
+                 / ln(CAST(COUNT(*) AS DOUBLE)), 6) AS evenness
+    FROM t
+    """,
+)
+def source_entropy_q(spark, sf_dir):
+    """Shannon entropy of the source mixture plus Pielou evenness
+    (entropy / ln(k), 1.0 = perfectly balanced) — the one-number
+    diversity summary of a data recipe, the scalar the
+    domain-mixture rebalancer drives toward its target. Bounded
+    per-source table; all float math is the same expression on both
+    engines over exact integer counts."""
+    t = load_tables(spark, sf_dir)
+    s = t["documents"].groupBy("source").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    tt = s.select(
+        "n", F.sum("n").over(Window.partitionBy()).alias("tot")
+    )
+    p = F.col("n") / F.col("tot").cast("double")
+    return tt.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        F.round(
+            -F.sum(p * F.log(p)) / F.log(F.count("*").cast("double")), 6
+        ).alias("evenness"),
+    )
