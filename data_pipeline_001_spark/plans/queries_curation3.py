@@ -1194,3 +1194,113 @@ def source_entropy_q(spark, sf_dir):
             -F.sum(p * F.log(p)) / F.log(F.count("*").cast("double")), 6
         ).alias("evenness"),
     )
+
+
+@query(
+    "quality_benford_digits",
+    """
+    WITH d AS (SELECT CAST(FLOOR(value / POWER(10, FLOOR(LOG10(value))))
+                           AS INT) AS digit
+               FROM events WHERE value IS NOT NULL AND value >= 1),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT digit, n, SUM(n) OVER () AS tot FROM c)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n / CAST(tot AS DOUBLE), 6) AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p
+    FROM t
+    """,
+)
+def benford_q(spark, sf_dir):
+    """Benford's-law first-digit distribution of the value column
+    against the theoretical log10(1 + 1/d) frequencies — the
+    fabricated-data smell test auditors run on financial feeds
+    (uniform synthetic values diverge loudly, which is itself the
+    demonstration). Digit extraction is pure floor/log arithmetic,
+    identical on both engines; one narrow aggregate."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    digit = F.floor(
+        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    ).cast("int")
+    c = (
+        t["events"]
+        .where(F.col("value").isNotNull() & (F.col("value") >= 1))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    tt = c.select(
+        "digit", "n", F.sum("n").over(Window.partitionBy()).alias("tot")
+    )
+    return tt.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias(
+            "observed_p"
+        ),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+    )
+
+
+@query(
+    "window_activity_streaks",
+    """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events WHERE user_id IS NOT NULL),
+    g AS (SELECT user_id, day,
+                 date_diff('day', DATE '1970-01-01', day)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                     AS grp
+          FROM d),
+    s AS (SELECT user_id, COUNT(*) AS streak_len, MIN(day) AS streak_start
+          FROM g GROUP BY user_id, grp),
+    best AS (SELECT user_id, streak_len, streak_start,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY streak_len DESC,
+                                                streak_start) AS rk
+             FROM s)
+    SELECT user_id, CAST(streak_len AS BIGINT) AS streak_len, streak_start
+    FROM best WHERE rk = 1 AND streak_len >= 3
+    """,
+)
+def activity_streaks_q(spark, sf_dir):
+    """Longest consecutive-day activity streak per user (reported for
+    streaks ≥ 3) — the gaps-and-islands pattern (epoch-day minus rank
+    is constant within a run) applied to engagement, the retention
+    cousin of the window-continuity check W4. Distinct-day dedupe,
+    one island window, one top-1 window — every window partitioned by
+    user."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    d = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(wd)
+        ).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), "streak_start"
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(wb))
+        .where((F.col("rk") == 1) & (F.col("streak_len") >= 3))
+        .select(
+            "user_id",
+            F.col("streak_len").cast("long").alias("streak_len"),
+            "streak_start",
+        )
+    )
