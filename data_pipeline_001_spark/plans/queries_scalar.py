@@ -640,3 +640,53 @@ def business_day_lag_q(spark, sf_dir):
         .cast("long")
         .alias("business_days"),
     )
+
+
+@query(
+    "time_month_arithmetic",
+    """
+    WITH anchors AS (SELECT CAST(a AS DATE) AS d
+                     FROM (VALUES ('2024-01-31'), ('2024-01-30'),
+                                  ('2024-02-29'), ('2023-02-28'),
+                                  ('2024-03-31'), ('2024-04-15'),
+                                  ('2024-12-31')) v(a))
+    SELECT d,
+           CAST(d + INTERVAL 1 MONTH AS DATE)  AS plus_1m,
+           CAST(d + INTERVAL 13 MONTH AS DATE) AS plus_13m,
+           CAST(d - INTERVAL 1 MONTH AS DATE)  AS minus_1m,
+           CAST(date_trunc('month', d) AS DATE) AS month_start,
+           last_day(d) AS month_end,
+           CAST(date_diff('day', CAST(date_trunc('month', d) AS DATE),
+                          last_day(d)) + 1 AS INT) AS days_in_month
+    FROM anchors
+    """,
+)
+def month_arithmetic_q(spark, sf_dir):
+    """Calendar month arithmetic on the boundary cases that break
+    naive implementations: month-end clamping (Jan 31 + 1 month =
+    Feb 29 in a leap year — BOTH engines clamp, asserted by the hash
+    gate), leap-day handling, year rollover, month length. These are
+    the semantics the monthly rollup grain and billing-cycle windows
+    sit on; a divergence here corrupts every month-grain partition
+    silently."""
+    load_tables(spark, sf_dir)
+    anchors = spark.createDataFrame(
+        [("2024-01-31",), ("2024-01-30",), ("2024-02-29",),
+         ("2023-02-28",), ("2024-03-31",), ("2024-04-15",),
+         ("2024-12-31",)],
+        ["a"],
+    ).select(F.col("a").cast("date").alias("d"))
+    return anchors.select(
+        "d",
+        F.add_months("d", 1).alias("plus_1m"),
+        F.add_months("d", 13).alias("plus_13m"),
+        F.add_months("d", -1).alias("minus_1m"),
+        F.date_trunc("month", "d").cast("date").alias("month_start"),
+        F.last_day("d").alias("month_end"),
+        (
+            F.datediff(F.last_day("d"), F.date_trunc("month", "d").cast("date"))
+            + 1
+        )
+        .cast("int")
+        .alias("days_in_month"),
+    )
