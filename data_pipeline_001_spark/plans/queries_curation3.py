@@ -1304,3 +1304,128 @@ def activity_streaks_q(spark, sf_dir):
             "streak_start",
         )
     )
+
+
+@query(
+    "window_pct_change_daily",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      COUNT(*) AS n
+               FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    l AS (SELECT event_type, day, n,
+                 LAG(n) OVER (PARTITION BY event_type ORDER BY day)
+                     AS prev_n
+          FROM d)
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CAST(prev_n AS BIGINT) AS prev_n,
+           ROUND(CASE WHEN prev_n IS NULL THEN NULL
+                      WHEN prev_n = 0 AND n = 0 THEN 0.0
+                      WHEN prev_n = 0 THEN 100.0
+                      ELSE (n - prev_n) * 100.0 / prev_n
+                 END, 6) AS pct_change
+    FROM l
+    """,
+)
+def pct_change_daily_q(spark, sf_dir):
+    """Day-over-day percent change of load per event type — the
+    F13 guarded-percent-difference contract (0/0 → 0, x/0 → 100)
+    applied along the time axis with LAG, the series the rolling
+    anomaly monitor consumes. One narrow agg + a per-type ordered
+    window over daily rows."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    d = t["events"].groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.withColumn("prev_n", F.lag("n").over(w))
+    pct = (
+        F.when(F.col("prev_n").isNull(), F.lit(None))
+        .when((F.col("prev_n") == 0) & (F.col("n") == 0), F.lit(0.0))
+        .when(F.col("prev_n") == 0, F.lit(100.0))
+        .otherwise((F.col("n") - F.col("prev_n")) * 100.0 / F.col("prev_n"))
+    )
+    return l.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("prev_n").cast("long").alias("prev_n"),
+        F.round(pct, 6).alias("pct_change"),
+    )
+
+
+_BUDGET_TOKENS = 1_000_000
+
+
+@query(
+    "curation_token_budget_plan",
+    f"""
+    WITH s AS (SELECT source,
+                      SUM(len(string_split({_NORM_SQL}, ' '))) AS toks
+               FROM documents GROUP BY source),
+    q AS (SELECT source, toks,
+                 {_BUDGET_TOKENS} * sqrt(CAST(toks AS DOUBLE))
+                     / SUM(sqrt(CAST(toks AS DOUBLE))) OVER () AS quota
+          FROM s),
+    f AS (SELECT source, toks,
+                 CAST(FLOOR(quota) AS BIGINT) AS base_alloc,
+                 quota - FLOOR(quota) AS rem,
+                 {_BUDGET_TOKENS} - SUM(CAST(FLOOR(quota) AS BIGINT)) OVER ()
+                     AS leftover
+          FROM q),
+    r AS (SELECT source, toks, base_alloc, leftover,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+          FROM f)
+    SELECT source, CAST(toks AS BIGINT) AS corpus_tokens,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated_tokens
+    FROM r
+    """,
+)
+def token_budget_plan_q(spark, sf_dir):
+    """Token-budget apportionment: a fixed training budget divided
+    across sources under temperature-scaled weights (α = 0.5, the
+    same q_i ∝ p_i^α rule as curation_temperature_mixture), made
+    EXACTLY integral with the largest-remainder method — floors plus
+    one extra token to the largest fractional remainders, so the
+    allocations sum to the budget to the token (ties broken by source
+    name). The apportionment arithmetic every mixture executor needs
+    before sampling begins; bounded per-source table throughout."""
+    from pyspark.sql import Window
+
+    from data_pipeline_001_spark.plans.queries_curation2 import _norm_tokens
+
+    t = load_tables(spark, sf_dir)
+    s = t["documents"].groupBy("source").agg(
+        F.sum(_norm_tokens()).alias("toks")
+    )
+    wall = Window.partitionBy()
+    quota = (
+        _BUDGET_TOKENS
+        * F.sqrt(F.col("toks").cast("double"))
+        / F.sum(F.sqrt(F.col("toks").cast("double"))).over(wall)
+    )
+    f = s.select(
+        "source",
+        "toks",
+        F.floor(quota).cast("long").alias("base_alloc"),
+        (quota - F.floor(quota)).alias("rem"),
+    ).withColumn(
+        "leftover",
+        _BUDGET_TOKENS - F.sum("base_alloc").over(wall),
+    )
+    r = f.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "source")),
+    )
+    return r.select(
+        "source",
+        F.col("toks").cast("long").alias("corpus_tokens"),
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated_tokens"),
+    )
