@@ -920,3 +920,110 @@ def weighted_median_q(spark, sf_dir):
             F.max("total").cast("long").alias("total_weight"),
         )
     )
+
+
+@query(
+    "agg_median_absolute_deviation",
+    """
+    WITH m AS (SELECT event_type,
+                      quantile_cont(value, 0.5) AS med
+               FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(MAX(m.med), 6) AS median_value,
+           ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+           ROUND(quantile_cont(abs(e.value - m.med), 0.5) * 1.4826, 6)
+               AS sigma_robust
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def mad_q(spark, sf_dir):
+    """Median absolute deviation per group with the 1.4826 consistency
+    factor — the robust scale estimate the rolling z-score monitor
+    should switch to when outliers contaminate the trailing window
+    (stddev is exactly what a spike inflates; MAD ignores it). Two
+    exact-percentile passes (median, then median of absolute
+    residuals) with the tiny per-group medians broadcast between them;
+    percentile_approx is the one-pass twin at scale."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("value").isNotNull())
+    m = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = ev.join(F.broadcast(m), "event_type")
+    mad = F.expr("percentile(abs(value - med), 0.5)")
+    return j.groupBy("event_type").agg(
+        F.round(F.max("med"), 6).alias("median_value"),
+        F.round(mad, 6).alias("mad"),
+        F.round(mad * 1.4826, 6).alias("sigma_robust"),
+    )
+
+
+@query(
+    "agg_cohort_ltv_curve",
+    """
+    WITH first_seen AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+                        FROM events WHERE user_id IS NOT NULL
+                        GROUP BY user_id),
+    acts AS (SELECT e.user_id,
+                    date_trunc('week', f.cohort_day) AS cohort_week,
+                    CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                         // 7 AS INT) AS age_weeks,
+                    e.value
+             FROM events e JOIN first_seen f ON e.user_id = f.user_id
+             WHERE e.value IS NOT NULL),
+    wk AS (SELECT cohort_week, age_weeks, SUM(value) AS wk_value
+           FROM acts GROUP BY cohort_week, age_weeks)
+    SELECT cohort_week, age_weeks,
+           CAST(FLOOR(SUM(wk_value) OVER (PARTITION BY cohort_week
+                                          ORDER BY age_weeks
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) * 100 + 0.5)
+                AS BIGINT) AS cum_value_cents
+    FROM wk
+    """,
+)
+def cohort_ltv_q(spark, sf_dir):
+    """Cohort LTV curve: cumulative value per signup-week cohort by
+    age in weeks — the running-sum extension of the retention-cohort
+    matrix (agg_retention_cohorts counts presence; this accumulates
+    value). Emitted in floor'd cents: the cumulative window re-sums a
+    per-week double total whose half-cases would straddle ROUND across
+    engines. first-seen shuffle + weekly agg + a window over the
+    bounded (cohort, age) grid."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id").isNotNull())
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    acts = (
+        ev.where(F.col("value").isNotNull())
+        .join(first_seen, "user_id")
+        .select(
+            F.date_trunc("week", "cohort_day").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+            )
+            .cast("int")
+            .alias("age_weeks"),
+            "value",
+        )
+    )
+    wk = acts.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("value").alias("wk_value")
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wk.select(
+        "cohort_week",
+        "age_weeks",
+        F.floor(F.sum("wk_value").over(wcum) * 100 + 0.5)
+        .cast("long")
+        .alias("cum_value_cents"),
+    )
