@@ -1429,3 +1429,93 @@ def token_budget_plan_q(spark, sf_dir):
         .cast("long")
         .alias("allocated_tokens"),
     )
+
+
+@query(
+    "curation_interleave_order",
+    """
+    WITH r AS (SELECT doc_id, source,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                          AS rk,
+                      DENSE_RANK() OVER (ORDER BY source) AS src_idx,
+                      COUNT(DISTINCT source) OVER () AS n_src
+               FROM documents)
+    SELECT doc_id, source,
+           CAST((rk - 1) * n_src + src_idx AS BIGINT) AS train_position
+    FROM r
+    """,
+)
+def interleave_order_q(spark, sf_dir):
+    """Deterministic source-interleaved training order: documents are
+    hash-shuffled WITHIN their source, then sources are round-robined
+    (position = within-source rank × source count + source index), so
+    any contiguous slice of the training stream sees every source in
+    proportion — the anti-curriculum guarantee a naive global sort by
+    source destroys and the global hash shuffle only achieves in
+    expectation. Pure rank arithmetic; per-source windows plus one
+    bounded dense-rank over the source list."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string"))
+        )
+    )
+    src_idx = F.dense_rank().over(Window.orderBy("source"))
+    # COUNT(DISTINCT) OVER is unsupported in Spark; the max dense_rank
+    # IS the distinct source count
+    r = d.select(
+        "doc_id", "source", rk.alias("rk"), src_idx.alias("src_idx")
+    ).withColumn("n_src", F.max("src_idx").over(Window.partitionBy()))
+    return r.select(
+        "doc_id",
+        "source",
+        ((F.col("rk") - 1) * F.col("n_src") + F.col("src_idx"))
+        .cast("long")
+        .alias("train_position"),
+    )
+
+
+@query(
+    "agg_autocorr_daily_counts",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+               FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    l AS (SELECT event_type, n,
+                 LAG(n) OVER (PARTITION BY event_type ORDER BY day)
+                     AS prev_n
+          FROM d)
+    SELECT event_type,
+           CAST(COUNT(prev_n) AS BIGINT) AS n_days,
+           ROUND(corr(CAST(n AS DOUBLE), CAST(prev_n AS DOUBLE)), 6)
+               AS autocorr_lag1
+    FROM l WHERE prev_n IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def autocorr_daily_q(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily load series per event type —
+    near zero says day-to-day volume is memoryless (alerts can use
+    independent thresholds), high says momentum/seasonality (the
+    rolling monitor's trailing window should widen). Daily agg, LAG
+    pairing, one corr over the bounded series."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    d = t["events"].groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    l = d.withColumn(
+        "prev_n",
+        F.lag("n").over(Window.partitionBy("event_type").orderBy("day")),
+    ).where(F.col("prev_n").isNotNull())
+    return l.groupBy("event_type").agg(
+        F.count("prev_n").cast("long").alias("n_days"),
+        F.round(
+            F.corr(F.col("n").cast("double"), F.col("prev_n").cast("double")),
+            6,
+        ).alias("autocorr_lag1"),
+    )
