@@ -49,9 +49,12 @@ def json_int_fast(json_col: str | Column, key: str) -> Column:
     col = F.col(json_col) if isinstance(json_col, str) else json_col
     fast = F.regexp_extract(col, rf'"{key}"\s*:\s*(-?\d+)[,}}\s]', 1)
     slow = F.get_json_object(col, f"$.{key}").try_cast("int")
-    return F.when(col.rlike(_FLAT_DOC) & (fast != ""), fast.cast("int")).otherwise(
-        slow
-    )
+    # try_cast on BOTH paths: under ANSI mode a plain cast would throw
+    # on an int-overflowing value in the fast path where the fallback
+    # returns NULL — per-row semantics must not depend on doc shape
+    return F.when(
+        col.rlike(_FLAT_DOC) & (fast != ""), fast.try_cast("int")
+    ).otherwise(slow)
 
 
 def json_double_fast(json_col: str | Column, key: str) -> Column:
@@ -64,7 +67,7 @@ def json_double_fast(json_col: str | Column, key: str) -> Column:
     )
     slow = F.get_json_object(col, f"$.{key}").try_cast("double")
     return F.when(
-        col.rlike(_FLAT_DOC) & (fast != ""), fast.cast("double")
+        col.rlike(_FLAT_DOC) & (fast != ""), fast.try_cast("double")
     ).otherwise(slow)
 
 

@@ -18,10 +18,13 @@ costs one table scan and one that costs one scan per constraint.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_SIMPLE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 @dataclass(frozen=True)
@@ -54,7 +57,17 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     Returns (check_name, observed, lo, hi, passed[int]) — one row per
     constraint, observed rounded to 6 to keep report values
     engine-portable.
+
+    Constraint names must be simple identifiers: they are interpolated
+    into the ``stack()`` selectExpr and backtick aliases, so a quote or
+    backtick in a name would produce broken SQL at runtime.
     """
+    for c in constraints:
+        if not _SIMPLE_NAME.match(c.name):
+            raise ValueError(
+                f"constraint name must match [A-Za-z_][A-Za-z0-9_]*, "
+                f"got {c.name!r}"
+            )
     aggs = [
         F.round(c.observe.cast("double"), 6).alias(c.name) for c in constraints
     ]

@@ -172,7 +172,16 @@ def salted_join(
     for the pathological single-key hotspots AQE can't split (one key
     bigger than a whole executor). Salt is derived from xxhash64 of
     the full row so it is deterministic and spread-even.
+
+    Only ``inner``/``left`` joins are supported: the right side is
+    replicated ×salt, so right/full-outer would emit ``salt`` copies
+    of every unmatched right row.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
     salted_left = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
     )
@@ -425,6 +434,11 @@ def global_row_index(
     skewed keys, substitute step 1 with ``repartitionByRange``
     boundaries (sampled); the deterministic arithmetic form here keeps
     the operator oracle-checkable.
+
+    ``order_col`` must be non-null: a NULL order key has no position
+    in a total order. Raises rather than silently dropping such rows
+    (detected for free off the per-bucket counts — NULL keys land in
+    the NULL bucket, no extra scan).
     """
     bucket = (F.col(order_col) / F.lit(bucket_width)).cast("long")
     with_b = df.withColumn("_gb", bucket)
@@ -434,6 +448,12 @@ def global_row_index(
     offsets = {}
     running = 0
     for r in counts:
+        if r["_gb"] is None:
+            raise ValueError(
+                f"global_row_index: order_col {order_col!r} contains "
+                f"{r['count']} NULL row(s) — a NULL key has no position "
+                "in the total order; filter or COALESCE upstream"
+            )
         offsets[r["_gb"]] = running
         running += r["count"]
     off_df = with_b.sparkSession.createDataFrame(

@@ -206,20 +206,38 @@ class VersionedTable:
 
     # -- maintenance --------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, retention_seconds: float = 3600.0
+    ) -> list[str]:
         """Drop data dirs referenced by NO retained manifest, and
         manifests older than the retention window. Returns removed
         dirs. Never touches dirs referenced by a kept version, so
-        time travel within the window survives."""
+        time travel within the window survives.
+
+        ``retention_seconds`` is the in-flight-commit grace period
+        (Delta's retention-hours analogue): a writer creates its data
+        dir BEFORE linking the manifest, so an unreferenced dir younger
+        than the window may belong to a commit in progress and is
+        skipped. Pass 0 only when the caller holds exclusive access to
+        the table (no concurrent writers)."""
         hist = self.history()
         keep = hist[-keep_versions:] if keep_versions else hist
         referenced = {rel for m in keep for rel in m["files"]}
+        now = time.time()
         removed = []
         for name in os.listdir(self.data_dir):
             rel = os.path.join("data", name)
-            if rel not in referenced:
-                shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
-                removed.append(rel)
+            if rel in referenced:
+                continue
+            path = os.path.join(self.root, rel)
+            if retention_seconds > 0:
+                try:
+                    if now - os.path.getmtime(path) < retention_seconds:
+                        continue  # possible in-flight commit
+                except OSError:
+                    continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(rel)
         for m in hist[: len(hist) - keep_versions if keep_versions else 0]:
             try:
                 os.remove(self._manifest_path(m["version"]))

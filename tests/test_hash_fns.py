@@ -104,3 +104,26 @@ def test_json_fast_rejects_non_identifier_key(spark):
 
     with pytest.raises(ValueError):
         json_int_fast("props", 'k"]; drop')
+
+
+def test_json_int_fast_overflow_returns_null_both_paths(spark):
+    """ADVICE fix: fast path must try_cast like the fallback, so an
+    int-overflowing value yields NULL on both doc shapes (flat doc
+    takes the regexp fast path, nested doc the full-parser fallback)."""
+    from data_pipeline_001_spark.functions.json_fns import json_int_fast
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 99999999999999999999}'),          # flat -> fast path
+            (2, '{"k": 99999999999999999999, "o": {}}'),  # nested -> fallback
+            (3, '{"k": 7}'),
+        ],
+        "id long, props string",
+    )
+    rows = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", json_int_fast("props", "k").alias("v")
+        ).collect()
+    }
+    assert rows[1] is None and rows[2] is None and rows[3] == 7

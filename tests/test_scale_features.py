@@ -98,3 +98,33 @@ def test_salted_agg_matches_plain_and_rejects_nonalgebraic(spark, tables):
 
     with pytest.raises(ValueError, match="algebraic"):
         salted_agg(li, ("l_returnflag",), {"a": F.avg("l_quantity")}).collect()
+
+
+def test_salted_join_rejects_outer_right_modes(spark, tables):
+    from data_pipeline_001_spark.operators.relational import salted_join
+
+    orders = tables["orders"].select(F.col("o_custkey").alias("k"))
+    cust = tables["customer"].select(F.col("c_custkey").alias("k"))
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(orders, cust, "k", how=how)
+
+
+def test_global_row_index_raises_on_null_order_col(spark):
+    from data_pipeline_001_spark.operators.relational import global_row_index
+
+    df = spark.createDataFrame([(1,), (None,), (3,)], "k long")
+    with pytest.raises(ValueError, match="NULL"):
+        global_row_index(df, "k", bucket_width=10).collect()
+
+
+def test_constraint_name_must_be_simple_identifier(spark):
+    from data_pipeline_001_spark.operators.constraints import (
+        Constraint,
+        check_constraints,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    bad = Constraint("x` , `y", F.max("k"), None, None)
+    with pytest.raises(ValueError, match="must match"):
+        check_constraints(df, [bad])

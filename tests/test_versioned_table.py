@@ -3,6 +3,7 @@ optimistic concurrency, vacuum retention, and crash debris handling."""
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -81,11 +82,29 @@ def test_concurrent_commit_loses_cleanly(spark, vt, monkeypatch):
 def test_vacuum_respects_retention(spark, vt):
     vt.append(_df(spark, [(1, "a")]))
     vt.overwrite(_df(spark, [(2, "b")]))
-    removed = vt.vacuum(keep_versions=1)
+    # retention_seconds=0: caller asserts exclusive access
+    removed = vt.vacuum(keep_versions=1, retention_seconds=0)
     assert len(removed) == 1
     assert {r["k"] for r in vt.read().collect()} == {2}
     with pytest.raises(Exception):
         vt.read(1).collect()
+
+
+def test_vacuum_grace_skips_inflight_dirs(spark, vt):
+    """Default retention window keeps freshly-written unreferenced dirs:
+    a concurrent writer creates its data dir before linking the
+    manifest, so an aggressive vacuum must not rmtree it."""
+    vt.append(_df(spark, [(1, "a")]))
+    # simulate an in-flight commit: data written, manifest not yet linked
+    rel = vt._write_data(_df(spark, [(9, "inflight")]))
+    removed = vt.vacuum(keep_versions=1)  # default grace period
+    assert removed == []
+    assert os.path.isdir(os.path.join(vt.root, rel))
+    # after the grace period (mtime aged artificially) it IS collected
+    old = time.time() - 7200
+    os.utime(os.path.join(vt.root, rel), (old, old))
+    removed = vt.vacuum(keep_versions=1)
+    assert removed == [rel]
 
 
 def test_corrupt_manifest_burns_slot_without_wedging(spark, vt):
