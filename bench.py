@@ -256,7 +256,33 @@ def main() -> None:
             "per_query": _per_query(huge_t, huge_duck),
         }
 
-    print(json.dumps(result))
+    # Full rich result goes to a sidecar (the driver captures only a
+    # ~2000-char stdout tail, so a fat JSON line gets truncated and
+    # parses as null — round-3 lesson). Stdout gets ONE compact line.
+    with open(os.path.join(repo_root, "bench_full.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "queries": result["queries"],
+    }
+    if "big" in result:
+        compact["big_total_s"] = result["big"]["total_s"]
+    ratios = [
+        p["ratio"] for p in result["per_query"].values() if p["ratio"]
+    ]
+    if ratios:
+        compact["median_ratio_vs_duckdb"] = round(
+            sorted(ratios)[len(ratios) // 2], 2
+        )
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # still too fat? drop to totals only
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
