@@ -241,6 +241,8 @@ def main() -> None:
         huge_sel = [
             "q01_pricing_summary",
             "q03_shipping_priority",
+            "q05_nation_revenue",
+            "q10_returned_revenue",
             "join_asof_events_spine",
             "dedup_exact_fingerprint",
             "text_stats_by_lang",

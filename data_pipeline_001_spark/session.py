@@ -59,7 +59,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 24 MB, not higher: the threshold compares COMPRESSED scan
+        # estimates, which understate row counts badly for narrow
+        # long-typed projections — a 37 MB-estimated 2-column slice of
+        # orders at the sf10 point is 15M rows, and building/shipping
+        # that hash relation measured 7 s (q10: 11.3 s → 3.7 s after
+        # the demotion to a shuffle join). Genuine dimensions
+        # (region/nation/customer/part slices) stay well under 24 MB.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(24 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
