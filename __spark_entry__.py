@@ -28,6 +28,11 @@ def _registry():
     from data_pipeline_001_spark.plans import queries_tpch3  # noqa: F401
     from data_pipeline_001_spark.plans import queries_udf  # noqa: F401
 
+    # round-4+ additions import LAST: new registry entries must land
+    # behind the existing coverage queue so the driver's prefix sample
+    # finishes the never-checked backlog before seeing new names
+    from data_pipeline_001_spark.plans import queries_multimodal  # noqa: F401
+
     return base.REGISTRY, base.ORACLES
 
 

@@ -1,10 +1,12 @@
 """Multimodal column plumbing (SURVEY.md §2.13).
 
 Images/audio/video ride through the engine as opaque ``binary``
-columns with typed metadata. The decode/feature steps that need
-codec libraries (PIL, ffmpeg, torchaudio — not in this container) are
-STUBBED behind ``decode_stub``; the Spark-side contract — schema,
-Arrow batch shape, ``mapInPandas`` partitioning — is real and tested.
+columns with typed metadata. Two real dependency-free decoders are
+implemented by pure struct parsing — uncompressed 24-bit BMP (pixel
+channel statistics) and PCM WAV (format/duration/RMS) — dispatched by
+``decode_media``. Formats that need codec libraries (JPEG, MP3,
+video — not in this container) still raise via ``decode_stub``; a
+real deployment swaps that one function.
 
 At 100 TB the pattern matters more than the codec: binary payloads
 stay columnar (parquet binary + page-level compression), metadata
@@ -15,6 +17,8 @@ input partitions with no shuffle.
 from __future__ import annotations
 
 import hashlib
+import math
+import struct
 import zlib
 from typing import Iterator
 
@@ -43,13 +47,213 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_stub(payload: bytes, media_type: str) -> dict:
-    """Placeholder for the real decoder (PIL / ffmpeg frame sampling).
-
-    The container has no codec libraries; a real deployment swaps this
-    single function. Raising keeps misuse loud."""
+    """Placeholder for codec-library decoders (PIL / ffmpeg frame
+    sampling). BMP and WAV decode natively via ``decode_media``; this
+    raises for everything else so misuse stays loud."""
     raise NotImplementedError(
-        "media decode requires codec libraries not present in this environment"
+        f"decoding {media_type!r} requires codec libraries not present "
+        "in this environment (BMP/WAV decode natively)"
     )
+
+
+# -- deterministic media fixtures -------------------------------------
+#
+# Pixel/sample values are CLOSED-FORM functions of the id, so an
+# independent engine can predict the decoded statistics analytically:
+# pixel (x,y) of image d is (r,g,b) = (d%100 + x + y, 2d%100 + x,
+# 3d%100 + y) — all < 256, no modulo wrap — giving
+# mean_r = d%100 + (w-1)/2 + (h-1)/2 exactly (halves are exact
+# doubles). That turns "did the decoder read the bytes right?" into a
+# hash-checkable cross-engine oracle with no codec on the other side.
+
+
+def make_bmp(doc_id: int) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP, 4-byte row padding; size
+    4–8 × 3–5 px derived from ``doc_id``."""
+    w, h = 4 + doc_id % 5, 3 + doc_id % 3
+    br, bg, bb = doc_id % 100, (2 * doc_id) % 100, (3 * doc_id) % 100
+    pad = (-3 * w) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # BMP stores rows bottom-up
+        for x in range(w):
+            body += bytes((bb + y, bg + x, br + x + y))  # BGR on disk
+        body += b"\x00" * pad
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    return struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off) + info + bytes(body)
+
+
+def make_wav(doc_id: int) -> bytes:
+    """Mono 16-bit PCM WAV; rate/length/waveform derived from
+    ``doc_id`` (integer sawtooth — deterministic across platforms)."""
+    rate = 8000 + (doc_id % 3) * 4000
+    n = 500 + doc_id % 250
+    step = 1 + doc_id % 7
+    samples = [((i * step) % 2048) - 1024 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse an uncompressed 24-bit BMP: dimensions + per-channel
+    pixel means. Pure struct parsing — no codec library."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    sr = sg = sb = 0
+    for row in range(h):
+        base = off + row * stride
+        for x in range(w):
+            i = base + 3 * x
+            sb += payload[i]
+            sg += payload[i + 1]
+            sr += payload[i + 2]
+    n = w * h
+    return {
+        "width": w,
+        "height": h,
+        "mean_r": sr / n,
+        "mean_g": sg / n,
+        "mean_b": sb / n,
+        "top_down": top_down,
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Walk RIFF chunks of a PCM WAV: format, duration, RMS
+    amplitude. Pure struct parsing — no codec library."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV")
+    n = len(data) // block_align
+    samples = struct.unpack(f"<{n * channels}h", data[: n * block_align])
+    rms = math.sqrt(sum(s * s for s in samples) / max(len(samples), 1))
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": n,
+        "duration_ms": n * 1000.0 / rate,
+        "rms": rms,
+    }
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Dispatch to the native decoder for the payload's type; raises
+    ``NotImplementedError`` (via ``decode_stub``) for formats needing
+    codec libraries."""
+    if media_type == "image/bmp":
+        return decode_bmp(payload)
+    if media_type in ("audio/wav", "audio/x-wav"):
+        return decode_wav(payload)
+    return decode_stub(payload, media_type)
+
+
+def attach_media_fixtures(docs: DataFrame) -> DataFrame:
+    """Deterministic BMP/WAV payloads per document (even ``doc_id`` →
+    image, odd → audio), built executor-side in Arrow batches — the
+    distributed binary-ingest shape with analytically predictable
+    content."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                make_bmp(int(d)) if d % 2 == 0 else make_wav(int(d))
+                for d in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": [
+                        "image/bmp" if d % 2 == 0 else "audio/wav"
+                        for d in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, "media_id long, payload binary, media_type string"
+    )
+
+
+DECODED_SCHEMA = (
+    "media_id long, media_type string, width long, height long, "
+    "mean_r double, mean_g double, mean_b double, sample_rate long, "
+    "n_samples long, duration_ms double, rms double"
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Real decode via ``mapInPandas``: one row per media item with
+    modality-specific columns (NULL for the other modality). No
+    shuffle — decode parallelism is the input partitioning."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = decode_media(bytes(r["payload"]), r["media_type"])
+                rows.append(
+                    (
+                        int(r["media_id"]),
+                        r["media_type"],
+                        d.get("width"),
+                        d.get("height"),
+                        d.get("mean_r"),
+                        d.get("mean_g"),
+                        d.get("mean_b"),
+                        d.get("sample_rate"),
+                        d.get("n_samples"),
+                        d.get("duration_ms"),
+                        d.get("rms"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "sample_rate",
+                    "n_samples", "duration_ms", "rms",
+                ],
+            )
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
 
 
 def extract_features(media: DataFrame, use_decoder: bool = False) -> DataFrame:

@@ -1,0 +1,68 @@
+"""Decoded multimodal features (SURVEY.md §2.13 — multimodal columns).
+
+Round-4 upgrade of the multimodal surface from "Arrow plumbing +
+byte-level features" to a REAL decode path: dependency-free BMP and
+WAV parsers (`operators/multimodal.py`) run inside ``mapInPandas``
+over binary payloads built executor-side.
+
+The oracle trick: fixture pixel/sample values are closed-form
+functions of ``doc_id`` (see ``make_bmp``/``make_wav``), so DuckDB
+predicts the decoded statistics ANALYTICALLY — the hash gate then
+verifies the decoder actually read the bytes it was handed, without
+any codec on the oracle side. All derived doubles are exact
+(halves/integer ratios), so no cross-engine float drift.
+
+NOTE: this module must stay LAST in ``__spark_entry__._registry``'s
+import order — new registry entries register behind the existing
+coverage queue so the driver's prefix sample converges.
+"""
+
+from __future__ import annotations
+
+from data_pipeline_001_spark.plans.queries import query
+from data_pipeline_001_spark.session import load_tables
+
+_DECODED_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+         AS media_type,
+       CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 5 END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 3 END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN
+         (doc_id % 100) + (3 + doc_id % 5) / 2.0 + (2 + doc_id % 3) / 2.0
+       END AS mean_r,
+       CASE WHEN doc_id % 2 = 0 THEN
+         ((2 * doc_id) % 100) + (3 + doc_id % 5) / 2.0
+       END AS mean_g,
+       CASE WHEN doc_id % 2 = 0 THEN
+         ((3 * doc_id) % 100) + (2 + doc_id % 3) / 2.0
+       END AS mean_b,
+       CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 3) * 4000 END
+         AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN 500 + doc_id % 250 END AS n_samples,
+       CASE WHEN doc_id % 2 = 1 THEN
+         (500 + doc_id % 250) * 1000.0 / (8000 + (doc_id % 3) * 4000)
+       END AS duration_ms
+FROM documents
+"""
+
+
+@query("multimodal_decoded_features", _DECODED_ORACLE)
+def multimodal_decoded_features(spark, sf_dir):
+    """Distributed binary decode end-to-end: build BMP/WAV payloads in
+    Arrow batches (even doc_id → image, odd → audio), decode them with
+    the pure-struct parsers, emit modality-typed features. ``rms`` is
+    decoded too but has no closed form — it is pytest-verified against
+    a locally computed value instead of the SQL oracle."""
+    from data_pipeline_001_spark.operators.multimodal import (
+        attach_media_fixtures,
+        decode_features,
+    )
+
+    t = load_tables(spark, sf_dir)
+    media = attach_media_fixtures(t["documents"])
+    return decode_features(media).select(
+        "media_id", "media_type", "width", "height",
+        "mean_r", "mean_g", "mean_b",
+        "sample_rate", "n_samples", "duration_ms",
+    )

@@ -467,3 +467,74 @@ def test_semantic_dedup_deterministic(spark, tables):
     a = semantic_dedup(e, n_clusters=8, threshold=0.93).collect()
     b = semantic_dedup(e.repartition(5), n_clusters=8, threshold=0.93).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bmp_wav_decode_roundtrip_pure_python():
+    """The struct-built fixtures decode back to their closed-form
+    parameters; RMS matches a locally computed value."""
+    import math
+
+    from data_pipeline_001_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_wav,
+        make_bmp,
+        make_wav,
+    )
+
+    for d in (0, 2, 7, 41, 999, 123456):
+        img = decode_bmp(make_bmp(d))
+        w, h = 4 + d % 5, 3 + d % 3
+        assert (img["width"], img["height"]) == (w, h)
+        assert img["mean_r"] == (d % 100) + (w - 1) / 2.0 + (h - 1) / 2.0
+        assert img["mean_g"] == ((2 * d) % 100) + (w - 1) / 2.0
+        assert img["mean_b"] == ((3 * d) % 100) + (h - 1) / 2.0
+
+        wav = decode_wav(make_wav(d))
+        rate = 8000 + (d % 3) * 4000
+        n, step = 500 + d % 250, 1 + d % 7
+        assert wav["sample_rate"] == rate
+        assert (wav["channels"], wav["bits"]) == (1, 16)
+        assert wav["n_samples"] == n
+        assert wav["duration_ms"] == n * 1000.0 / rate
+        expected_rms = math.sqrt(
+            sum((((i * step) % 2048) - 1024) ** 2 for i in range(n)) / n
+        )
+        assert abs(wav["rms"] - expected_rms) < 1e-9
+
+    # dispatch: native formats decode, codec formats stay loud
+    assert decode_media(make_bmp(4), "image/bmp")["width"] == 8
+    assert decode_media(make_wav(3), "audio/wav")["sample_rate"] == 8000
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
+    # foreign bytes are rejected, not mis-parsed
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG whatever")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI LIST")
+
+
+def test_decoded_features_distributed(tables, spark):
+    """mapInPandas build -> decode over a real documents slice: every
+    row carries exactly its modality's columns."""
+    from data_pipeline_001_spark.operators.multimodal import (
+        attach_media_fixtures,
+        decode_features,
+    )
+
+    docs = tables["documents"].limit(30)
+    out = decode_features(attach_media_fixtures(docs)).collect()
+    assert len(out) == 30
+    for r in out:
+        if r["media_type"] == "image/bmp":
+            assert r["width"] is not None and r["sample_rate"] is None
+            assert r["media_id"] % 2 == 0
+            assert r["mean_r"] == (
+                (r["media_id"] % 100)
+                + (r["width"] - 1) / 2.0
+                + (r["height"] - 1) / 2.0
+            )
+        else:
+            assert r["sample_rate"] is not None and r["width"] is None
+            assert r["media_id"] % 2 == 1
+            assert r["rms"] > 0
