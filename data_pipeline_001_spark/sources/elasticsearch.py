@@ -26,6 +26,7 @@ clear error if the ``org.elasticsearch.spark.sql`` format is absent.
 from __future__ import annotations
 
 import json
+import urllib.request
 from datetime import datetime
 from typing import Any
 
@@ -166,16 +167,104 @@ class ElasticsearchSource(Source):
         # if the frame is later unioned/cached
         return df.where(window_predicate(self.ts_field, start, end))
 
+    # -- REST fallback (no connector jar) ----------------------------------
+
+    #: scroll keep-alive + page size for the REST fallback — mirrors
+    #: the reference's elasticdump_limit=10000 page size
+    REST_SCROLL_KEEPALIVE = "2m"
+    #: hard cap for the driver-side REST extract; beyond this the
+    #: connector jar is the only sane path (see extract docstring)
+    REST_EXTRACT_MAX_DOCS = 100_000
+
+    def _rest_url(self, path: str) -> str:
+        node = self.nodes.split(",")[0].strip()
+        if "://" not in node:
+            node = f"http://{node}:{self.port}"
+        return f"{node}/{path}"
+
+    def _rest_post(self, path: str, body: dict[str, Any]) -> dict[str, Any]:
+        req = urllib.request.Request(
+            self._rest_url(path),
+            data=json.dumps(body).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.load(resp)
+
+    def _index(self) -> str:
+        # es.resource may be "index/type" (legacy) or just "index"
+        return self.resource.split("/")[0]
+
+    def _rest_count(self, start: datetime, end: datetime) -> int:
+        """The reference's actual ``_count`` path
+        (elasticsearch_counter.py:99-159): POST the bool query to
+        ``/{index}/_count``; only the integer crosses the wire."""
+        body = build_es_query_body(
+            self.ts_field, start, end, self.must_exist, self.exclude_null
+        )
+        return int(self._rest_post(f"{self._index()}/_count", body)["count"])
+
+    def _rest_scroll_docs(
+        self, start: datetime, end: datetime
+    ) -> list[dict[str, Any]]:
+        """Scroll-paged document fetch via REST — the reference's
+        elasticdump analogue (stage/ingestion_engine.py:132-235)."""
+        body = build_es_query_body(
+            self.ts_field, start, end, self.must_exist, self.exclude_null
+        )
+        body["size"] = int(self.es_options.get("es.scroll.size", "10000"))
+        page = self._rest_post(
+            f"{self._index()}/_search?scroll={self.REST_SCROLL_KEEPALIVE}",
+            body,
+        )
+        docs: list[dict[str, Any]] = []
+        while True:
+            hits = page.get("hits", {}).get("hits", [])
+            if not hits:
+                return docs
+            docs.extend(h["_source"] for h in hits)
+            if len(docs) > self.REST_EXTRACT_MAX_DOCS:
+                raise RuntimeError(
+                    f"REST extract exceeded {self.REST_EXTRACT_MAX_DOCS} "
+                    "documents — install the ES connector jar for "
+                    "shard-parallel extraction at this volume"
+                )
+            page = self._rest_post(
+                "_search/scroll",
+                {
+                    "scroll": self.REST_SCROLL_KEEPALIVE,
+                    "scroll_id": page["_scroll_id"],
+                },
+            )
+
     # -- Source protocol ---------------------------------------------------
 
     def count(self, start: datetime, end: datetime) -> int:
-        """S1: server-side filtered count — the `_count` REST call's
-        moral equivalent; only match counts cross the wire."""
-        return self._read(start, end).count()
+        """S1: server-side filtered count. With the connector jar the
+        count is the lazy scan's count action (per-shard, parallel);
+        without it, the reference's ``_count`` REST call — either way
+        only match counts cross the wire."""
+        if self._connector_available():
+            return self._read(start, end).count()
+        return self._rest_count(start, end)
 
     def extract(self, start: datetime, end: datetime) -> DataFrame:
-        """S2: lazy scan of the window's documents (scroll-paged,
-        partition per index shard — the connector makes one Spark
-        partition per ES shard, so a 1000-shard index reads with
-        1000-way parallelism)."""
-        return self._read(start, end)
+        """S2: the window's documents. Connector path: lazy scan,
+        scroll-paged, one Spark partition per ES shard — a 1000-shard
+        index reads with 1000-way parallelism; this is the 100 TB
+        path. REST fallback: driver-side scroll capped at
+        ``REST_EXTRACT_MAX_DOCS`` (bounded control-plane fetch, NOT a
+        data-plane scan — it exists so small windows work and tests
+        run without the jar, and it fails loudly past the cap)."""
+        if self._connector_available():
+            return self._read(start, end)
+        docs = self._rest_scroll_docs(start, end)
+        import pandas as pd
+
+        if not docs:
+            raise RuntimeError(
+                "REST extract returned no documents and cannot infer a "
+                "schema; use the connector jar or check the window"
+            )
+        return self.spark.createDataFrame(pd.DataFrame(docs))

@@ -86,9 +86,121 @@ def test_source_options_carry_query_and_paging(spark):
     )
 
 
-def test_missing_connector_raises_actionable_error(spark):
+def test_missing_connector_scan_raises_actionable_error(spark):
     src = ElasticsearchSource(spark, resource="idx")
     if src._connector_available():  # pragma: no cover - jar present
         pytest.skip("connector jar on classpath")
+    # the distributed scan path still demands the jar (count/extract
+    # fall back to REST instead — tested against the mock below)
     with pytest.raises(RuntimeError, match="--packages"):
-        src.count(S, E)
+        src._read(S, E)
+
+
+# -- mock-REST end-to-end (round-4 verdict item 5) ---------------------
+#
+# A stdlib http.server plays Elasticsearch: canned _count and scroll
+# responses, every request body recorded — so the assertion is on the
+# EXACT bool-query JSON that hits the wire, not on builder output.
+
+import http.server
+import json as _json
+import threading
+
+
+class _MockES(http.server.BaseHTTPRequestHandler):
+    requests: list = []  # (path, body) per POST, shared per-server
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        body = _json.loads(self.rfile.read(n)) if n else {}
+        self.__class__.requests.append((self.path, body))
+        if self.path.endswith("/_count"):
+            payload = {"count": 1234, "_shards": {"total": 3}}
+        elif "/_search?scroll=" in self.path:
+            payload = {
+                "_scroll_id": "scroll-1",
+                "hits": {
+                    "hits": [
+                        {"_source": {"user_id": 1, "value": 10.5}},
+                        {"_source": {"user_id": 2, "value": 20.5}},
+                    ]
+                },
+            }
+        elif self.path == "/_search/scroll":
+            scroll_id = body.get("scroll_id")
+            if scroll_id == "scroll-1":
+                payload = {
+                    "_scroll_id": "scroll-2",
+                    "hits": {"hits": [{"_source": {"user_id": 3, "value": 30.5}}]},
+                }
+            else:
+                payload = {"_scroll_id": "scroll-3", "hits": {"hits": []}}
+        else:  # pragma: no cover
+            self.send_error(404)
+            return
+        data = _json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):  # keep pytest output clean
+        pass
+
+
+@pytest.fixture()
+def mock_es():
+    _MockES.requests = []
+    server = http.server.HTTPServer(("127.0.0.1", 0), _MockES)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server.server_address[1], _MockES.requests
+    server.shutdown()
+
+
+def test_rest_count_sends_exact_bool_query_and_roundtrips(spark, mock_es):
+    port, recorded = mock_es
+    src = ElasticsearchSource(
+        spark,
+        resource="logs-2024/_doc",
+        nodes="127.0.0.1",
+        port=port,
+        ts_field="@timestamp",
+        must_exist=("user_id", "event_type"),
+        exclude_null=("value",),
+    )
+    if src._connector_available():  # pragma: no cover - jar present
+        pytest.skip("connector jar on classpath")
+    assert src.count(S, E) == 1234
+    path, body = recorded[0]
+    assert path == "/logs-2024/_count"  # index only, type stripped
+    # the EXACT reference bool query on the wire: half-open ts range,
+    # exists per must_exist, must_not-term-null per exclude_null
+    assert body == build_es_query_body(
+        "@timestamp", S, E, ("user_id", "event_type"), ("value",)
+    )
+    assert body["query"]["bool"]["must"][0]["range"]["@timestamp"] == {
+        "gte": "2024-03-01T04:00:00Z",
+        "lt": "2024-03-01T05:00:00Z",
+    }
+
+
+def test_rest_extract_scrolls_to_exhaustion(spark, mock_es):
+    port, recorded = mock_es
+    src = ElasticsearchSource(
+        spark, resource="logs-2024", nodes="127.0.0.1", port=port
+    )
+    if src._connector_available():  # pragma: no cover - jar present
+        pytest.skip("connector jar on classpath")
+    df = src.extract(S, E)
+    rows = {(r["user_id"], r["value"]) for r in df.collect()}
+    assert rows == {(1, 10.5), (2, 20.5), (3, 30.5)}
+    paths = [p for p, _ in recorded]
+    # initial search carries the query + page size; then scroll pages
+    # until an empty page terminates the loop
+    assert paths[0].startswith("/logs-2024/_search?scroll=")
+    assert paths[1:] == ["/_search/scroll", "/_search/scroll"]
+    assert recorded[0][1]["size"] == 10000
+    assert recorded[0][1]["query"] == build_es_query_body("@timestamp", S, E)["query"]
+    assert recorded[1][1] == {"scroll": "2m", "scroll_id": "scroll-1"}
