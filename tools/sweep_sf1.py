@@ -64,6 +64,12 @@ def main() -> None:
             print(f"   ERROR  {name}: {errors[name][:120]}", flush=True)
         with open(out, "w") as f:
             json.dump({"times": times, "errors": errors}, f, indent=1, sort_keys=True)
+    # quadratic oracle twins at a BOUNDED slice (2k docs/vectors): the
+    # full sf1 corpus would make them dominate the sweep, but skipping
+    # them entirely would let a regression in the twins themselves
+    # hide. O(2k²) is milliseconds, so correctness coverage is free.
+    bounded = _run_bounded_twins(spark, qs, sf_dir, skip, errors)
+    times.update(bounded)
     ranked = sorted(times.items(), key=lambda kv: -kv[1])
     print("\n=== slowest 15 ===")
     for name, t in ranked[:15]:
@@ -71,6 +77,58 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump({"times": times, "errors": errors}, f, indent=1, sort_keys=True)
     print(f"\nwrote {out}; total {sum(times.values()):.1f}s over {len(times)} queries; {len(errors)} errors")
+
+
+#: the documented-quadratic exact twins plus the brute-force ANN
+#: baseline — each runs against the 2k-row slice below
+BOUNDED_TWINS = (
+    "dedup_embedding_cosine",
+    "dedup_cluster_components",
+    "ngram_jaccard_pairs",
+    "dedup_cluster_canonical",
+    "similarity_bruteforce_topk",
+)
+
+SLICE_ROWS = 2000
+
+
+def _build_slice(sf_dir: str) -> str:
+    """Materialize a deterministic 2k-row slice of the text/vector
+    tables (the only inputs the twins read)."""
+    import os
+
+    import duckdb
+
+    slice_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "slice2k")
+    os.makedirs(slice_dir, exist_ok=True)
+    con = duckdb.connect()
+    for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        dst = os.path.join(slice_dir, f"{table}.parquet")
+        if not os.path.exists(dst):
+            con.sql(
+                f"COPY (SELECT * FROM '{os.path.join(sf_dir, table)}.parquet' "
+                f"ORDER BY {key} LIMIT {SLICE_ROWS}) TO '{dst}' (FORMAT PARQUET)"
+            )
+    con.close()
+    return slice_dir
+
+
+def _run_bounded_twins(spark, qs, sf_dir, skip, errors) -> dict[str, float]:
+    slice_dir = _build_slice(sf_dir)
+    out: dict[str, float] = {}
+    print(f"\n=== quadratic twins @ {SLICE_ROWS}-row slice ===")
+    for name in BOUNDED_TWINS:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        try:
+            n = qs[name](spark, slice_dir).count()
+            out[f"{name}@2k"] = round(time.time() - t0, 2)
+            print(f"{out[f'{name}@2k']:8.2f}s  {n:>9} rows  {name}@2k", flush=True)
+        except Exception as e:  # noqa: BLE001 — sweep must survive one bad query
+            errors[f"{name}@2k"] = f"{type(e).__name__}: {e}"[:200]
+            print(f"   ERROR  {name}@2k: {errors[f'{name}@2k'][:120]}", flush=True)
+    return out
 
 
 if __name__ == "__main__":
