@@ -562,3 +562,75 @@ def test_stream_stream_left_outer_interval_join(spark, tables, stream_dir):
         inner.select("user_id", "l_ts"), ["user_id", "l_ts"]
     )
     assert false_nulls.count() == 0
+
+
+def test_tumbling_window_across_dst_spring_forward(spark, tmp_path):
+    """Streaming local-day tumbling windows across the America/
+    Los_Angeles 2024-03-10 spring-forward (23 h wall-clock day),
+    checked against the batch spine computation (round-4 verdict
+    item 7: time_spine_dst_week covers batch only).
+
+    Semantics under test: converting UTC event time to local wall
+    clock (from_utc_timestamp) and bucketing with window('1 day')
+    aligns buckets to LOCAL midnights; the spring-forward bucket gets
+    23 hourly events because wall-clock 02:xx never occurs. Stream
+    and batch must agree on both bucket EDGES and counts."""
+    from datetime import timedelta
+
+    # hourly UTC spine 2024-03-09T08:00 .. <2024-03-12T08:00 (72 rows;
+    # 08:00 UTC == 00:00 PST local midnight at the range start)
+    start = datetime(2024, 3, 9, 8, 0, 0)
+    rows = [(i, start + timedelta(hours=i)) for i in range(72)]
+    src = str(tmp_path / "dst_events")
+    spark.createDataFrame(rows, "event_id long, ts timestamp").write.parquet(src)
+
+    def local_day_counts(df):
+        lts = F.from_utc_timestamp("ts", "America/Los_Angeles")
+        return (
+            df.withColumn("lts", lts)
+            .groupBy(F.window("lts", "1 day").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+        )
+
+    schema = "event_id long, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        local_day_counts(stream)
+        .writeStream.format("memory")
+        .queryName("dst_days")
+        .outputMode("complete")  # no watermark withholding: every
+        # bucket emits, including the trailing partial local day
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w"]["start"], r["w"]["end"]): r["n_events"]
+        for r in spark.table("dst_days").collect()
+    }
+    batch = {
+        (r["w"]["start"], r["w"]["end"]): r["n_events"]
+        for r in local_day_counts(spark.read.parquet(src)).collect()
+    }
+    assert got == batch  # stream-batch parity, edges AND counts
+
+    def day(d):
+        return (datetime(2024, 3, d, 0, 0), datetime(2024, 3, d + 1, 0, 0))
+
+    # bucket edges are local midnights; the spring-forward day has 23
+    # wall-clock hours, neighbors 24, plus one trailing local hour
+    assert got == {day(9): 24, day(10): 23, day(11): 24, day(12): 1}
+    # and the batch spine invariant holds in-stream: even the 23-hour
+    # day spans first-hour 00:00 -> last-hour 23:00 wall clock
+    lts = F.from_utc_timestamp("ts", "America/Los_Angeles")
+    spans = {
+        r["d"]: (r["lo"].hour, r["hi"].hour)
+        for r in spark.read.parquet(src)
+        .select(lts.alias("lts"))
+        .groupBy(F.to_date("lts").alias("d"))
+        .agg(F.min("lts").alias("lo"), F.max("lts").alias("hi"))
+        .collect()
+    }
+    from datetime import date
+
+    assert spans[date(2024, 3, 10)] == (0, 23)
