@@ -573,3 +573,79 @@ def dsir_log_weights(
             F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
         )
     )
+
+
+# -- HTML boilerplate extraction (round 4) ----------------------------
+
+#: fixed entity decode table — numeric/named entities the extractor
+#: understands. &amp; decodes LAST so double-encoded sequences
+#: (&amp;#97;) don't decode twice — the standard ordering rule.
+_HTML_ENTITIES = (
+    ("&#97;", "a"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Boilerplate-stripping text extraction from raw HTML, entirely
+    in codegen ``regexp_replace``/``replace`` chains — no UDF in the
+    hot path (a 100 TB crawl-extract stage is regex-bound; keeping it
+    JVM-side is the difference between codegen and Arrow round-trips).
+
+    Contract (the trafilatura-lite subset):
+    - ``<script>``/``<style>`` blocks AND their content removed;
+    - HTML comments removed;
+    - remaining tags stripped, their inner text kept;
+    - the fixed entity table above decoded (&amp; last);
+    - whitespace collapsed to single spaces, trimmed.
+    """
+    c = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " "))
+
+
+# -- URL canonicalization (round 4) -----------------------------------
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form for dedup/domain-quota keys, pure codegen:
+
+    - scheme + host lowercased (path/query case preserved);
+    - scheme normalized to https, leading ``www.`` stripped;
+    - tracking params (``utm_*``) dropped, other params kept in
+      order (JVM higher-order ``filter``, no UDF);
+    - trailing slash and empty ``?`` stripped.
+
+    The per-URL shape a 100 TB crawl dedups on — exact-dup URL
+    collapse and per-domain quotas both key on this.
+    """
+    host = F.lower(F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (~p.startswith("utm_")) & (p != ""),
+    )
+    qs_out = F.array_join(kept, "&")
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(qs_out != "", F.concat(F.lit("?"), qs_out)).otherwise(F.lit("")),
+    )
+
+
+def url_domain(canonical_url: Column) -> Column:
+    """Registrable-domain key off a canonical URL (host as-is — the
+    synthetic corpus has no multi-label public-suffix hosts)."""
+    return F.regexp_extract(canonical_url, r"^https://([^/?#]+)", 1)

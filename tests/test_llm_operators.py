@@ -538,3 +538,57 @@ def test_decoded_features_distributed(tables, spark):
             assert r["sample_rate"] is not None and r["width"] is None
             assert r["media_id"] % 2 == 1
             assert r["rms"] > 0
+
+
+def test_html_to_text_strips_boilerplate_keeps_content(spark):
+    from data_pipeline_001_spark.operators.text_analysis import html_to_text
+
+    cases = [
+        # (raw html, expected extraction)
+        (
+            "<html><head><script>var a = 1 < 2 && 'x';</script>"
+            "<style>p{}</style><!-- hidden --></head>"
+            "<body><h1>Title</h1>\n<p>Hello   world</p></body></html>",
+            "Title Hello world",
+        ),
+        ("&lt;tag&gt; &amp;&#97;mp; &quot;q&#39;", "<tag> &amp; \"q'"),
+        # &amp; decodes LAST: double-encoded entity stays single-decoded
+        ("&amp;#97;", "&#97;"),
+        ("<SCRIPT SRC='x'>nested < tags </SCRIPT>ok", "ok"),
+        ("no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_url_contract(spark):
+    from data_pipeline_001_spark.operators.text_analysis import (
+        canonicalize_url,
+        url_domain,
+    )
+
+    cases = [
+        ("HTTP://WWW.Example.COM/A/B/?utm_source=x&id=7&utm_medium=y",
+         "https://example.com/A/B?id=7"),
+        ("https://sub.site.org/p?a=1&b=2", "https://sub.site.org/p?a=1&b=2"),
+        ("https://site.org/", "https://site.org"),
+        ("https://site.org/path/?utm_only=1", "https://site.org/path"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    rows = df.select(
+        "i",
+        canonicalize_url(F.col("url")).alias("c"),
+    ).withColumn("d", url_domain(F.col("c"))).collect()
+    got = {r["i"]: (r["c"], r["d"]) for r in rows}
+    for i, (_, want) in enumerate(cases):
+        assert got[i][0] == want, f"case {i}: {got[i][0]!r} != {want!r}"
+    assert got[0][1] == "example.com"
