@@ -98,7 +98,16 @@ def _time_spark_point(spark, qs, sf_dir: str, names=None) -> dict[str, float]:
     # per-exchange barriers cost ~22% of the sf0.1 headline)
     from data_pipeline_001_spark.session import size_adaptive_execution
 
-    size_adaptive_execution(spark, _dir_bytes(sf_dir))
+    point_bytes = _dir_bytes(sf_dir)
+    size_adaptive_execution(spark, point_bytes)
+    # shuffle width is a RUNTIME conf — re-size it per scale point
+    # (~1 partition / 8 MB, clamped): the session was built for the
+    # base sf, and carrying its 8-partition width to the 100× point
+    # under-parallelizes every shuffle 4× on 32 cores
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8, min(2048, point_bytes // (8 * 1024 * 1024)))),
+    )
 
     # warm the JVM + file listing + codegen pipeline once so per-query
     # times measure the plans, not session startup
