@@ -227,7 +227,11 @@ def main() -> None:
             big_duck = _time_duckdb_point(oracles, big_dir)
             # bucketed twins at the big point: same oracle rows, fact
             # join + per-order agg on the bucket layout (no shuffle)
-            bkt = ["q03_shipping_priority_bucketed", "q10_returned_revenue_bucketed"]
+            bkt = [
+                "q03_shipping_priority_bucketed",
+                "q05_nation_revenue_bucketed",
+                "q10_returned_revenue_bucketed",
+            ]
             bkt_t = _time_spark_point(spark, qs, big_dir, bkt)
             bkt_duck = _time_duckdb_point(oracles, big_dir, bkt)
             result["big"] = {

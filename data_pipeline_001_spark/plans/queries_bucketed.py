@@ -168,21 +168,92 @@ def q03_bucketed(spark, sf_dir):
 
 @query("q10_returned_revenue_bucketed", _Q10_ORACLE)
 def q10_bucketed(spark, sf_dir):
-    """Q10 over orderkey-bucketed fact tables: shuffle-free fact join;
-    only the final per-customer aggregation exchanges (its key is
-    c_custkey, a different clustering by nature)."""
+    """Q10 over orderkey-bucketed fact tables with the round-4 double
+    eager aggregation: the per-order revenue pre-agg runs ON the
+    bucketed scan's distribution (no exchange — this is the rewrite
+    bucketing makes free), the fact join is exchange-free, and the
+    per-custkey re-aggregation then exchanges ONE row per order
+    instead of every joined lineitem. The custkey exchange itself is
+    irreducible (a different clustering by nature)."""
     n = ensure_bucketed(spark, sf_dir)
     t = load_tables(spark, sf_dir)
-    return (
+    per_order = (
         spark.table(n["lineitem"])
         .where(F.col("l_returnflag") == "R")
-        .join(
+        .groupBy("l_orderkey")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    per_cust = (
+        per_order.join(
             spark.table(n["orders"]),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", F.round("rev", 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
+    )
+
+
+_Q05_ORACLE = """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """
+
+
+@query("q05_nation_revenue_bucketed", _Q05_ORACLE)
+def q05_bucketed(spark, sf_dir):
+    """Q5 over orderkey-bucketed fact tables. The plain form cannot
+    afford a per-order pre-agg (it would shuffle the whole unfiltered
+    fact — measured slower, see queries.q05); bucketing flips that:
+    the pre-agg runs on the bucketed scan's own distribution (no
+    exchange) and reduces 4 lineitems/order to 1 BEFORE the
+    exchange-free orders join. The dimension chain (region→nation→
+    customer, region filter pushed down it) broadcasts onto the
+    orders side; the only hash exchange left is the 25-group n_name
+    rollup."""
+    n = ensure_bucketed(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    nation_asia = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust_asia = (
+        t["customer"]
+        .join(
+            F.broadcast(nation_asia),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    per_order = (
+        spark.table(n["lineitem"])
+        .groupBy("l_orderkey")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    return (
+        per_order.join(
+            spark.table(n["orders"]).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
     )

@@ -102,6 +102,24 @@ def test_bucketed_q03_has_zero_hash_exchanges(spark, registry):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_q05_q10_orderkey_join_shuffle_free(spark, registry):
+    """The round-4 bucketed twins: the per-order pre-agg and the
+    lineitem⋈orders join must run on the bucket distribution — no
+    exchange keyed on either orderkey column anywhere in the plan.
+    (The custkey/n_name exchanges downstream are irreducible: a
+    different clustering by nature.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in ("q05_nation_revenue_bucketed", "q10_returned_revenue_bucketed"):
+            plan = _plan(registry[q](spark, SF))
+            assert "Exchange hashpartitioning(l_orderkey" not in plan, q
+            assert "Exchange hashpartitioning(o_orderkey" not in plan, q
+            assert "SortMergeJoin" in plan, q
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_no_row_python_udfs_anywhere(spark, registry):
     """Hot paths stay JVM-side; Python appears only via Arrow
     (mapInPandas → MapInPandas/ArrowEvalPython, never BatchEvalPython)."""
