@@ -45,14 +45,31 @@ def canon(df_pandas) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from data_pipeline_001_spark.session import get_spark
 
-    spark = get_spark(shuffle_partitions=16)
+    if vanilla:
+        # mimic the correctness driver EXACTLY: a bare session with
+        # stock Spark 4 defaults (ANSI on, no factory confs) — queries
+        # must not depend on anything get_spark sets (the round-2
+        # NTZ-cast bug was exactly this class)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-oracle-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from data_pipeline_001_spark.session import get_spark
+
+        spark = get_spark(shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
