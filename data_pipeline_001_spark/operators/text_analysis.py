@@ -649,3 +649,64 @@ def url_domain(canonical_url: Column) -> Column:
     """Registrable-domain key off a canonical URL (host as-is — the
     synthetic corpus has no multi-label public-suffix hosts)."""
     return F.regexp_extract(canonical_url, r"^https://([^/?#]+)", 1)
+
+
+# -- CCNet-style line-level boilerplate dedup (round 4) ----------------
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 50,
+) -> DataFrame:
+    """Remove lines that occur in ≥ ``min_doc_freq`` distinct
+    documents (CCNet's line-level dedup, Wenzek et al. 2020: repeated
+    lines across a crawl are navigation/footer boilerplate, not
+    content). Returns (doc_id, clean_text, n_kept, n_dropped) with
+    surviving lines rejoined in original order.
+
+    Scale shape: lines explode once; document-frequency is ONE
+    groupBy over xxhash64(line) (8-byte shuffle keys, not strings;
+    collision odds ~n²/2⁶⁴ — negligible and only ever merges two
+    counts). The boilerplate side of the anti-join is pre-filtered to
+    freq ≥ K, i.e. ≤ distinct_lines/K rows — usually broadcastable,
+    and AQE decides (left unhinted: at crawl scale with a low K it
+    degrades to a line-hash-sharded join, which is exactly CCNet's
+    sharding shape).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_lh", F.xxhash64("line"))
+    boiler = (
+        lines.groupBy("_lh")
+        .agg(F.count_distinct("_id").alias("df"))
+        .where(F.col("df") >= min_doc_freq)
+        .select("_lh")
+    )
+    kept = lines.join(boiler, "_lh", "left_anti")
+    total = lines.groupBy("_id").agg(F.count("*").alias("n_lines"))
+    out = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        total.join(out, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

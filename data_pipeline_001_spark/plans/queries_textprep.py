@@ -93,3 +93,72 @@ def text_url_canonicalize(spark, sf_dir):
         canon.alias("canonical_url"),
         url_domain(canon).alias("domain"),
     )
+
+
+_LINE_DEDUP_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             generate_series(0, CAST(ceil(len(string_split(text,' '))/5.0) AS INT)-1),
+             i -> array_to_string(string_split(text,' ')[(i*5+1):(i*5+5)], ' ')),
+           chr(10))
+         || chr(10)
+         || CASE WHEN doc_id % 10 = 0
+                 THEN 'follow us on example social' || chr(10) ELSE '' END
+         || 'subscribe to our newsletter' AS lined
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(lined, chr(10)), 1) - 1 AS pos,
+         unnest(string_split(lined, chr(10))) AS line
+  FROM base
+),
+freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+kept AS (SELECT l.doc_id, l.pos, l.line
+         FROM lines l JOIN freq f USING(line) WHERE f.df < 40),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.clean_text,'') AS clean_text,
+       CAST(COALESCE(a.n_kept,0) AS BIGINT) AS n_kept,
+       CAST(t.n_lines - COALESCE(a.n_kept,0) AS BIGINT) AS n_dropped
+FROM totals t LEFT JOIN agg a USING(doc_id)
+"""
+
+
+@query("text_line_dedup", _LINE_DEDUP_ORACLE)
+def text_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal (Wenzek et al.
+    2020): documents are given deterministic line structure (5-word
+    lines) plus planted boilerplate — a footer on EVERY document and
+    a social line on every 10th — then ``line_dedup`` drops lines
+    whose document frequency ≥ 40. The footer (df = corpus size) and
+    the planted semi-common line must vanish; content lines survive
+    in order. The DuckDB oracle runs the same dedup relationally, so
+    the hash gate checks counts AND the reassembled text."""
+    from data_pipeline_001_spark.operators.text_analysis import line_dedup
+
+    t = load_tables(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size(words) / F.lit(5.0)).cast("int") - F.lit(1),
+        ),
+        lambda i: F.array_join(
+            F.slice(words, i * F.lit(5) + F.lit(1), F.lit(5)), " "
+        ),
+    )
+    lined = F.concat(
+        F.array_join(lines, "\n"),
+        F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.lit("follow us on example social\n"),
+        ).otherwise(F.lit("")),
+        F.lit("subscribe to our newsletter"),
+    )
+    fixture = t["documents"].select("doc_id", lined.alias("text"))
+    return line_dedup(fixture, min_doc_freq=40)

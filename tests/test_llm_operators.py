@@ -592,3 +592,34 @@ def test_canonicalize_url_contract(spark):
     for i, (_, want) in enumerate(cases):
         assert got[i][0] == want, f"case {i}: {got[i][0]!r} != {want!r}"
     assert got[0][1] == "example.com"
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from data_pipeline_001_spark.operators.text_analysis import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nFOOTER\nbeta two"),
+            (2, "FOOTER\ngamma three"),
+            (3, "delta four\nFOOTER"),
+            (4, "FOOTER\nFOOTER\nepsilon five"),  # repeated within doc
+            (5, "all unique here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_doc_freq=4).collect()}
+    # FOOTER appears in 4 distinct docs -> dropped everywhere,
+    # including BOTH copies in doc 4 (df counts distinct docs, not rows)
+    assert out[1]["clean_text"] == "alpha one\nbeta two"
+    assert out[2]["clean_text"] == "gamma three"
+    assert out[3]["clean_text"] == "delta four"
+    assert out[4]["clean_text"] == "epsilon five"
+    assert (out[4]["n_kept"], out[4]["n_dropped"]) == (1, 2)
+    assert out[5]["clean_text"] == "all unique here"
+    assert out[5]["n_dropped"] == 0
+    # a doc that is ONLY boilerplate survives as an empty row, not lost
+    only = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "X"), (4, "X")], "doc_id long, text string"
+    )
+    o = {r["doc_id"]: r for r in line_dedup(only, min_doc_freq=4).collect()}
+    assert all(o[i]["clean_text"] == "" and o[i]["n_kept"] == 0 for i in o)
