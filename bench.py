@@ -286,6 +286,8 @@ def main() -> None:
     }
     if "big" in result:
         compact["big_total_s"] = result["big"]["total_s"]
+    if "huge" in result:
+        compact["huge_total_s"] = result["huge"]["total_s"]
     ratios = [
         p["ratio"] for p in result["per_query"].values() if p["ratio"]
     ]
