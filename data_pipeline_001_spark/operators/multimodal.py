@@ -301,3 +301,119 @@ def extract_features(media: DataFrame, use_decoder: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(featurize, out_schema)
+
+
+# -- resize / frame-sample (the remaining brief verbs) -----------------
+
+def resize_bmp_nearest(payload: bytes, tw: int, th: int) -> dict:
+    """Nearest-neighbor thumbnail of a 24-bit BMP: sample pixel
+    (tx·w//tw, ty·h//th) per target cell — the standard integer NN
+    mapping, so the result is an exact function of the source pixels
+    (no interpolation arithmetic to drift cross-platform). Returns
+    thumbnail dimensions and per-channel means over the sampled grid."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    _hs, w, h, _p, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP")
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    sr = sg = sb = 0
+    for ty in range(th):
+        sy = ty * h // th
+        # logical row sy lives at file row h-1-sy in the (default)
+        # bottom-up layout — decode_bmp's whole-image means are
+        # orientation-blind, but a SAMPLER must flip
+        file_row = sy if top_down else h - 1 - sy
+        base = off + file_row * stride
+        for tx in range(tw):
+            i = base + 3 * (tx * w // tw)
+            sb += payload[i]
+            sg += payload[i + 1]
+            sr += payload[i + 2]
+    n = tw * th
+    return {
+        "thumb_w": tw,
+        "thumb_h": th,
+        "thumb_mean_r": sr / n,
+        "thumb_mean_g": sg / n,
+        "thumb_mean_b": sb / n,
+    }
+
+
+def wav_frame_energy(payload: bytes, frame_samples: int = 100) -> dict:
+    """Frame-sampled audio features: split the PCM stream into
+    fixed-length frames (last frame ragged) and compute per-frame RMS
+    energy — the audio analogue of video frame sampling. Returns the
+    frame count plus max/mean frame RMS."""
+    meta = decode_wav(payload)
+    n, rate = meta["n_samples"], meta["sample_rate"]
+    data_off = None  # re-walk chunks for the sample data
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"data":
+            data_off = (pos + 8, size)
+        pos += 8 + size + (size & 1)
+    start, size = data_off
+    samples = struct.unpack(f"<{size // 2}h", payload[start : start + size // 2 * 2])
+    frames = [
+        samples[i : i + frame_samples]
+        for i in range(0, len(samples), frame_samples)
+    ]
+    rms = [math.sqrt(sum(s * s for s in f) / len(f)) for f in frames]
+    return {
+        "n_frames": len(frames),
+        "frame_samples": frame_samples,
+        "max_frame_rms": max(rms),
+        "mean_frame_rms": sum(rms) / len(rms),
+        "duration_ms": meta["duration_ms"],
+    }
+
+
+SAMPLED_SCHEMA = (
+    "media_id long, media_type string, thumb_w long, thumb_h long, "
+    "thumb_mean_r double, thumb_mean_g double, thumb_mean_b double, "
+    "n_frames long, frame_samples long, max_frame_rms double, "
+    "mean_frame_rms double"
+)
+
+
+def sampled_features(
+    media: DataFrame, tw: int = 2, th: int = 2, frame_samples: int = 100
+) -> DataFrame:
+    """Resize/frame-sample over binary payloads via ``mapInPandas`` —
+    same no-shuffle decode shape as ``decode_features``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw, mt = bytes(r["payload"]), r["media_type"]
+                if mt == "image/bmp":
+                    d = resize_bmp_nearest(raw, tw, th)
+                else:
+                    d = wav_frame_energy(raw, frame_samples)
+                rows.append(
+                    (
+                        int(r["media_id"]), mt,
+                        d.get("thumb_w"), d.get("thumb_h"),
+                        d.get("thumb_mean_r"), d.get("thumb_mean_g"),
+                        d.get("thumb_mean_b"), d.get("n_frames"),
+                        d.get("frame_samples"), d.get("max_frame_rms"),
+                        d.get("mean_frame_rms"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "thumb_w", "thumb_h",
+                    "thumb_mean_r", "thumb_mean_g", "thumb_mean_b",
+                    "n_frames", "frame_samples", "max_frame_rms",
+                    "mean_frame_rms",
+                ],
+            )
+
+    return media.mapInPandas(run, SAMPLED_SCHEMA)

@@ -66,3 +66,49 @@ def multimodal_decoded_features(spark, sf_dir):
         "mean_r", "mean_g", "mean_b",
         "sample_rate", "n_samples", "duration_ms",
     )
+
+
+_SAMPLED_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+         AS media_type,
+       CASE WHEN doc_id % 2 = 0 THEN 2 END AS thumb_w,
+       CASE WHEN doc_id % 2 = 0 THEN 2 END AS thumb_h,
+       CASE WHEN doc_id % 2 = 0 THEN
+         (doc_id % 100) + ((4 + doc_id % 5) // 2) / 2.0
+                        + ((3 + doc_id % 3) // 2) / 2.0
+       END AS thumb_mean_r,
+       CASE WHEN doc_id % 2 = 0 THEN
+         ((2 * doc_id) % 100) + ((4 + doc_id % 5) // 2) / 2.0
+       END AS thumb_mean_g,
+       CASE WHEN doc_id % 2 = 0 THEN
+         ((3 * doc_id) % 100) + ((3 + doc_id % 3) // 2) / 2.0
+       END AS thumb_mean_b,
+       CASE WHEN doc_id % 2 = 1 THEN (500 + doc_id % 250 + 99) // 100 END
+         AS n_frames,
+       CASE WHEN doc_id % 2 = 1 THEN 100 END AS frame_samples
+FROM documents
+"""
+
+
+@query("multimodal_sampled_features", _SAMPLED_ORACLE)
+def multimodal_sampled_features(spark, sf_dir):
+    """The brief's remaining multimodal verbs — RESIZE (nearest-
+    neighbor 2×2 BMP thumbnail) and FRAME-SAMPLE (fixed-length WAV
+    frame energies) — over the same deterministic payloads. The
+    thumbnail samples pixels at (tx·w//2, ty·h//2), so its channel
+    means have exact closed forms the oracle predicts; frame count is
+    ceil(n_samples/100). Frame RMS energies have no closed form and
+    are pytest-verified instead."""
+    from data_pipeline_001_spark.operators.multimodal import (
+        attach_media_fixtures,
+        sampled_features,
+    )
+
+    t = load_tables(spark, sf_dir)
+    media = attach_media_fixtures(t["documents"])
+    return sampled_features(media).select(
+        "media_id", "media_type", "thumb_w", "thumb_h",
+        "thumb_mean_r", "thumb_mean_g", "thumb_mean_b",
+        "n_frames", "frame_samples",
+    )

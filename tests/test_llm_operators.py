@@ -623,3 +623,41 @@ def test_line_dedup_drops_boilerplate_keeps_order(spark):
     )
     o = {r["doc_id"]: r for r in line_dedup(only, min_doc_freq=4).collect()}
     assert all(o[i]["clean_text"] == "" and o[i]["n_kept"] == 0 for i in o)
+
+
+def test_resize_and_frame_energy_pure_python():
+    import math
+
+    from data_pipeline_001_spark.operators.multimodal import (
+        make_bmp,
+        make_wav,
+        resize_bmp_nearest,
+        wav_frame_energy,
+    )
+
+    for d in (0, 2, 8, 44, 1234):
+        w, h = 4 + d % 5, 3 + d % 3
+        t = resize_bmp_nearest(make_bmp(d), 2, 2)
+        # nearest-neighbor at (tx*w//2, ty*h//2) with LOGICAL rows
+        # (bottom-up layout flipped) -> exact closed-form means
+        assert t["thumb_mean_r"] == (d % 100) + (w // 2) / 2.0 + (h // 2) / 2.0
+        assert t["thumb_mean_g"] == ((2 * d) % 100) + (w // 2) / 2.0
+        assert t["thumb_mean_b"] == ((3 * d) % 100) + (h // 2) / 2.0
+        # identity resize reproduces the full-image means exactly
+        from data_pipeline_001_spark.operators.multimodal import decode_bmp
+
+        full = decode_bmp(make_bmp(d))
+        ident = resize_bmp_nearest(make_bmp(d), w, h)
+        assert ident["thumb_mean_r"] == full["mean_r"]
+
+    for d in (1, 3, 7, 101):
+        n, step = 500 + d % 250, 1 + d % 7
+        fr = wav_frame_energy(make_wav(d), frame_samples=100)
+        assert fr["n_frames"] == (n + 99) // 100
+        samples = [((i * step) % 2048) - 1024 for i in range(n)]
+        rms = [
+            math.sqrt(sum(s * s for s in samples[i : i + 100]) / len(samples[i : i + 100]))
+            for i in range(0, n, 100)
+        ]
+        assert abs(fr["max_frame_rms"] - max(rms)) < 1e-9
+        assert abs(fr["mean_frame_rms"] - sum(rms) / len(rms)) < 1e-9
