@@ -1,0 +1,93 @@
+"""One-pass column profiler (Deequ column-profile analogue; extends
+the reference's single-count audit — core/audit_manager.py — to a full
+per-column statistics report).
+
+Every requested column contributes its aggregate expressions to ONE
+``agg`` over ONE scan; the wide result row is then unpivoted to the
+(column, stats...) report via ``stack``. Numeric columns also report
+min/max/mean; strings report lexicographic min/max.
+
+Distinct counts: ``exact_distinct=True`` uses ``count_distinct``
+per column — Catalyst plans multi-distinct via Expand, which
+duplicates each input row once per distinct aggregate. Fine for a
+profiling run at moderate width, but at 100 TB × many columns use the
+default ``exact_distinct=False`` (HLL ``approx_count_distinct``,
+rsd 1%): one pass, no Expand, mergeable across partitions.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: same guard as operators.constraints — names are interpolated into
+#: the stack() selectExpr, so only simple identifiers are accepted
+_SIMPLE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-column profile: (column, n_rows, n_null, n_distinct,
+    min_num, max_num, mean_num, min_str, max_str) — one scan."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = columns or list(fields)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        if c not in fields:
+            raise ValueError(f"unknown column {c!r}")
+        if not _SIMPLE_NAME.match(c):
+            raise ValueError(
+                f"column name must match [A-Za-z_][A-Za-z0-9_]*, got {c!r}"
+            )
+        dt = fields[c]
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(
+            (
+                F.count_distinct(F.col(c))
+                if exact_distinct
+                else F.approx_count_distinct(c, 0.01)
+            ).alias(f"{c}__nd")
+        )
+        if isinstance(dt, _NUMERIC):
+            aggs.append(F.round(F.min(c).cast("double"), 6).alias(f"{c}__mn"))
+            aggs.append(F.round(F.max(c).cast("double"), 6).alias(f"{c}__mx"))
+            aggs.append(F.round(F.avg(F.col(c).cast("double")), 6).alias(f"{c}__av"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mx"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__av"))
+        if isinstance(dt, T.StringType):
+            aggs.append(F.min(c).alias(f"{c}__smn"))
+            aggs.append(F.max(c).alias(f"{c}__smx"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__smn"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__smx"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _rows - `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`, "
+        f"`{c}__av`, `{c}__smn`, `{c}__smx`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        "_rows AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_null, n_distinct, min_num, max_num, mean_num, "
+        "min_str, max_str)",
+    ).select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_num", "max_num", "mean_num", "min_str", "max_str",
+    )

@@ -162,3 +162,48 @@ def text_line_dedup(spark, sf_dir):
     )
     fixture = t["documents"].select("doc_id", lined.alias("text"))
     return line_dedup(fixture, min_doc_freq=40)
+
+
+_PROFILE_COLS = (
+    ("l_orderkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {"ROUND(CAST(MIN(" + c + ") AS DOUBLE), 6)" if kind == "num" else "CAST(NULL AS DOUBLE)"} AS min_num,
+           {"ROUND(CAST(MAX(" + c + ") AS DOUBLE), 6)" if kind == "num" else "CAST(NULL AS DOUBLE)"} AS max_num,
+           {"ROUND(AVG(CAST(" + c + " AS DOUBLE)), 6)" if kind == "num" else "CAST(NULL AS DOUBLE)"} AS mean_num,
+           {"MIN(" + c + ")" if kind == "str" else "CAST(NULL AS VARCHAR)"} AS min_str,
+           {"MAX(" + c + ")" if kind == "str" else "CAST(NULL AS VARCHAR)"} AS max_str
+    FROM lineitem
+    """
+    for c, kind in _PROFILE_COLS
+)
+
+
+@query("profile_lineitem_columns", _PROFILE_ORACLE)
+def profile_lineitem_columns(spark, sf_dir):
+    """Deequ-style one-pass column profile of the fact table: null
+    counts, exact distinct cardinality, numeric min/max/mean, string
+    lexicographic bounds — ONE scan with all aggregates fused, then a
+    stack() unpivot. The oracle recomputes each column's row
+    relationally (its 6 scans vs our 1 is the point of the operator).
+    Exact distinct here for cross-engine equality; the operator's
+    default is the mergeable HLL estimate for 100 TB-width profiles."""
+    from data_pipeline_001_spark.operators.profiling import profile
+
+    t = load_tables(spark, sf_dir)
+    return profile(
+        t["lineitem"],
+        [c for c, _ in _PROFILE_COLS],
+        exact_distinct=True,
+    )

@@ -300,3 +300,31 @@ class TestDriftPSI:
 
         assert all(math.isfinite(r["psi_term"]) for r in out)
         assert sum(r["psi_term"] for r in out) > 1.0
+
+
+def test_profile_one_scan_and_values(spark):
+    """Profiler values match hand-computed stats; the whole report is
+    ONE aggregation over one scan (a single non-broadcast exchange in
+    the plan), and unsafe column names are rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.operators.profiling import profile
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (2, 8.0, None)],
+        "k long, v double, s string",
+    )
+    rep = {r["column"]: r for r in profile(df, exact_distinct=True).collect()}
+    assert rep["k"]["n_null"] == 0 and rep["k"]["n_distinct"] == 2
+    assert rep["v"]["n_null"] == 1 and rep["v"]["mean_num"] == 5.0
+    assert rep["v"]["min_num"] == 2.0 and rep["v"]["max_num"] == 8.0
+    assert rep["s"]["min_str"] == "a" and rep["s"]["max_str"] == "b"
+    assert rep["s"]["min_num"] is None
+    # approx mode: n_distinct still sane on tiny input
+    approx = {r["column"]: r for r in profile(df).collect()}
+    assert approx["k"]["n_distinct"] == 2
+
+    bad = df.withColumnRenamed("k", "k` , `x")
+    with pytest.raises(ValueError, match="must match"):
+        profile(bad)
