@@ -181,3 +181,99 @@ def test_decontaminate_matches_python_reference(spark):
     assert got == expect
     for r in out:
         assert r["contaminated"] == (1 if r["n_hits"] > 0 else 0)
+
+
+# -- round-4 text-prep inversion properties ---------------------------
+
+_WORD = st.text(alphabet="abcdefgh0123", min_size=1, max_size=8)
+_CLEAN = st.lists(_WORD, min_size=1, max_size=12).map(" ".join)
+_SCRIPT = st.text(
+    alphabet="abc <>&\"'=;{}", min_size=0, max_size=40
+).filter(lambda s: "</" not in s.lower())
+_COMMENT = st.text(alphabet="abc <>&", min_size=0, max_size=20).filter(
+    lambda s: "--" not in s
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(_CLEAN, min_size=1, max_size=8),
+    script=_SCRIPT,
+    comment=_COMMENT,
+    tag=st.sampled_from(["p", "div", "span", "article"]),
+)
+def test_html_extraction_inverts_arbitrary_wrapping(
+    spark, texts, script, comment, tag
+):
+    """For ANY clean text and ANY boilerplate content (script bodies
+    with angle brackets/quotes/entities, comments, nested tags), the
+    extractor returns exactly the whitespace-normalized clean text."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.operators.text_analysis import html_to_text
+
+    rows = []
+    for i, t in enumerate(texts):
+        html = (
+            f"<html><head><script a='x'>{script}</script>"
+            f"<!--{comment}--><style>b {{c: d}}</style></head>"
+            f"<body><{tag} class=\"z\">{t}</{tag}>\n</body></html>"
+        )
+        rows.append((i, t, html))
+    df = spark.createDataFrame(rows, "i long, clean string, html string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()
+    }
+    for i, t, _ in rows:
+        want = _re.sub(r"[ \t\r\n]+", " ", t).strip()
+        assert got[i] == want, (got[i], want)
+
+
+_LABEL = st.text(alphabet="abcz09", min_size=1, max_size=6)
+_PARAM = st.tuples(
+    st.sampled_from(["id", "q", "utm_source", "utm_x", "page"]),
+    st.text(alphabet="ab12", min_size=1, max_size=4),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    host=st.lists(_LABEL, min_size=2, max_size=3).map(".".join),
+    www=st.booleans(),
+    upper=st.booleans(),
+    segs=st.lists(
+        st.text(alphabet="AbC9", min_size=1, max_size=5), max_size=3
+    ),
+    slash=st.booleans(),
+    params=st.lists(_PARAM, max_size=4),
+)
+def test_url_canonicalization_matches_reference(
+    spark, host, www, upper, segs, slash, params
+):
+    """Canonical form equals a straightforward Python reference:
+    https + lowercase de-www'd host + case-preserved path without the
+    trailing slash + non-utm params in order."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.operators.text_analysis import canonicalize_url
+
+    h = ("www." if www else "") + host
+    raw_host = h.upper() if upper else h
+    path = "".join(f"/{s}" for s in segs) + ("/" if slash else "")
+    qs = "&".join(f"{k}={v}" for k, v in params)
+    url = f"{'HTTPS' if upper else 'https'}://{raw_host}{path}" + (
+        f"?{qs}" if qs else ""
+    )
+    kept = "&".join(f"{k}={v}" for k, v in params if not k.startswith("utm_"))
+    expect = (
+        "https://"
+        + h.lower().removeprefix("www.")
+        + path.rstrip("/")
+        + (f"?{kept}" if kept else "")
+    )
+    df = spark.createDataFrame([(url,)], "url string")
+    got = df.select(canonicalize_url(F.col("url")).alias("c")).first()["c"]
+    assert got == expect, (url, got, expect)
