@@ -367,8 +367,10 @@ def wav_frame_energy(payload: bytes, frame_samples: int = 100) -> dict:
     return {
         "n_frames": len(frames),
         "frame_samples": frame_samples,
-        "max_frame_rms": max(rms),
-        "mean_frame_rms": sum(rms) / len(rms),
+        # a valid WAV with an empty data chunk has no frames: report
+        # NULL energies rather than crashing the whole Arrow batch
+        "max_frame_rms": max(rms) if rms else None,
+        "mean_frame_rms": sum(rms) / len(rms) if rms else None,
         "duration_ms": meta["duration_ms"],
     }
 
@@ -392,10 +394,15 @@ def sampled_features(
             rows = []
             for _, r in pdf.iterrows():
                 raw, mt = bytes(r["payload"]), r["media_type"]
+                # same dispatch contract as decode_media: unsupported
+                # types raise the documented NotImplementedError, not
+                # a misleading parse error from the wrong decoder
                 if mt == "image/bmp":
                     d = resize_bmp_nearest(raw, tw, th)
-                else:
+                elif mt in ("audio/wav", "audio/x-wav"):
                     d = wav_frame_energy(raw, frame_samples)
+                else:
+                    decode_stub(raw, mt)
                 rows.append(
                     (
                         int(r["media_id"]), mt,

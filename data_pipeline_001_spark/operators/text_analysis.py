@@ -626,6 +626,11 @@ def canonicalize_url(url: Column) -> Column:
 
     The per-URL shape a 100 TB crawl dedups on — exact-dup URL
     collapse and per-domain quotas both key on this.
+
+    A string with no ``scheme://host`` part is NOT a canonicalizable
+    URL and returns NULL (a Column function cannot raise per-row;
+    NULL keeps malformed rows out of dedup keys instead of collapsing
+    them all onto one near-empty canonical value).
     """
     host = F.lower(F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
@@ -637,11 +642,16 @@ def canonicalize_url(url: Column) -> Column:
         lambda p: (~p.startswith("utm_")) & (p != ""),
     )
     qs_out = F.array_join(kept, "&")
-    return F.concat(
-        F.lit("https://"),
-        host,
-        path,
-        F.when(qs_out != "", F.concat(F.lit("?"), qs_out)).otherwise(F.lit("")),
+    return F.when(
+        host != "",
+        F.concat(
+            F.lit("https://"),
+            host,
+            path,
+            F.when(qs_out != "", F.concat(F.lit("?"), qs_out)).otherwise(
+                F.lit("")
+            ),
+        ),
     )
 
 
@@ -665,19 +675,27 @@ def line_dedup(
     content). Returns (doc_id, clean_text, n_kept, n_dropped) with
     surviving lines rejoined in original order.
 
-    Scale shape: lines explode once; document-frequency is ONE
-    groupBy over xxhash64(line) (8-byte shuffle keys, not strings;
-    collision odds ~n²/2⁶⁴ — negligible and only ever merges two
-    counts). The boilerplate side of the anti-join is pre-filtered to
-    freq ≥ K, i.e. ≤ distinct_lines/K rows — usually broadcastable,
-    and AQE decides (left unhinted: at crawl scale with a low K it
-    degrades to a line-hash-sharded join, which is exactly CCNet's
-    sharding shape).
+    Scale shape: lines explode once and the exploded frame is
+    PERSISTED (MEMORY_AND_DISK — three consumers reference it:
+    frequency counts, the anti-join probe, and per-doc totals; the
+    differing downstream exchanges defeat plan-level reuse, and
+    re-exploding the corpus three times would triple the most
+    expensive stage). Document-frequency is ONE groupBy over
+    xxhash64(line) (8-byte shuffle keys, not strings; collision odds
+    ~n²/2⁶⁴ — negligible and only ever merges two counts). The
+    boilerplate side of the anti-join is pre-filtered to freq ≥ K,
+    i.e. ≤ distinct_lines/K rows — usually broadcastable, and AQE
+    decides (left unhinted: at crawl scale with a low K it degrades
+    to a line-hash-sharded join, which is exactly CCNet's sharding
+    shape).
     """
+    from pyspark import StorageLevel
+
     lines = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("_lh", F.xxhash64("line"))
+    lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
     boiler = (
         lines.groupBy("_lh")
         .agg(F.count_distinct("_id").alias("df"))

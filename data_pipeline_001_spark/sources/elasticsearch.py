@@ -110,6 +110,7 @@ class ElasticsearchSource(Source):
         must_exist: tuple[str, ...] = (),
         exclude_null: tuple[str, ...] = (),
         es_options: dict[str, str] | None = None,
+        schema: str | None = None,
     ):
         self.spark = spark
         self.resource = resource
@@ -119,6 +120,11 @@ class ElasticsearchSource(Source):
         self.must_exist = tuple(must_exist)
         self.exclude_null = tuple(exclude_null)
         self.es_options = dict(es_options or {})
+        #: optional DDL schema string ("a LONG, b STRING"); the REST
+        #: extract fallback uses it to return a typed EMPTY frame for
+        #: zero-document windows (routine in windowed ingestion — the
+        #: pipeline must treat them as empty loads, not failures)
+        self.schema = schema
 
     # -- plan construction -------------------------------------------------
 
@@ -183,11 +189,19 @@ class ElasticsearchSource(Source):
         return f"{node}/{path}"
 
     def _rest_post(self, path: str, body: dict[str, Any]) -> dict[str, Any]:
+        return self._rest_call("POST", path, body)
+
+    def _rest_delete(self, path: str, body: dict[str, Any]) -> dict[str, Any]:
+        return self._rest_call("DELETE", path, body)
+
+    def _rest_call(
+        self, method: str, path: str, body: dict[str, Any]
+    ) -> dict[str, Any]:
         req = urllib.request.Request(
             self._rest_url(path),
             data=json.dumps(body).encode("utf-8"),
             headers={"Content-Type": "application/json"},
-            method="POST",
+            method=method,
         )
         with urllib.request.urlopen(req, timeout=30) as resp:
             return json.load(resp)
@@ -219,24 +233,36 @@ class ElasticsearchSource(Source):
             body,
         )
         docs: list[dict[str, Any]] = []
-        while True:
-            hits = page.get("hits", {}).get("hits", [])
-            if not hits:
-                return docs
-            docs.extend(h["_source"] for h in hits)
-            if len(docs) > self.REST_EXTRACT_MAX_DOCS:
-                raise RuntimeError(
-                    f"REST extract exceeded {self.REST_EXTRACT_MAX_DOCS} "
-                    "documents — install the ES connector jar for "
-                    "shard-parallel extraction at this volume"
+        try:
+            while True:
+                hits = page.get("hits", {}).get("hits", [])
+                if not hits:
+                    return docs
+                docs.extend(h["_source"] for h in hits)
+                if len(docs) > self.REST_EXTRACT_MAX_DOCS:
+                    raise RuntimeError(
+                        f"REST extract exceeded {self.REST_EXTRACT_MAX_DOCS} "
+                        "documents — install the ES connector jar for "
+                        "shard-parallel extraction at this volume"
+                    )
+                page = self._rest_post(
+                    "_search/scroll",
+                    {
+                        "scroll": self.REST_SCROLL_KEEPALIVE,
+                        "scroll_id": page["_scroll_id"],
+                    },
                 )
-            page = self._rest_post(
-                "_search/scroll",
-                {
-                    "scroll": self.REST_SCROLL_KEEPALIVE,
-                    "scroll_id": page["_scroll_id"],
-                },
-            )
+        finally:
+            # free the server-side scroll context (ES caps open
+            # scrolls at 500 by default; leaking one per window would
+            # wedge a long-running windowed extractor). Best-effort:
+            # the context also dies at keep-alive expiry.
+            sid = page.get("_scroll_id") if isinstance(page, dict) else None
+            if sid:
+                try:
+                    self._rest_delete("_search/scroll", {"scroll_id": sid})
+                except Exception:  # noqa: BLE001 — cleanup must not mask results
+                    pass
 
     # -- Source protocol ---------------------------------------------------
 
@@ -260,11 +286,18 @@ class ElasticsearchSource(Source):
         if self._connector_available():
             return self._read(start, end)
         docs = self._rest_scroll_docs(start, end)
+        if not docs:
+            # empty windows are ROUTINE in windowed ingestion — the
+            # pipeline loads an empty batch, it does not fail. A typed
+            # empty frame needs a schema, which inference can't supply.
+            if self.schema is not None:
+                return self.spark.createDataFrame([], self.schema)
+            raise RuntimeError(
+                "REST extract returned no documents and no schema was "
+                "configured to type an empty frame — pass schema=... to "
+                "ElasticsearchSource (or install the connector jar, "
+                "which reads the index mapping)"
+            )
         import pandas as pd
 
-        if not docs:
-            raise RuntimeError(
-                "REST extract returned no documents and cannot infer a "
-                "schema; use the connector jar or check the window"
-            )
         return self.spark.createDataFrame(pd.DataFrame(docs))

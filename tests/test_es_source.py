@@ -108,14 +108,24 @@ import threading
 
 
 class _MockES(http.server.BaseHTTPRequestHandler):
-    requests: list = []  # (path, body) per POST, shared per-server
+    requests: list = []  # (method, path, body) per call, shared per-server
+
+    def _respond(self, payload):
+        data = _json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
 
     def do_POST(self):
         n = int(self.headers.get("Content-Length", 0))
         body = _json.loads(self.rfile.read(n)) if n else {}
-        self.__class__.requests.append((self.path, body))
+        self.__class__.requests.append(("POST", self.path, body))
         if self.path.endswith("/_count"):
             payload = {"count": 1234, "_shards": {"total": 3}}
+        elif self.path.startswith("/empty-idx/_search"):
+            payload = {"_scroll_id": "scroll-e", "hits": {"hits": []}}
         elif "/_search?scroll=" in self.path:
             payload = {
                 "_scroll_id": "scroll-1",
@@ -138,12 +148,13 @@ class _MockES(http.server.BaseHTTPRequestHandler):
         else:  # pragma: no cover
             self.send_error(404)
             return
-        data = _json.dumps(payload).encode()
-        self.send_response(200)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(data)))
-        self.end_headers()
-        self.wfile.write(data)
+        self._respond(payload)
+
+    def do_DELETE(self):
+        n = int(self.headers.get("Content-Length", 0))
+        body = _json.loads(self.rfile.read(n)) if n else {}
+        self.__class__.requests.append(("DELETE", self.path, body))
+        self._respond({"succeeded": True, "num_freed": 1})
 
     def log_message(self, *a):  # keep pytest output clean
         pass
@@ -173,7 +184,7 @@ def test_rest_count_sends_exact_bool_query_and_roundtrips(spark, mock_es):
     if src._connector_available():  # pragma: no cover - jar present
         pytest.skip("connector jar on classpath")
     assert src.count(S, E) == 1234
-    path, body = recorded[0]
+    _method, path, body = recorded[0]
     assert path == "/logs-2024/_count"  # index only, type stripped
     # the EXACT reference bool query on the wire: half-open ts range,
     # exists per must_exist, must_not-term-null per exclude_null
@@ -196,11 +207,40 @@ def test_rest_extract_scrolls_to_exhaustion(spark, mock_es):
     df = src.extract(S, E)
     rows = {(r["user_id"], r["value"]) for r in df.collect()}
     assert rows == {(1, 10.5), (2, 20.5), (3, 30.5)}
-    paths = [p for p, _ in recorded]
-    # initial search carries the query + page size; then scroll pages
-    # until an empty page terminates the loop
-    assert paths[0].startswith("/logs-2024/_search?scroll=")
-    assert paths[1:] == ["/_search/scroll", "/_search/scroll"]
-    assert recorded[0][1]["size"] == 10000
-    assert recorded[0][1]["query"] == build_es_query_body("@timestamp", S, E)["query"]
-    assert recorded[1][1] == {"scroll": "2m", "scroll_id": "scroll-1"}
+    calls = [(m, p) for m, p, _ in recorded]
+    # initial search carries the query + page size; scroll pages until
+    # an empty page terminates the loop; then the scroll context is
+    # freed server-side (ES caps open scrolls)
+    assert calls[0][1].startswith("/logs-2024/_search?scroll=")
+    assert calls[1:] == [
+        ("POST", "/_search/scroll"),
+        ("POST", "/_search/scroll"),
+        ("DELETE", "/_search/scroll"),
+    ]
+    assert recorded[0][2]["size"] == 10000
+    assert recorded[0][2]["query"] == build_es_query_body("@timestamp", S, E)["query"]
+    assert recorded[1][2] == {"scroll": "2m", "scroll_id": "scroll-1"}
+    assert recorded[-1][2] == {"scroll_id": "scroll-3"}
+
+
+def test_rest_extract_empty_window_typed_frame(spark, mock_es):
+    """Zero-document windows are routine: with a configured schema the
+    fallback returns a typed EMPTY frame (the pipeline loads an empty
+    batch); without one it raises an actionable error."""
+    port, recorded = mock_es
+    src = ElasticsearchSource(
+        spark, resource="empty-idx", nodes="127.0.0.1", port=port,
+        schema="user_id long, value double",
+    )
+    if src._connector_available():  # pragma: no cover - jar present
+        pytest.skip("connector jar on classpath")
+    df = src.extract(S, E)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["user_id", "value"]
+    # the empty scroll context is still cleaned up
+    assert ("DELETE", "/_search/scroll") in [(m, p) for m, p, _ in recorded]
+    bare = ElasticsearchSource(
+        spark, resource="empty-idx", nodes="127.0.0.1", port=port
+    )
+    with pytest.raises(RuntimeError, match="schema"):
+        bare.extract(S, E)

@@ -661,3 +661,47 @@ def test_resize_and_frame_energy_pure_python():
         ]
         assert abs(fr["max_frame_rms"] - max(rms)) < 1e-9
         assert abs(fr["mean_frame_rms"] - sum(rms) / len(rms)) < 1e-9
+
+
+def test_review_fix_regressions(spark):
+    """Round-4 self-review fixes: scheme-less URLs canonicalize to
+    NULL (not a collapsed near-empty key); empty-data WAVs report
+    zero frames with NULL energies; sampled_features rejects
+    unsupported media types with the documented error."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.operators.multimodal import (
+        sampled_features,
+        wav_frame_energy,
+    )
+    from data_pipeline_001_spark.operators.text_analysis import canonicalize_url
+
+    df = spark.createDataFrame(
+        [(1, "example.com/a?x=1"), (2, "https://ok.org/p")], "i long, url string"
+    )
+    got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert got[1] is None
+    assert got[2] == "https://ok.org/p"
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    empty_wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    d = wav_frame_energy(empty_wav)
+    assert d["n_frames"] == 0
+    assert d["max_frame_rms"] is None and d["mean_frame_rms"] is None
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1], "payload": [b"\xff\xd8\xff"], "media_type": ["image/jpeg"]}
+        )
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codec libraries"):
+        sampled_features(media).collect()

@@ -99,14 +99,23 @@ def _build_slice(sf_dir: str) -> str:
 
     import duckdb
 
-    slice_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "slice2k")
+    # slice dir is keyed on the SOURCE dir name so two scale points
+    # never share a slice; a slice older than its source regenerates
+    base = os.path.basename(sf_dir.rstrip("/"))
+    slice_dir = os.path.join(
+        os.path.dirname(sf_dir.rstrip("/")), f"slice2k_{base}"
+    )
     os.makedirs(slice_dir, exist_ok=True)
     con = duckdb.connect()
     for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        src = os.path.join(sf_dir, f"{table}.parquet")
         dst = os.path.join(slice_dir, f"{table}.parquet")
-        if not os.path.exists(dst):
+        stale = os.path.exists(dst) and (
+            os.path.getmtime(dst) < os.path.getmtime(src)
+        )
+        if not os.path.exists(dst) or stale:
             con.sql(
-                f"COPY (SELECT * FROM '{os.path.join(sf_dir, table)}.parquet' "
+                f"COPY (SELECT * FROM '{src}' "
                 f"ORDER BY {key} LIMIT {SLICE_ROWS}) TO '{dst}' (FORMAT PARQUET)"
             )
     con.close()
