@@ -151,23 +151,21 @@ def agg_statistics(spark, sf_dir):
 )
 def profile_columns(spark, sf_dir):
     """Data-quality column profile (nulls + cardinality per column) —
-    ONE pass over the table producing a long-form profile, the
-    training-data QC primitive. At 100 TB swap count_distinct for
-    approx_count_distinct."""
+    delegates to the general one-pass profiler
+    (``operators/profiling.py``, round 4), which this query predates;
+    kept as the events-table registry entry with its original output
+    shape. At 100 TB use the profiler's default HLL distinct mode."""
+    from data_pipeline_001_spark.operators.profiling import profile
+
     t = load_tables(spark, sf_dir)
-    cols = ["event_type", "user_id", "value"]
-    aggs = [F.count("*").alias("n_rows")]
-    for c in cols:
-        aggs.append((F.count("*") - F.count(c)).alias(f"{c}__null"))
-        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
-    wide = t["events"].agg(*aggs)
-    stack_expr = ", ".join(
-        f"'{c}', {c}__null, {c}__distinct" for c in cols
-    )
-    return wide.selectExpr(
+    return profile(
+        t["events"], ["event_type", "user_id", "value"], exact_distinct=True
+    ).select(
+        F.col("column").alias("column_name"),
         "n_rows",
-        f"stack({len(cols)}, {stack_expr}) AS (column_name, n_null, n_distinct)",
-    ).select("column_name", "n_rows", "n_null", "n_distinct")
+        "n_null",
+        "n_distinct",
+    )
 
 
 @query(
