@@ -113,9 +113,16 @@ def _coverage_order(names, oracles=None) -> list[str]:
     backlog = set(_R3_BACKLOG)
 
     def rank(n: str) -> int:
+        if n in backlog and n in oracles:
+            return 0
+        if n in oracles and n in seen:
+            # sampled before but its hash gate never ran (an err row —
+            # e.g. round 2's NTZ-cast failure, since fixed): clearing
+            # the ledger's red row outranks sampling new additions
+            return 1
         if n in backlog:
-            return 0 if n in oracles else 1
-        return 2 if n in oracles else 3
+            return 2
+        return 3 if n in oracles else 4
 
     fronted_block = sorted(
         (n for n in ordered if fronted(n)),

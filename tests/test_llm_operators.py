@@ -705,3 +705,41 @@ def test_review_fix_regressions(spark):
 
     with _pytest.raises(Exception, match="codec libraries"):
         sampled_features(media).collect()
+
+
+def test_arrow_regex_count_parity_with_jvm(spark):
+    """The Arrow/RE2 counter must be bit-identical to JVM regexp_count
+    on the token pattern — incl. NULL, empty, unicode (code-point
+    classes), and long adversarial strings. This parity is what lets
+    text_stats_by_lang / text_token_counts take the 2.3×-faster RE2
+    path while keeping their DuckDB oracles."""
+    from data_pipeline_001_spark.functions import text as TX
+
+    rows = [
+        (0, "hello, world 42 foo-bar!"),
+        (1, ""),
+        (2, None),
+        (3, "   \t\n  "),
+        (4, "a…b café Über straße 3.14"),
+        (5, "\U0001f600 emoji \U0001f680x9"),  # non-BMP: surrogate pair in UTF-16
+        (6, "x" * 5000 + "!?" * 100),
+        (7, "1234567890" * 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        TX.regex_token_count(F.col("text")).alias("jvm"),
+        TX.regex_token_count_arrow(F.col("text")).alias("arrow"),
+    ).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert r["jvm"] == r["arrow"], (r["doc_id"], r["jvm"], r["arrow"])
+
+
+def test_arrow_regex_count_rejects_non_re2_syntax(spark):
+    from data_pipeline_001_spark.functions.udfs import arrow_regex_count
+
+    for bad in (r"(?=x)y", r"(?!a)b", r"(?<=a)b", r"(a)\1"):
+        with pytest.raises(ValueError):
+            arrow_regex_count(bad)
+    arrow_regex_count(r"(\?)")  # literal escaped '?' is fine
