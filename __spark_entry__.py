@@ -33,6 +33,7 @@ def _registry():
     # finishes the never-checked backlog before seeing new names
     from data_pipeline_001_spark.plans import queries_multimodal  # noqa: F401
     from data_pipeline_001_spark.plans import queries_textprep  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_mlprep  # noqa: F401
 
     return base.REGISTRY, base.ORACLES
 

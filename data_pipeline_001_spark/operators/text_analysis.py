@@ -728,3 +728,32 @@ def line_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def bpe_pair_stats(
+    docs: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Adjacent symbol-pair frequencies within whitespace words — the
+    counting step of one BPE tokenizer-training merge iteration
+    (Sennrich et al. 2016, the public BPE formulation): the pair with
+    the highest corpus count is the next merge rule.
+
+    Plan shape: explode words → explode char bigrams (generated as a
+    codegen ``transform(sequence(...))``, no UDF) → one count shuffle
+    keyed by pair (small cardinality, map-side partials) →
+    TakeOrdered top-k with a deterministic (count desc, pair asc)
+    tiebreak so the boundary row is engine-independent."""
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_k)
+    )

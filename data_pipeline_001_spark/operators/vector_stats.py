@@ -186,3 +186,60 @@ def label_centroids(
             "centroid"
         )
     )
+
+
+def quantization_calibration(
+    df: DataFrame, vec_col: str = "embedding", pct: float = 0.999
+) -> DataFrame:
+    """Per-dimension int8 symmetric-quantization calibration: for each
+    dimension, the absmax scale (no clipping) and a percentile-clipped
+    scale (``pct`` of |val| mass kept) with the resulting clip
+    fraction — the standard calibration sweep before serving an
+    embedding corpus quantized (absmax is outlier-dominated; the
+    clipped scale trades a bounded clip rate for 2-4× finer grids).
+
+    Two passes over the exploded (pos, |val|) stream: an exact
+    per-dimension percentile/absmax aggregate (d rows — bounded by the
+    embedding dimension, broadcast back), then one clip-rate scan.
+    Shuffles are keyed by pos (d keys) but partial-aggregate map-side,
+    so the reduce input is partials-per-task, not n·d rows. At corpus
+    scales where exact per-dim percentiles are too heavy, swap
+    ``percentile`` for ``approx_percentile`` (the documented
+    equidepth-bins twin pattern); the exact form is the oracle.
+
+    The clip threshold is rounded to 6 decimals BEFORE the comparison
+    on both engines so interpolated-percentile ULP differences cannot
+    flip a count.
+    """
+    vals = df.select(
+        F.posexplode(vec_col).alias("pos0", "v")
+    ).select(
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.abs(F.col("v").cast("double")).alias("a"),
+    )
+    stats = vals.groupBy("pos").agg(
+        F.count("*").alias("n_vals"),
+        F.max("a").alias("absmax_raw"),
+        F.round(F.percentile("a", F.lit(pct)), 6).alias("p_abs"),
+    )
+    clip = (
+        vals.join(F.broadcast(stats.select("pos", "p_abs")), "pos")
+        .groupBy("pos")
+        .agg(
+            F.round(
+                F.avg((F.col("a") > F.col("p_abs")).cast("double")), 6
+            ).alias("clip_frac")
+        )
+    )
+    return (
+        stats.join(F.broadcast(clip), "pos")
+        .select(
+            "pos",
+            "n_vals",
+            F.round("absmax_raw", 6).alias("absmax"),
+            F.round(F.col("absmax_raw") / 127.0, 6).alias("scale_absmax"),
+            F.col("p_abs").alias("p_clip_abs"),
+            F.round(F.col("p_abs") / 127.0, 6).alias("scale_clipped"),
+            "clip_frac",
+        )
+    )

@@ -743,3 +743,22 @@ def test_arrow_regex_count_rejects_non_re2_syntax(spark):
         with pytest.raises(ValueError):
             arrow_regex_count(bad)
     arrow_regex_count(r"(\?)")  # literal escaped '?' is fine
+
+
+def test_bpe_pair_stats_planted_top_pair(spark):
+    from data_pipeline_001_spark.operators.text_analysis import bpe_pair_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "banana banana band"),
+            (2, "An ANA anna x"),  # case folding; 1-char word dropped
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = bpe_pair_stats(df, top_k=3).collect()
+    # 'an' occurrences: banana(2 each ×2 words)=4, band=1, an=1, ana=1,
+    # anna=1 → 8; 'na' = 2+2+1+1 = 6
+    assert (out[0]["pair"], out[0]["n"]) == ("an", 8)
+    assert (out[1]["pair"], out[1]["n"]) == ("na", 6)
+    assert len(out) == 3

@@ -335,3 +335,33 @@ def test_drift_psi_matches_python_reference(spark):
     }
     for b in range(nb):
         assert abs(out[b] - expected[b]) < 2e-6, (b, out[b], expected[b])
+
+
+def test_quantization_calibration_contracts(spark):
+    from data_pipeline_001_spark.operators.vector_stats import (
+        quantization_calibration,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    # dim 1: tight gaussian-ish; dim 2: same + one huge outlier —
+    # absmax must blow up while the clipped scale stays put
+    n = 2000  # p99.9's interpolation rank must sit BELOW the outlier
+    rows = []
+    for i in range(n - 1):
+        rows.append((i, [rng.uniform(-1, 1), rng.uniform(-1, 1)]))
+    rows.append((n - 1, [0.5, 1000.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["pos"]: r for r in quantization_calibration(df).collect()}
+    assert set(out) == {1, 2} and all(r["n_vals"] == n for r in out.values())
+    for r in out.values():
+        assert r["absmax"] >= r["p_clip_abs"]
+        assert abs(r["scale_absmax"] - round(r["absmax"] / 127.0, 6)) < 1e-9
+        # clip fraction ~ (1 - pct); never more than a few values
+        assert r["clip_frac"] <= 4 / n
+    assert out[2]["absmax"] == 1000.0
+    # the outlier must NOT drag the clipped scale: p99.9 of dim 2 is
+    # within the base distribution's reach, far under absmax/127
+    assert out[2]["p_clip_abs"] < 5.0
+    assert out[2]["scale_clipped"] < out[2]["scale_absmax"] / 100
