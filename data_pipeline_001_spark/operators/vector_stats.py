@@ -217,11 +217,14 @@ def quantization_calibration(
         (F.col("pos0") + 1).cast("int").alias("pos"),
         F.abs(F.col("v").cast("double")).alias("a"),
     )
+    # localCheckpoint the d-row stats table (bounded by the embedding
+    # dimension) so the clip pass reuses it instead of re-running the
+    # percentile aggregate — 2 corpus scans total, not 3
     stats = vals.groupBy("pos").agg(
         F.count("*").alias("n_vals"),
         F.max("a").alias("absmax_raw"),
         F.round(F.percentile("a", F.lit(pct)), 6).alias("p_abs"),
-    )
+    ).localCheckpoint()
     clip = (
         vals.join(F.broadcast(stats.select("pos", "p_abs")), "pos")
         .groupBy("pos")
