@@ -88,8 +88,7 @@ def _coverage_order(names, oracles=None) -> list[str]:
     import json
     import os
 
-    seen: set[str] = set()
-    hash_checked: set[str] = set()
+    latest: dict[str, dict] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -97,15 +96,20 @@ def _coverage_order(names, oracles=None) -> list[str]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        seen.update(rows.keys())
-        hash_checked.update(
-            n for n, r in rows.items()
-            if isinstance(r, dict) and r.get("hash_match") is not None
-        )
+        for n, r in rows.items():
+            if isinstance(r, dict):
+                latest[n] = r  # rounds sort ascending: last write wins
     oracles = oracles or {}
+    seen = set(latest)
 
     def fronted(n: str) -> bool:
-        return n not in seen or (n in oracles and n not in hash_checked)
+        # front anything never sampled, plus any oracle-backed query
+        # whose LATEST ledger row is not a green hash pass (an err row,
+        # a since-fixed mismatch, or a rows-only row that has since
+        # gained an oracle) — its hash gate owes a green result
+        if n not in latest:
+            return True
+        return n in oracles and latest[n].get("hash_match") is not True
 
     ordered = list(names)
     # within the fronted block: the pinned backlog first (oracle-backed
