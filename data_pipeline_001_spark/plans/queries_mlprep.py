@@ -10,6 +10,8 @@ entries queue behind the pinned round-3 coverage backlog.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_pipeline_001_spark.plans.queries import query
 from data_pipeline_001_spark.session import load_tables
 
@@ -78,3 +80,145 @@ def text_bpe_pair_stats(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return bpe_pair_stats(t["documents"])
+
+
+_THETA_ORACLE = """
+SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                THEN user_id END) AS BIGINT) AS exact_a,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'error'
+                                THEN user_id END) AS BIGINT) AS exact_b,
+       CAST(COUNT(DISTINCT CASE WHEN event_type IN ('purchase', 'error')
+                                THEN user_id END) AS BIGINT) AS exact_union,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                AND user_id IN (SELECT user_id FROM events
+                                                WHERE event_type = 'error')
+                                THEN user_id END) AS BIGINT)
+         AS exact_intersect,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                AND user_id NOT IN
+                                    (SELECT user_id FROM events
+                                     WHERE event_type = 'error'
+                                       AND user_id IS NOT NULL)
+                                THEN user_id END) AS BIGINT) AS exact_diff,
+       TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS diff_ok
+FROM events WHERE user_id IS NOT NULL
+"""
+
+
+@query("agg_theta_set_algebra", _THETA_ORACLE)
+def theta_set_algebra(spark, sf_dir):
+    """Distinct-set ALGEBRA on mergeable sketches (DataSketches Theta):
+    audience overlap — purchasers ∩ erroring users, purchasers \\ erroring
+    — from two per-segment sketches, no re-scan of raw events. This is
+    the capability HLL lacks (HLL unions but cannot intersect); at
+    100 TB the per-segment sketches are KB-sized daily partials and the
+    set algebra runs on the driver in microseconds. At default lgK=12
+    the sketch is in exact mode below 4096 distinct keys, so the
+    estimates here equal the exact twins; the asserted contract bound
+    (±5·rse, rse≈1/√4096) is what holds once sampling kicks in at
+    corpus scale. The cross-engine gate checks exact twins + flags
+    (sketch bytes are engine-specific)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id").isNotNull())
+    sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_a"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "error", F.col("user_id"))
+        ).alias("sk_b"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "error", F.col("user_id"))
+        ).alias("exact_b"),
+        F.count_distinct(
+            F.when(
+                F.col("event_type").isin("purchase", "error"),
+                F.col("user_id"),
+            )
+        ).alias("exact_union"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select("user_id")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu")
+    )
+    inter_exact = (
+        pur.join(err, pur.user_id == err.eu, "left_semi")
+        .agg(F.count_distinct("user_id").alias("exact_intersect"))
+    )
+    diff_exact = (
+        pur.join(err, pur.user_id == err.eu, "left_anti")
+        .agg(F.count_distinct("user_id").alias("exact_diff"))
+    )
+    est = sk.crossJoin(F.broadcast(inter_exact)).crossJoin(
+        F.broadcast(diff_exact)
+    ).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersect",
+        "exact_diff",
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_intersect"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_diff"),
+    )
+    rse5 = 5.0 / 4096.0 ** 0.5  # 5 relative standard errors at lgK=12
+
+    def ok(est_c, exact_c):
+        return F.abs(F.col(est_c) - F.col(exact_c)) <= F.greatest(
+            F.col(exact_c) * F.lit(rse5), F.lit(1.0)
+        )
+
+    return est.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersect",
+        "exact_diff",
+        ok("est_union", "exact_union").alias("union_ok"),
+        ok("est_intersect", "exact_intersect").alias("intersect_ok"),
+        ok("est_diff", "exact_diff").alias("diff_ok"),
+    )
+
+
+_TOPK_ORACLE = """
+SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+ORDER BY n DESC, item ASC LIMIT 5
+"""
+
+
+@query("agg_approx_topk_merge", _TOPK_ORACLE)
+def approx_topk_merge(spark, sf_dir):
+    """MERGEABLE frequent-items sketches (``approx_top_k_accumulate``
+    → ``combine`` → ``estimate``): per-day heavy-hitter states roll up
+    without re-scanning raw events — the dashboard pattern for 100 TB
+    logs (daily states are KB-sized; the combine is driver-cheap).
+    With maxItemsTracked=10 ≥ the 5 distinct event types every item is
+    tracked exactly, so the merged estimates equal exact counts; the
+    re-sort after explode pins a deterministic (n DESC, item ASC)
+    order because the sketch's own tie order is unspecified."""
+    t = load_tables(spark, sf_dir)
+    daily = t["events"].groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 10)").alias("state")
+    )
+    merged = daily.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(state, 10), 5)")
+        .alias("top")
+    )
+    return (
+        merged.select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("n"),
+        )
+        .orderBy(F.col("n").desc(), F.col("item").asc())
+    )
