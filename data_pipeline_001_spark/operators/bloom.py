@@ -1,0 +1,155 @@
+"""Broadcast Bloom-filter membership and incremental corpus dedup.
+
+Scale posture (the whole point of the operator): admitting a new
+batch against a 100 TB corpus must not shuffle the corpus.
+
+* ``bloom_bits`` builds an m-bit Bloom filter over the corpus
+  fingerprint column with per-partition NumPy bitmap partials
+  (``mapInPandas``): each partition collapses to ONE ``m/8``-byte
+  packed row, so the driver receives P bounded arrays (32 × 128 KB
+  for m=1M bits) and ORs them — the same tree-aggregation shape as
+  ``vector_stats.covariance_matrix``. The corpus is scanned, never
+  shuffled.
+* ``bloom_probe`` tests membership with the two xxhash64 hashes
+  computed JVM-side and a vectorized Arrow-batched double-hash probe
+  (Kirsch–Mitzenmacher: idx_i = h1 + i·h2 mod m) against the
+  broadcast bit array.
+* ``dedup_incremental_bloom`` composes them into the exact batch
+  admission: bloom-negative rows are DEFINITELY new (no false
+  negatives — admitted with zero joins); bloom-positive candidate
+  fingerprints (a bounded, fpp-shrunk set) broadcast into a semi-join
+  that extracts the verified corpus hits, and the batch anti-joins
+  that small hit set. False positives cost one extra broadcast row,
+  never correctness — the result is EXACTLY ``batch ∖ corpus`` and is
+  oracle-checked against a DuckDB anti-join.
+
+Behavior contract vs the reference's staged-dedup loads (
+``pipeline_logic/transfer_logic.py``'s exists-check before insert):
+same admit-if-absent semantics, re-expressed as a candidate-bounded
+distributed plan instead of per-window DB probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+_SEED2 = 0x9E3779B9  # second-hash salt (golden-ratio constant)
+
+
+def _hash_cols(df: DataFrame, fp_col: str) -> DataFrame:
+    """Two independent 64-bit hashes, computed JVM-side (codegen) so
+    build and probe agree bit-for-bit."""
+    return df.withColumn("_h1", F.xxhash64(F.col(fp_col))).withColumn(
+        "_h2", F.xxhash64(F.col(fp_col), F.lit(_SEED2))
+    )
+
+
+def _indices(h1, h2, m_bits: int, k: int):
+    """k double-hashed bit positions as a (n, k) uint64 array."""
+    import numpy as np
+
+    u1 = h1.to_numpy(dtype="int64").view("uint64")[:, None]
+    u2 = h2.to_numpy(dtype="int64").view("uint64")[:, None]
+    i = np.arange(k, dtype="uint64")[None, :]
+    return (u1 + i * u2) % np.uint64(m_bits)
+
+
+def bloom_bits(
+    df: DataFrame, fp_col: str, m_bits: int = 1 << 20, k: int = 7
+):
+    """Build the packed Bloom bit array (NumPy uint8, length m/8) over
+    ``df[fp_col]``. One scan, per-partition partials, driver OR of P
+    bounded arrays (the only collect — P × m/8 bytes, documented)."""
+    import numpy as np
+
+    hashed = _hash_cols(df, fp_col).select("_h1", "_h2")
+    nbytes = m_bits // 8
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            idx = _indices(pdf["_h1"], pdf["_h2"], m_bits, k).ravel()
+            np.bitwise_or.at(
+                bits, (idx >> np.uint64(3)).astype(np.int64),
+                np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+            )
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    partials = hashed.mapInPandas(build, schema="bits binary").collect()
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in partials:
+        out |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out
+
+
+def bloom_probe(
+    df: DataFrame,
+    fp_col: str,
+    bits,
+    m_bits: int,
+    k: int = 7,
+    flag_col: str = "_maybe_in_corpus",
+) -> DataFrame:
+    """Add a boolean ``flag_col``: False ⇒ definitely absent from the
+    set the filter was built over; True ⇒ candidate (verify exactly).
+    The bit array ships to executors once via a Spark broadcast."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bits.tobytes())
+
+    @F.pandas_udf(BooleanType())
+    def probe(h1, h2):
+        import numpy as np
+        import pandas as pd
+
+        b = np.frombuffer(bc.value, dtype=np.uint8)
+        idx = _indices(h1, h2, m_bits, k)
+        hit = (
+            b[(idx >> np.uint64(3)).astype(np.int64)]
+            >> (idx & np.uint64(7)).astype(np.uint8)
+        ) & np.uint8(1)
+        return pd.Series(hit.all(axis=1))
+
+    return (
+        _hash_cols(df, fp_col)
+        .withColumn(flag_col, probe("_h1", "_h2"))
+        .drop("_h1", "_h2")
+    )
+
+
+def dedup_incremental_bloom(
+    corpus: DataFrame,
+    batch: DataFrame,
+    fp_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """Exact ``batch ∖ corpus`` on ``fp_col`` without shuffling the
+    corpus: corpus-Bloom → probe batch → broadcast the candidate
+    fingerprints → semi-join extracts verified hits → batch anti-joins
+    the (small) hit set. NULL fingerprints are admitted on both
+    engines (no equality match). Rows of ``batch`` come back with
+    their original columns."""
+    bits = bloom_bits(corpus, fp_col, m_bits, k)
+    probed = bloom_probe(batch, fp_col, bits, m_bits, k)
+    cand_fps = (
+        probed.where(F.col("_maybe_in_corpus"))
+        .select(fp_col)
+        .where(F.col(fp_col).isNotNull())
+        .distinct()
+    )
+    hits = (
+        corpus.join(F.broadcast(cand_fps), fp_col, "left_semi")
+        .select(fp_col)
+        .distinct()
+    )
+    return batch.join(F.broadcast(hits), fp_col, "left_anti")

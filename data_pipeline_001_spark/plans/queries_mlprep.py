@@ -222,3 +222,36 @@ def approx_topk_merge(spark, sf_dir):
         )
         .orderBy(F.col("n").desc(), F.col("item").asc())
     )
+
+
+_BLOOM_ORACLE = """
+SELECT b.doc_id, b.lang
+FROM documents b
+WHERE b.doc_id % 10 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.doc_id % 10 <> 0 AND md5(c.text) = md5(b.text))
+"""
+
+
+@query("dedup_bloom_incremental", _BLOOM_ORACLE)
+def dedup_bloom_incremental(spark, sf_dir):
+    """Incremental batch admission against the corpus via a broadcast
+    Bloom filter (operators/bloom): bloom-negative rows admit with
+    zero joins; bloom-positive candidate fingerprints broadcast into a
+    corpus semi-join for exact verification — the corpus is scanned
+    but NEVER shuffled, and false positives cost broadcast rows, never
+    correctness. The result is exactly batch ∖ corpus (DuckDB
+    anti-join oracle). Batch = every 10th doc, corpus = the rest;
+    fingerprints are md5(text)."""
+    from data_pipeline_001_spark.operators.bloom import (
+        dedup_incremental_bloom,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].withColumn(
+        "_fp", F.md5(F.col("text"))
+    )
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    out = dedup_incremental_bloom(corpus, batch, "_fp", m_bits=1 << 20)
+    return out.select("doc_id", "lang")
