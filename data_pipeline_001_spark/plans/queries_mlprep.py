@@ -255,3 +255,85 @@ def dedup_bloom_incremental(spark, sf_dir):
     batch = docs.where(F.col("doc_id") % 10 == 0)
     out = dedup_incremental_bloom(corpus, batch, "_fp", m_bits=1 << 20)
     return out.select("doc_id", "lang")
+
+
+# fixed demo merge table (ordered!) — common English BPE merges. Both
+# engines apply the SAME literal rules, so the oracle is exact.
+_BPE_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("an", "d"),
+)
+
+
+def _bpe_sql_chain(expr: str) -> str:
+    """Chained leftmost non-overlapping pair replaces — one replace()
+    per merge rule, identical semantics in Spark SQL and DuckDB."""
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+    return expr
+
+
+_DUCK_SEQ = _bpe_sql_chain(
+    "rtrim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+)
+
+_BPE_ENCODE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id, length(w) AS n_chars,
+         length({_DUCK_SEQ})
+           - length(replace({_DUCK_SEQ}, ' ', ''))
+           + 1 AS n_tok
+  FROM words
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_tokens_char,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens_bpe,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tok), 6) AS compression
+FROM toks GROUP BY doc_id
+"""
+
+
+@query("text_bpe_encode", _BPE_ENCODE_ORACLE)
+def text_bpe_encode(spark, sf_dir):
+    """APPLY a learned BPE merge table (the consumption side of
+    ``text_bpe_pair_stats``): each word becomes a char-spaced sequence
+    and the ordered merge rules collapse pairs via chained leftmost
+    non-overlapping ``replace`` — exactly the iterative BPE semantics
+    ("a a a" + rule (a,a) → "aa a"), and exactly expressible on both
+    engines, so the oracle is an equality check, not a contract. The
+    whole pipeline is codegen string ops inside one projection — per
+    doc: word count, char-token count, BPE-token count, compression.
+    At a production vocab (30k+ merges) the chain becomes an
+    Arrow-batched UDF with a trie; the plan shape (no shuffle until
+    the per-doc agg) is the same."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    seq = "rtrim(regexp_replace(w, '(.)', '$1 '))"
+    chain = _bpe_sql_chain(seq)
+    n_tok = f"length({chain}) - length(replace({chain}, ' ', '')) + 1"
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    return (
+        words.select(
+            "doc_id",
+            F.length("w").alias("n_chars"),
+            F.expr(n_tok).alias("n_tok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_chars").alias("n_tokens_char"),
+            F.sum("n_tok").alias("n_tokens_bpe"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tok"), 6
+            ).alias("compression"),
+        )
+    )

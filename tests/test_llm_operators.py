@@ -762,3 +762,32 @@ def test_bpe_pair_stats_planted_top_pair(spark):
     assert (out[0]["pair"], out[0]["n"]) == ("an", 8)
     assert (out[1]["pair"], out[1]["n"]) == ("na", 6)
     assert len(out) == 3
+
+
+def test_bpe_encode_merges_known_words(spark):
+    """The fixed merge table actually merges: 'the' and 'and' collapse
+    to single tokens, 'inner' to [inn? no —] 'in n er' = 3; and the
+    leftmost rule on 'aaa'-style repeats matches iterative BPE."""
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        _bpe_sql_chain,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("the",), ("and",), ("inner",), ("thethe",)], "w string"
+    )
+    seq = "rtrim(regexp_replace(w, '(.)', '$1 '))"
+    chain = _bpe_sql_chain(seq)
+    n_tok = f"length({chain}) - length(replace({chain}, ' ', '')) + 1"
+    got = {
+        r.w: (r.seq, r.n)
+        for r in df.select(
+            "w",
+            F.expr(chain).alias("seq"),
+            F.expr(n_tok).alias("n"),
+        ).collect()
+    }
+    assert got["the"] == ("the", 1)       # t h→th, th e→the
+    assert got["and"] == ("and", 1)       # a n→an, an d→and
+    assert got["inner"] == ("in n er", 3) # i n→in, e r→er
+    assert got["thethe"] == ("the the", 2)
