@@ -10,6 +10,7 @@ entries queue behind the pinned round-3 coverage backlog.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_pipeline_001_spark.plans.queries import query
@@ -336,4 +337,75 @@ def text_bpe_encode(spark, sf_dir):
                 F.sum("n_chars").cast("double") / F.sum("n_tok"), 6
             ).alias("compression"),
         )
+    )
+
+
+_ASSEMBLY_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gaps
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_s
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@query("curation_session_assembly", _ASSEMBLY_ORACLE)
+def curation_session_assembly(spark, sf_dir):
+    """Assemble per-session ORDERED interaction sequences — the step
+    that turns an event log into training examples (chat turns, user
+    journeys): sessionize on 30-min gaps, then emit each session's
+    event-type sequence in (ts, event_id) order. The ordered assembly
+    is ``array_sort(collect_list(struct(ts, event_id, event_type)))``
+    — sort happens inside the aggregation buffer per session, no extra
+    shuffle beyond the sessionization window's, and the (ts, event_id)
+    tiebreak makes the string deterministic on both engines."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr("interval 30 minutes"),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return sess.groupBy(
+        "user_id", F.col("session_seq").cast("long").alias("session_seq")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("seq"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("dur_s"),
     )
