@@ -83,3 +83,20 @@ def test_null_fingerprints_admitted(spark):
         ).collect()
     )
     assert got == [2, 3]  # NULL never equals; 'a' is the only dup
+
+
+def test_plan_never_shuffle_joins_corpus(spark):
+    """The admission plan's joins are broadcast (semi to extract hits,
+    anti to drop them) — a SortMergeJoin would mean the corpus got
+    shuffled, which is the thing this operator exists to avoid."""
+    corpus = spark.range(0, 5000).select(
+        F.concat(F.lit("t-"), F.col("id")).alias("fp")
+    )
+    batch = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t-"), F.col("id") * 100).alias("fp"),
+    )
+    out = dedup_incremental_bloom(corpus, batch, "fp", m_bits=1 << 16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
