@@ -409,3 +409,63 @@ def curation_session_assembly(spark, sf_dir):
             F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
         ).alias("dur_s"),
     )
+
+
+_REACH_SQL = """
+WITH RECURSIVE hops (src, dst, k) AS (
+  SELECT src, dst, 1 AS k FROM {edges}
+  UNION ALL
+  SELECT h.src, e.dst, h.k + 1
+  FROM hops h JOIN {edges} e ON h.dst = e.src
+  WHERE h.k < 4
+)
+SELECT src, dst, CAST(MIN(k) AS BIGINT) AS min_hops
+FROM hops GROUP BY src, dst
+"""
+
+_EDGES_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LEAD(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE user_id IS NOT NULL
+), counted AS (
+  SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+), ranked AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER
+           (PARTITION BY src ORDER BY n DESC, dst ASC) AS rk
+  FROM counted
+)
+SELECT src, dst FROM ranked WHERE rk = 1
+"""
+
+
+# one combined CTE list: WITH RECURSIVE introduces both the edge
+# derivation and the bounded BFS (a second WITH would be a syntax error)
+_REACH_ORACLE = (
+    "WITH RECURSIVE edges AS ({edges}),\n"
+    + _REACH_SQL.format(edges="edges").split("AS (", 1)[0].replace(
+        "WITH RECURSIVE ", ""
+    )
+    + "AS ("
+    + _REACH_SQL.format(edges="edges").split("AS (", 1)[1]
+).format(edges=_EDGES_SQL)
+
+
+@query("graph_event_reachability", _REACH_ORACLE)
+def graph_event_reachability(spark, sf_dir):
+    """Multi-hop reachability (BFS min-hops, ≤4) over the DOMINANT
+    event-transition graph — each event type's single most frequent
+    successor (deterministic (count DESC, dst ASC) tiebreak), walked
+    with Spark 4's native ``WITH RECURSIVE``. The recursion is the
+    engine's iterative-plan surface: each level is one bounded
+    self-join on the (≤ #event-types)-row edge table, so depth, not
+    data volume, drives cost; the same SQL text runs on DuckDB as the
+    oracle. Cycle-safe via the hop bound."""
+    t = load_tables(spark, sf_dir)
+    t["events"].createOrReplaceTempView("events")
+    edges = spark.sql(_EDGES_SQL)
+    edges.createOrReplaceTempView("_reach_edges")
+    return spark.sql(_REACH_SQL.format(edges="_reach_edges"))

@@ -162,3 +162,27 @@ def test_zorder_layout_tightens_file_bounding_boxes(spark, tmp_path):
     # zvalue must be monotone-decodable: distinct inputs, distinct z
     zs = df.select(zvalue(F.col("a"), F.col("b")).alias("z"), "a", "b").distinct()
     assert zs.count() == zs.select("z").distinct().count()
+
+
+def test_recursive_cte_bfs_depth(spark):
+    """Native WITH RECURSIVE walks a planted 60-node chain: min-hops
+    from node 0 grows linearly until the hop bound cuts off — depth
+    (driver iterations), not data volume, drives the recursion."""
+    spark.range(0, 59).selectExpr(
+        "id AS src", "id + 1 AS dst"
+    ).createOrReplaceTempView("chain_edges")
+    out = spark.sql(
+        """
+        WITH RECURSIVE hops (src, dst, k) AS (
+          SELECT src, dst, 1 AS k FROM chain_edges
+          UNION ALL
+          SELECT h.src, e.dst, h.k + 1
+          FROM hops h JOIN chain_edges e ON h.dst = e.src
+          WHERE h.k < 30
+        )
+        SELECT dst, MIN(k) AS min_hops FROM hops
+        WHERE src = 0 GROUP BY dst
+        """
+    ).collect()
+    got = {r.dst: r.min_hops for r in out}
+    assert got == {i: i for i in range(1, 31)}  # bound caps at 30 hops
