@@ -464,8 +464,7 @@ def graph_event_reachability(spark, sf_dir):
     self-join on the (≤ #event-types)-row edge table, so depth, not
     data volume, drives cost; the same SQL text runs on DuckDB as the
     oracle. Cycle-safe via the hop bound."""
-    t = load_tables(spark, sf_dir)
-    t["events"].createOrReplaceTempView("events")
+    load_tables(spark, sf_dir)  # registers the 'events' temp view
     edges = spark.sql(_EDGES_SQL)
     edges.createOrReplaceTempView("_reach_edges")
     return spark.sql(_REACH_SQL.format(edges="_reach_edges"))
