@@ -468,3 +468,67 @@ def graph_event_reachability(spark, sf_dir):
     edges = spark.sql(_EDGES_SQL)
     edges.createOrReplaceTempView("_reach_edges")
     return spark.sql(_REACH_SQL.format(edges="_reach_edges"))
+
+
+_EWMA_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), seq AS (
+  SELECT event_type, day, x,
+         ROW_NUMBER() OVER
+           (PARTITION BY event_type ORDER BY day) AS t
+  FROM daily
+), scaled AS (
+  SELECT event_type, day, x, t,
+         SUM(x * power(1.25, t)) OVER
+           (PARTITION BY event_type ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS s,
+         FIRST_VALUE(x) OVER
+           (PARTITION BY event_type ORDER BY day) AS x1
+  FROM seq
+)
+SELECT event_type, day, CAST(x AS BIGINT) AS n,
+       ROUND(0.2 * power(0.8, t) * (s - x1 * 1.25)
+             + power(0.8, t - 1) * x1, 6) AS ewma
+FROM scaled
+"""
+
+
+@query("time_ewma_daily", _EWMA_ORACLE)
+def time_ewma_daily(spark, sf_dir):
+    """Exponentially-weighted moving average of the daily event count
+    per type (α=0.2, ewma₁=x₁) — the recursive smoother expressed as
+    ONE closed-form windowed cumulative sum (xᵢ scaled by r⁻ⁱ, result
+    rescaled by rᵗ), so it runs as a plain window aggregate instead of
+    a sequential loop: per-key parallel, single exchange, no UDF. The
+    r⁻ⁱ growth bounds the usable series length (~300 days in float64
+    at r=0.8) — beyond that, chunk the series and seed each chunk with
+    the prior chunk's EWMA. Identical arithmetic on DuckDB; both
+    engines round to 6 (FP error budget ~1e-9, analyzed in the round-4
+    notes)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    daily = t["events"].groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    seq = daily.withColumn("t", F.row_number().over(w))
+    scaled = seq.withColumn(
+        "s",
+        F.sum(F.col("x") * F.pow(F.lit(1.25), F.col("t"))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("x1", F.first("x").over(w))
+    return scaled.select(
+        "event_type",
+        "day",
+        F.col("x").cast("long").alias("n"),
+        F.round(
+            F.lit(0.2)
+            * F.pow(F.lit(0.8), F.col("t"))
+            * (F.col("s") - F.col("x1") * F.lit(1.25))
+            + F.pow(F.lit(0.8), F.col("t") - 1) * F.col("x1"),
+            6,
+        ).alias("ewma"),
+    )
