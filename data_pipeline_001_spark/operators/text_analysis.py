@@ -757,3 +757,89 @@ def bpe_pair_stats(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def _merge_tokens(tokens_col: str, left: str, right: str):
+    """Leftmost-greedy non-overlapping merge of adjacent (left, right)
+    token pairs via an ``aggregate`` accumulator — exactly iterative
+    BPE semantics ([a,a,a] + (a,a) → [aa,a]), all codegen (no UDF).
+    Literals are embedded with SQL single-quote escaping."""
+    la = left.replace("'", "''")
+    rb = right.replace("'", "''")
+    return F.expr(
+        f"""
+        aggregate(
+          {tokens_col},
+          cast(array() as array<string>),
+          (acc, t) -> IF(
+            size(acc) > 0
+              AND element_at(acc, size(acc)) = '{la}' AND t = '{rb}',
+            concat(slice(acc, 1, size(acc) - 1), array('{la}{rb}')),
+            concat(acc, array(t))))
+        """
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """LEARN a BPE merge table (Sennrich et al. 2016): ``n_merges``
+    iterations of count-adjacent-pairs → deterministic argmax
+    (count DESC, pair ASC) → merge corpus-wide. Each iteration is one
+    codegen scan (explode pairs + one small count shuffle) and a
+    1-row collect of the winning pair — the driver loop carries only
+    the merge table, never data. The tokenization column is
+    re-derived lazily per iteration (≤ n_merges nested HOFs per scan;
+    checkpointing kicks in past 16 merges to bound plan depth).
+
+    Returns the learned table: (step, left, right, pair_count)."""
+    from pyspark import StorageLevel
+
+    words = docs.select(
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+            )
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    toks = words.select(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("tokens")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    merges = []
+    cur = toks
+    for step in range(1, n_merges + 1):
+        # size guard matters: sequence(1, 0) is DESCENDING in Spark,
+        # so an unguarded 1-token word would index element_at(tokens, 0)
+        # and throw under ANSI once merges collapse short words
+        pairs = cur.where(F.size("tokens") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1),"
+                    " i -> struct(element_at(tokens, i) AS l,"
+                    "             element_at(tokens, i + 1) AS r))"
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((step, l, r, int(n)))
+        cur = cur.select(_merge_tokens("tokens", l, r).alias("tokens"))
+        if step % 16 == 0:
+            cur = cur.localCheckpoint(eager=False)
+    toks.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count bigint"
+    )

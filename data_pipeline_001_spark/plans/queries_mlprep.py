@@ -532,3 +532,17 @@ def time_ewma_daily(spark, sf_dir):
             6,
         ).alias("ewma"),
     )
+
+
+@query("text_bpe_train", None)
+def text_bpe_train(spark, sf_dir):
+    """LEARN a BPE merge table over the document corpus (8 iterations
+    of pair-count → deterministic argmax → corpus-wide leftmost-greedy
+    merge; operators/text_analysis.bpe_train). Iterative by nature —
+    each step's counts depend on the previous merge — so not
+    single-SQL-expressible: rows-only for the driver; the algorithm is
+    pinned by a pure-Python reference-parity test."""
+    from data_pipeline_001_spark.operators.text_analysis import bpe_train
+
+    t = load_tables(spark, sf_dir)
+    return bpe_train(t["documents"], n_merges=8)

@@ -791,3 +791,59 @@ def test_bpe_encode_merges_known_words(spark):
     assert got["and"] == ("and", 1)       # a n→an, an d→and
     assert got["inner"] == ("in n er", 3) # i n→in, e r→er
     assert got["thethe"] == ("the the", 2)
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """The learned merge table equals a pure-Python reference BPE
+    (count adjacent pairs over the current tokenization, argmax with
+    (count DESC, pair ASC) tiebreak, leftmost-greedy merge) run on
+    the same corpus."""
+    from collections import Counter
+
+    from data_pipeline_001_spark.operators.text_analysis import bpe_train
+
+    texts = [
+        "the theme thesis then",
+        "and the sand band thematic",
+        "banana bandana the and",
+    ]
+
+    def ref_bpe(texts, n_merges):
+        import re
+
+        words = []
+        for t in texts:
+            words += re.findall("[a-z]+", t.lower())
+        seqs = [list(w) for w in words if len(w) >= 2]
+        merges = []
+        for step in range(1, n_merges + 1):
+            c = Counter()
+            for s in seqs:
+                for i in range(len(s) - 1):
+                    c[(s[i], s[i + 1])] += 1
+            if not c:
+                break
+            (l, r), n = min(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((step, l, r, n))
+            out = []
+            for s in seqs:
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        ns.append(l + r)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                out.append(ns)
+            seqs = out
+        return merges
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in bpe_train(docs, n_merges=6).orderBy("step").collect()
+    ]
+    assert got == ref_bpe(texts, 6)
