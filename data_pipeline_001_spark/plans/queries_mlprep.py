@@ -546,3 +546,55 @@ def text_bpe_train(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return bpe_train(t["documents"], n_merges=8)
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+) t
+"""
+
+
+@query("sql_lateral_topn", _LATERAL_SQL)
+def sql_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery — top-2 account balances per nation
+    as a per-row dependent subplan, the SQL-standard form users write
+    instead of a rank window. Spark decorrelates it into a ranked
+    join under the hood (DomainJoin rewrite), so it scales like the
+    window twin rather than N point queries. The SAME SQL text runs on
+    DuckDB as the oracle; deterministic via the (acctbal DESC, custkey
+    ASC) tiebreak."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "sql_parameterized_exec",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_totalprice >= 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_exec(spark, sf_dir):
+    """Parameterized SQL via EXECUTE IMMEDIATE ... USING — the
+    bind-variable surface of the reference's generic SQL client
+    (pipeline_logic's cursor binds), executed natively instead of
+    string interpolation (no injection surface, plan cache friendly).
+    The oracle inlines the same literal."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                  ROUND(SUM(o_totalprice), 2) AS revenue
+           FROM orders WHERE o_totalprice >= ?
+           GROUP BY o_orderpriority'
+        USING 150000.0
+        """
+    )
