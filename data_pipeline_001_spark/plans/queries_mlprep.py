@@ -598,3 +598,52 @@ def sql_parameterized_exec(spark, sf_dir):
         USING 150000.0
         """
     )
+
+
+_TAG_KEYWORDS = (
+    "data", "model", "science", "market", "price",
+    "research", "system", "energy", "health", "network",
+)
+
+_TAGS_ORACLE = """
+WITH tagged AS (
+  SELECT doc_id,
+         list_filter({kw_list},
+                     k -> regexp_matches(lower(text),
+                                         '\\b' || k || '\\b')) AS tags
+  FROM documents
+)
+SELECT doc_id,
+       COALESCE(array_to_string(tags, ','), '') AS tags,
+       CAST(length(tags) AS BIGINT) AS n_tags
+FROM tagged
+""".format(
+    kw_list="[" + ", ".join(f"'{k}'" for k in _TAG_KEYWORDS) + "]"
+)
+
+
+@query("curation_keyword_tags", _TAGS_ORACLE)
+def curation_keyword_tags(spark, sf_dir):
+    """Dictionary-based topic tagging: match a (broadcast-literal)
+    keyword list against each document with word-boundary regexes —
+    the domain-labeling pass of a curation pipeline. The keyword array
+    is a literal and the per-element match is a codegen ``filter`` HOF
+    with ``regexp_like`` (one scan × |dict|; at a 10k-term dictionary
+    this becomes one combined alternation regex or an Aho-Corasick
+    pandas UDF — same output contract). Both engines use
+    RE2-compatible ``\\b`` word boundaries; match order follows the
+    dictionary, so the joined string is deterministic."""
+    t = load_tables(spark, sf_dir)
+    kw = F.array(*[F.lit(k) for k in _TAG_KEYWORDS])
+    tags = F.filter(
+        kw,
+        lambda k: F.regexp_like(
+            F.lower(F.col("text")),
+            F.concat(F.lit("\\b"), k, F.lit("\\b")),
+        ),
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.array_join(tags, ",").alias("tags"),
+        F.size(tags).cast("long").alias("n_tags"),
+    )
