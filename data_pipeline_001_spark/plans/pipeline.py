@@ -334,6 +334,23 @@ class WindowPipeline:
             if self.stage_sink.exists(start, end):
                 self.stage_sink.clean(start, end)
             self.stage_sink.load(self.source.extract(start, end), start, end)
+            # free write-path loss check: the stage write's Observation
+            # metrics (captured inside the write job, no extra scan)
+            # must already match the plan-time source count — catching
+            # an extract-side filter/shape bug here is one window-write
+            # earlier (and one target-recount job cheaper) than audit
+            written = getattr(self.stage_sink, "last_write_metrics", None)
+            if written is not None and written["rows"] != src_count:
+                from data_pipeline_001_spark.utils import pipeline_log
+
+                pipeline_log.info(
+                    "stage write row-count drift vs plan-time source count",
+                    log_key="StageWrite",
+                    status="WRITE_DRIFT",
+                    window=str(start),
+                    source_count=src_count,
+                    written_rows=written["rows"],
+                )
             self.control.complete_stage(sid, "source_to_stage", t0)
 
             # Stage 3 — stage → target (S6/S7/S5): read back the staged

@@ -155,16 +155,33 @@ class PartitionedParquetSink(Sink):
         self.root = root
         self.ts_col = ts_col
         self.max_records_per_file = max_records_per_file
+        self.last_write_metrics: dict | None = None
 
     def _window_path(self, start: datetime) -> str:
         return os.path.join(self.root, window_dir_name(start))
 
     def load(self, df: DataFrame, start: datetime, end: datetime) -> None:
+        """Write the window, observing written-row metrics IN the write
+        job (``Observation`` — accumulator-backed, zero extra scan):
+        ``last_write_metrics`` then holds rows / min_ts / max_ts of
+        what was actually written. At 100 TB this is the free half of
+        the audit — a source-vs-written mismatch surfaces before the
+        target recount job is even scheduled."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.min(self.ts_col).alias("min_ts"),
+            F.max(self.ts_col).alias("max_ts"),
+        )
         (
             df.write.mode("overwrite")
             .option("maxRecordsPerFile", self.max_records_per_file)
             .parquet(self._window_path(start))
         )
+        self.last_write_metrics = obs.get
 
     def exists(self, start: datetime, end: datetime) -> bool:
         p = self._window_path(start)

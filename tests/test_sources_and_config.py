@@ -311,3 +311,32 @@ def test_python_datasource_generates_on_executors(spark):
     assert [f.name for f in df.schema.fields] == [
         "event_id", "ts", "user_id", "event_type", "value",
     ]
+
+
+def test_parquet_sink_observes_write_metrics(spark, tables, tmp_path):
+    """The window write captures rows/min/max ts via Observation —
+    inside the write job, no second scan — and they match an
+    independent recount of what landed."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.sources.file_connectors import (
+        PartitionedParquetSink,
+    )
+
+    sink = PartitionedParquetSink(spark, str(tmp_path / "t"))
+    ev = tables["events"]
+    start, end = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    win = ev.where(
+        (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+    )
+    sink.load(win, start, end)
+    m = sink.last_write_metrics
+    assert m is not None
+    back = spark.read.parquet(sink._window_path(start))
+    agg = back.agg(
+        F.count(F.lit(1)), F.min("ts"), F.max("ts")
+    ).first()
+    assert m["rows"] == agg[0] > 0
+    assert m["min_ts"] == agg[1] and m["max_ts"] == agg[2]
