@@ -128,3 +128,26 @@ def arrow_regex_count(pattern: str):
 
         udf = _ARROW_REGEX_COUNT_CACHE[pattern] = _count
     return udf
+
+
+@pandas_udf("double")
+def zlib_compress_ratio(s: pd.Series) -> pd.Series:
+    """Compressed-size / raw-size ratio of the UTF-8 text (zlib level
+    6) — the classic compressibility quality signal: highly repetitive
+    boilerplate compresses far below normal prose, near-random noise
+    sits near (or above) 1.0. Arrow-batched; zlib is stdlib C, so the
+    per-row cost is dominated by the bytes themselves. NULL/empty text
+    → NULL (no signal, distinct from 'compresses perfectly').
+    Deterministic for a fixed zlib level; engine-specific, so the
+    registry entry is rows-only with planted-text tests."""
+    import zlib
+
+    def ratio(t):
+        if t is None:
+            return None
+        b = t.encode("utf-8")
+        if not b:
+            return None
+        return len(zlib.compress(b, 6)) / len(b)
+
+    return s.map(ratio)

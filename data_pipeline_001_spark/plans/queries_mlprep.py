@@ -647,3 +647,22 @@ def curation_keyword_tags(spark, sf_dir):
         F.array_join(tags, ",").alias("tags"),
         F.size(tags).cast("long").alias("n_tags"),
     )
+
+
+@query("text_compressibility", None)
+def text_compressibility(spark, sf_dir):
+    """Per-doc zlib compressibility ratio + a Gopher-style keep flag
+    (drop the ultra-repetitive tail: ratio < 0.30 ≈ text that is
+    mostly repeated substrings). Rows-only: the ratio is zlib-level-
+    specific so no SQL oracle exists; planted-text tests pin the
+    ordering (repetitive < prose < random)."""
+    from data_pipeline_001_spark.functions.udfs import zlib_compress_ratio
+
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        F.round(zlib_compress_ratio(F.col("text")), 6).alias(
+            "compress_ratio"
+        ),
+    ).withColumn("keep", F.col("compress_ratio") >= 0.30)

@@ -847,3 +847,31 @@ def test_bpe_train_matches_reference_algorithm(spark):
         for r in bpe_train(docs, n_merges=6).orderBy("step").collect()
     ]
     assert got == ref_bpe(texts, 6)
+
+
+def test_compressibility_orders_text_quality(spark):
+    """Planted ordering: repeated boilerplate compresses hardest,
+    normal prose in the middle, hex noise worst; NULL/empty → NULL."""
+    import secrets
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.functions.udfs import zlib_compress_ratio
+
+    rows = [
+        ("rep", "spam " * 400),
+        ("prose", "the quick brown fox jumps over the lazy dog and "
+                  "then wanders back home through the quiet evening " * 20),
+        ("noise", secrets.token_hex(1000)),
+        ("empty", ""),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, text string")
+    got = {
+        r.k: r.r
+        for r in df.select(
+            "k", zlib_compress_ratio(F.col("text")).alias("r")
+        ).collect()
+    }
+    assert got["empty"] is None and got["null"] is None
+    assert got["rep"] < 0.05 < got["prose"] < got["noise"]
