@@ -277,3 +277,111 @@ def test_url_canonicalization_matches_reference(
     df = spark.createDataFrame([(url,)], "url string")
     got = df.select(canonicalize_url(F.col("url")).alias("c")).first()["c"]
     assert got == expect, (url, got, expect)
+
+
+def test_property_bloom_parity_random_corpora(spark):
+    """Randomized bloom-admission parity: for random corpus/batch
+    fingerprint sets (varying overlap), dedup_incremental_bloom equals
+    the plain anti-join — seeded stdlib randomness, 5 draws."""
+    import random
+
+    from data_pipeline_001_spark.operators.bloom import (
+        dedup_incremental_bloom,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(5):
+        uni = [f"fp-{i}" for i in range(rng.randint(50, 400))]
+        corpus_fps = rng.sample(uni, rng.randint(10, len(uni) // 2))
+        batch_fps = rng.sample(uni, rng.randint(10, len(uni) // 2))
+        corpus = spark.createDataFrame([(f,) for f in corpus_fps], "fp string")
+        batch = spark.createDataFrame(
+            [(i, f) for i, f in enumerate(batch_fps)], "id int, fp string"
+        )
+        got = sorted(
+            r.id
+            for r in dedup_incremental_bloom(
+                corpus, batch, "fp", m_bits=1 << 12
+            ).collect()
+        )
+        want = sorted(
+            i for i, f in enumerate(batch_fps) if f not in set(corpus_fps)
+        )
+        assert got == want, f"trial {trial}"
+
+
+def test_property_ewma_closed_form_vs_recursion(spark):
+    """The closed-form EWMA column equals the O(n) recursion on random
+    integer series (seeded, 20 series × ≤40 points), to 1e-6."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    rows = []
+    for g in range(20):
+        n = rng.randint(1, 40)
+        for t, x in enumerate(
+            [float(rng.randint(0, 5000)) for _ in range(n)], start=1
+        ):
+            rows.append((g, t, x))
+    df = spark.createDataFrame(rows, "g int, t int, x double")
+    w = Window.partitionBy("g").orderBy("t")
+    scaled = df.withColumn(
+        "s",
+        F.sum(F.col("x") * F.pow(F.lit(1.25), F.col("t"))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("x1", F.first("x").over(w))
+    out = scaled.select(
+        "g",
+        "t",
+        "x",
+        (
+            F.lit(0.2)
+            * F.pow(F.lit(0.8), F.col("t"))
+            * (F.col("s") - F.col("x1") * F.lit(1.25))
+            + F.pow(F.lit(0.8), F.col("t") - 1) * F.col("x1")
+        ).alias("ewma"),
+    ).collect()
+    by_g: dict = {}
+    for r in sorted(out, key=lambda r: (r.g, r.t)):
+        prev = by_g.get(r.g)
+        expect = r.x if prev is None else 0.2 * r.x + 0.8 * prev
+        assert abs(r.ewma - expect) < 1e-6, (r.g, r.t)
+        by_g[r.g] = expect
+
+
+def test_property_bpe_encode_chain_matches_python(spark):
+    """The SQL replace-chain BPE token count equals a pure-Python
+    greedy merge on random lowercase words (seeded, 200 words)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        _BPE_MERGES,
+        _bpe_sql_chain,
+    )
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("theandinorse") for _ in range(rng.randint(2, 12)))
+        for _ in range(200)
+    ]
+
+    def py_tokens(w):
+        seq = " ".join(w)
+        for a, b in _BPE_MERGES:
+            seq = seq.replace(f"{a} {b}", f"{a}{b}")
+        return len(seq.split(" "))
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    chain = _bpe_sql_chain("rtrim(regexp_replace(w, '(.)', '$1 '))")
+    n_tok = f"length({chain}) - length(replace({chain}, ' ', '')) + 1"
+    got = {
+        r.w: r.n for r in df.select("w", F.expr(n_tok).alias("n")).collect()
+    }
+    for w in set(words):
+        assert got[w] == py_tokens(w), w
