@@ -666,3 +666,47 @@ def text_compressibility(spark, sf_dir):
             "compress_ratio"
         ),
     ).withColumn("keep", F.col("compress_ratio") >= 0.30)
+
+
+_JSON_PROFILE_ORACLE = """
+SELECT 'event_id' AS key, CAST(COUNT(*) AS BIGINT) AS n_present,
+       CAST(COUNT(*) AS BIGINT) AS n_numeric FROM events
+UNION ALL
+SELECT 'event_type', CAST(COUNT(event_type) AS BIGINT),
+       CAST(0 AS BIGINT) FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(user_id) AS BIGINT),
+       CAST(COUNT(user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(value) AS BIGINT),
+       CAST(COUNT(value) AS BIGINT) FROM events
+"""
+
+
+@query("json_schema_profile", _JSON_PROFILE_ORACLE)
+def json_schema_profile(spark, sf_dir):
+    """Schema-drift profile of a semi-structured export: serialize
+    each event to JSON (``to_json`` drops NULL fields — the exact
+    mechanism that makes downstream consumers see 'missing keys'),
+    then profile the ACTUAL keys: presence count and how many values
+    parse as numbers. One scan, dynamic keys via
+    ``from_json(map<string,string>)`` + map explode — no per-key
+    code, so the same query profiles any JSON column. The oracle
+    states the closed-form expectation per field."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.to_json(
+            F.struct("event_id", "event_type", "user_id", "value")
+        ).alias("j")
+    )
+    kv = ev.select(
+        F.explode(F.from_json("j", "map<string,string>")).alias("key", "v")
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.when(
+                F.expr("try_cast(v AS double) IS NOT NULL"), 1
+            ).otherwise(0)
+        ).alias("n_numeric"),
+    )
