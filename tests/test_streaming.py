@@ -634,3 +634,59 @@ def test_tumbling_window_across_dst_spring_forward(spark, tmp_path):
     from datetime import date
 
     assert spans[date(2024, 3, 10)] == (0, 23)
+
+
+def test_watermark_drop_accounting(spark, tmp_path):
+    """Late rows beyond the watermark are DROPPED and the drop is
+    ACCOUNTED: after a restart whose only new input is a too-late
+    event, the windowed counts gain nothing and the state operator
+    reports numRowsDroppedByWatermark > 0 — the observability half of
+    late-data handling (silent drops are how 100 TB pipelines lose
+    rows without anyone noticing)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, k string"
+    on_time = [
+        (datetime(2024, 1, 1, 10, 0, 30), "a"),
+        (datetime(2024, 1, 1, 10, 1, 30), "a"),
+        (datetime(2024, 1, 1, 12, 0, 0), "a"),  # advances the watermark
+    ]
+    spark.createDataFrame(on_time, schema).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute"), "k")
+            .count()
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        prog = q.recentProgress
+        q.stop()
+        return prog
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+
+    # a row hours behind the committed watermark: must be dropped
+    late = [(datetime(2024, 1, 1, 10, 0, 45), "a")]
+    spark.createDataFrame(late, schema).write.mode("append").parquet(src)
+    prog = run_once()
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1  # nothing new emitted for the late row
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in prog
+        for op in (p.get("stateOperators") or [])
+    )
+    assert dropped >= 1, prog
