@@ -42,3 +42,37 @@ def test_lateral_decorrelates_to_one_join(spark, tables):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Join") >= 1
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_analyze_table_stats_feed_optimizer(spark, tables, tmp_path):
+    """ANALYZE TABLE row/column statistics land in the catalog and the
+    optimizer's plan-stats read them (CBO input at 100 TB: join
+    reordering and broadcast decisions come from these numbers, not
+    file sizes, once tables are analyzed)."""
+    tables["nation"].write.mode("overwrite").saveAsTable("nation_stats_t")
+    try:
+        spark.sql(
+            "ANALYZE TABLE nation_stats_t COMPUTE STATISTICS "
+            "FOR COLUMNS n_nationkey, n_regionkey"
+        )
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED nation_stats_t"
+            ).selectExpr(
+                "col_name AS info_name", "data_type AS info_value"
+            ).collect()
+        }
+        assert "25 rows" in desc.get("Statistics", ""), desc.get("Statistics")
+        prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            df = spark.table("nation_stats_t")
+            stats = (
+                df._jdf.queryExecution().optimizedPlan().stats()
+            )
+            assert stats.rowCount().get() == 25
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats_t")
