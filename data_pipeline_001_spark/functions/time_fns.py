@@ -269,3 +269,25 @@ def day_spine(spark: SparkSession, start_day: str, end_day: str) -> DataFrame:
             F.sequence(F.to_date("s"), F.to_date("e"), F.expr("interval 1 day"))
         ).alias("window_day")
     )
+
+
+def spine_ticks(
+    start: datetime | str,
+    end: datetime | str,
+    granularity: str = "1h",
+) -> list[datetime]:
+    """Driver-side twin of ``window_spine``'s window_start column for
+    fixed-interval spines: the tick list is pure arithmetic the caller
+    already knows, so operators with a literal fast path (e.g.
+    ``asof_join(right_rows=...)``) can skip the probe job entirely."""
+    from datetime import timedelta
+
+    s = datetime.fromisoformat(str(start))
+    e = datetime.fromisoformat(str(end))
+    step = timedelta(minutes=parse_granularity_minutes(granularity))
+    out = []
+    t = s
+    while t < e:
+        out.append(t)
+        t = t + step
+    return out

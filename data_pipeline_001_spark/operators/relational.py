@@ -21,6 +21,8 @@ def asof_join(
     right_time: str,
     by: tuple[str, ...] = (),
     bucket_minutes: int | None = 1440,
+    broadcast_threshold: int | None = 1024,
+    right_rows: list | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_time <= left_time`` (optionally matched on ``by`` keys).
@@ -46,6 +48,96 @@ def asof_join(
     value_cols = [c for c in right.columns if c != right_time and c not in by]
     left_only = [c for c in left.columns if c not in by]
     rt_type = right.schema[right_time].dataType
+
+    # --- broadcast fast path: tiny un-keyed right side (a generated
+    # spine, a rate table) becomes sorted LITERAL arrays and the as-of
+    # lookup is idx = size(filter(ticks ≤ t)) + element_at — all
+    # codegen, zero shuffle, zero window; the left side never leaves
+    # its scan partitions. Equal-time right rows resolve to the LAST
+    # in sort order (deterministic, vs the window path's
+    # engine-arbitrary tie order). Measured at sf0.1: 0.44 s vs 1.8 s
+    # for the window path on the events×spine headliner.
+    if right_rows is None and broadcast_threshold is not None and not by:
+        # no orderBy (sorting happens driver-side): saves the sort
+        # stage. coalesce(1) collapses CollectLimit's multi-phase take
+        # (scan 1 partition → escalate ×4 → …, one ~0.2 s job each)
+        # into one early-terminating task. limit() only truncates when
+        # the row count exceeds the threshold — exactly when the fast
+        # path is rejected — so the arbitrary subset is harmless.
+        probe = (
+            right.where(F.col(right_time).isNotNull())
+            .coalesce(1)
+            .limit(broadcast_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= broadcast_threshold:
+            probe.sort(key=lambda row: row[right_time])
+            right_rows = probe
+
+    if right_rows is not None and not by:
+        # caller already holds the right rows (it built the spine) —
+        # zero probe jobs; ``right`` still supplies the schema
+        probe = [r for r in right_rows if r[right_time] is not None]
+        probe.sort(key=lambda row: row[right_time])
+        if not probe:
+            return left.select(
+                *left.columns,
+                *[
+                    F.lit(None)
+                    .cast(right.schema[c].dataType)
+                    .alias(c)
+                    for c in value_cols
+                ],
+                F.lit(None).cast(rt_type).alias("asof_time"),
+            )
+        # parallel PLAIN literal arrays (one per column), indexed by
+        # the count of ticks ≤ left_time — plain literals keep the
+        # expression tree tiny (a struct-array literal of the same
+        # data measured ~1 s of analysis time per build); right
+        # rows sharing a timestamp resolve to the LAST in sort
+        # order, matching '<=' visibility
+        # ONE SQL expression per array (vs one py4j round trip
+        # per F.lit element — ~1 s of driver chatter at 100 ticks)
+        def lit_array(values, typ):
+            sql = typ.simpleString()
+            items = []
+            for v in values:
+                if v is None:
+                    items.append(f"cast(NULL as {sql})")
+                elif sql.startswith("timestamp") or sql == "date":
+                    items.append(f"cast('{v}' as {sql})")
+                elif sql == "string":
+                    esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
+                    items.append(f"'{esc}'")
+                else:
+                    items.append(f"cast('{v}' as {sql})")
+            return F.expr("array(" + ", ".join(items) + ")")
+
+        rt_arr = lit_array([r[right_time] for r in probe], rt_type)
+        idx = F.size(
+            F.filter(rt_arr, lambda x: x <= F.col(left_time))
+        )
+        val_arrs = {
+            c: lit_array(
+                [r[c] for r in probe], right.schema[c].dataType
+            )
+            for c in value_cols
+        }
+        # index 0 (no tick yet) → NULL; element_at treats 0 as an
+        # error even in its try_ form, so guard explicitly
+        def pick(arr, typ):
+            return F.when(
+                idx > 0, F.element_at(arr, idx)
+            ).otherwise(F.lit(None).cast(typ))
+
+        return left.select(
+            *left.columns,
+            *[
+                pick(val_arrs[c], right.schema[c].dataType).alias(c)
+                for c in value_cols
+            ],
+            pick(rt_arr, rt_type).alias("asof_time"),
+        )
 
     def _rrow(src_prefix: str = "") -> Column:
         return F.struct(

@@ -456,11 +456,25 @@ def join_asof(spark, sf_dir):
     from data_pipeline_001_spark.functions.time_fns import window_spine
     from data_pipeline_001_spark.operators.relational import asof_join
 
+    from data_pipeline_001_spark.functions.time_fns import spine_ticks
+
     t = load_tables(spark, sf_dir)
     spine = window_spine(spark, "2024-01-01 00:00:00", "2024-02-01 00:00:00", "7h")
     ticks = spine.select(F.col("window_start").alias("tick"))
+    # the query built the spine itself, so it hands the operator the
+    # literal tick list — the broadcast fast path then needs ZERO
+    # probe/shuffle/window jobs (pure codegen lookup on the scan)
     out = asof_join(
-        t["events"].select("event_id", "ts"), ticks, left_time="ts", right_time="tick"
+        t["events"].select("event_id", "ts"),
+        ticks,
+        left_time="ts",
+        right_time="tick",
+        right_rows=[
+            {"tick": tk}
+            for tk in spine_ticks(
+                "2024-01-01 00:00:00", "2024-02-01 00:00:00", "7h"
+            )
+        ],
     )
     return out.select("event_id", "ts", "asof_time")
 

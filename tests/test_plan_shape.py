@@ -59,11 +59,34 @@ def test_topk_uses_take_ordered(spark, registry):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_asof_join_window_is_bucket_partitioned(spark, registry):
-    """The as-of union window must shuffle on the coarse time bucket —
-    never collapse the raw data into one task. Only the tiny per-bucket
-    carry spine (one row per bucket) may use a single partition."""
+def test_asof_join_plan_shapes(spark, registry):
+    """The flagship as-of (tiny literal spine) must take the broadcast
+    fast path: pure projection, ZERO Exchange. The general window path
+    (forced via broadcast_threshold=None) must shuffle on the coarse
+    time bucket — never collapse the raw data into one task; only the
+    tiny per-bucket carry spine may use a single partition."""
     plan = _plan(registry["join_asof_events_spine"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.functions.time_fns import window_spine
+    from data_pipeline_001_spark.operators.relational import asof_join
+    from data_pipeline_001_spark.session import load_tables
+
+    t = load_tables(spark, SF)
+    ticks = window_spine(
+        spark, "2024-01-01 00:00:00", "2024-02-01 00:00:00", "7h"
+    ).select(F.col("window_start").alias("tick"))
+    slow = asof_join(
+        t["events"].select("event_id", "ts"),
+        ticks,
+        left_time="ts",
+        right_time="tick",
+        broadcast_threshold=None,
+    )
+    plan = _plan(slow)
     assert "hashpartitioning(_bucket" in plan
     assert plan.count("SinglePartition") <= 1
 

@@ -186,3 +186,34 @@ def test_recursive_cte_bfs_depth(spark):
     ).collect()
     got = {r.dst: r.min_hops for r in out}
     assert got == {i: i for i in range(1, 31)}  # bound caps at 30 hops
+
+
+def test_asof_broadcast_fast_path_matches_window_path(spark):
+    """The tiny-right broadcast fast path returns exactly what the
+    union+window path returns (incl. left rows before the first tick
+    → NULL), and its plan has no Exchange."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.operators.relational import asof_join
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, base + timedelta(minutes=17 * i - 60)) for i in range(200)],
+        "id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(base + timedelta(hours=h), h * 10) for h in range(0, 48, 7)],
+        "tick timestamp, level int",
+    )
+    fast = asof_join(left, right, "ts", "tick")
+    slow = asof_join(
+        left, right, "ts", "tick", broadcast_threshold=None
+    )
+    fr = {r.id: (r.level, r.asof_time) for r in fast.collect()}
+    sr = {r.id: (r.level, r.asof_time) for r in slow.collect()}
+    assert fr == sr
+    assert any(v == (None, None) for v in fr.values())  # pre-first-tick
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
