@@ -710,3 +710,47 @@ def json_schema_profile(spark, sf_dir):
             ).otherwise(0)
         ).alias("n_numeric"),
     )
+
+
+_SENT_ORACLE = r"""
+WITH sents AS (
+  SELECT doc_id,
+         unnest(string_split(
+           regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+           chr(1))) AS s
+  FROM documents WHERE text IS NOT NULL
+), clean AS (
+  SELECT doc_id, trim(s) AS s FROM sents WHERE trim(s) <> ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       ROUND(AVG(CAST(length(s) AS DOUBLE)), 6) AS avg_sentence_chars,
+       CAST(MAX(length(s)) AS BIGINT) AS max_sentence_chars
+FROM clean GROUP BY doc_id
+"""
+
+
+@query("text_sentence_stats", _SENT_ORACLE)
+def text_sentence_stats(spark, sf_dir):
+    """Sentence segmentation + per-doc sentence statistics — the unit
+    most chunkers/quality gates actually operate on. Segmentation is a
+    marker rewrite (terminal punctuation + whitespace → punctuation +
+    \x01) followed by a plain split — lookbehind-free so the SAME
+    pattern runs on RE2 (DuckDB) and java.util.regex (Spark); the
+    split stays one codegen projection, the only shuffle is the
+    per-doc count agg."""
+    t = load_tables(spark, sf_dir)
+    marked = F.regexp_replace(
+        F.col("text"), r"([.!?])\s+", "$1\u0001"
+    )
+    sents = t["documents"].where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(F.split(marked, "\u0001")).alias("s"),
+    ).select("doc_id", F.trim("s").alias("s")).where(F.col("s") != "")
+    return sents.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.round(F.avg(F.length("s").cast("double")), 6).alias(
+            "avg_sentence_chars"
+        ),
+        F.max(F.length("s")).cast("long").alias("max_sentence_chars"),
+    )

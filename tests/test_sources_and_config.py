@@ -340,3 +340,38 @@ def test_parquet_sink_observes_write_metrics(spark, tables, tmp_path):
     ).first()
     assert m["rows"] == agg[0] > 0
     assert m["min_ts"] == agg[1] and m["max_ts"] == agg[2]
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(
+    spark, tables, tmp_path
+):
+    """partitionOverwriteMode=dynamic: an overwrite write that touches
+    one partition value leaves sibling partitions intact — the
+    idempotent-window-rewrite contract at the Spark-native
+    partitionBy layer (vs the sink's explicit path discipline)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "part")
+    ev = tables["events"].withColumn("day", F.to_date("ts"))
+    days = [r.day for r in ev.select("day").distinct().limit(2).collect()]
+    assert len(days) == 2
+    ev.where(F.col("day").isin(days)).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(out)
+    n_day0 = ev.where(F.col("day") == days[0]).count()
+    n_day1 = ev.where(F.col("day") == days[1]).count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # rewrite ONLY day1, with half its rows
+        half = ev.where(
+            (F.col("day") == days[1]) & (F.col("event_id") % 2 == 0)
+        )
+        n_half = half.count()
+        half.write.partitionBy("day").mode("overwrite").parquet(out)
+        back = spark.read.parquet(out)
+        assert back.where(F.col("day") == days[0]).count() == n_day0
+        assert back.where(F.col("day") == days[1]).count() == n_half
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
