@@ -754,3 +754,176 @@ def text_sentence_stats(spark, sf_dir):
         ),
         F.max(F.length("s")).cast("long").alias("max_sentence_chars"),
     )
+
+
+_FUNNEL_ORACLE = """
+WITH a AS (
+  SELECT user_id, MIN(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY user_id
+), b AS (
+  SELECT e.user_id, MIN(e.ts) AS t_view
+  FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > a.t_signup GROUP BY e.user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN b USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > b.t_view GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_then_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_then_purchase,
+       ROUND((SELECT COUNT(*) FROM b) * 1.0
+             / NULLIF((SELECT COUNT(*) FROM a), 0), 6) AS conv_view,
+       ROUND((SELECT COUNT(*) FROM c) * 1.0
+             / NULLIF((SELECT COUNT(*) FROM b), 0), 6) AS conv_purchase
+"""
+
+
+@query("window_funnel_conversion", _FUNNEL_ORACLE)
+def window_funnel_conversion(spark, sf_dir):
+    """STRICTLY-ORDERED funnel (signup → later view → later purchase):
+    stage k counts users whose earliest stage-k event follows their
+    earliest completion of stage k-1 — the product-analytics funnel
+    that window_user_paths (adjacent pairs) cannot express. One scan:
+    conditional min-timestamp aggregation per user, then the stage
+    chain is evaluated on the per-user row (no joins, no re-scan) and
+    collapsed to one global summary row."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        *[
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == step, F.col("ts"))
+                )
+            ).alias(f"ts_{step}")
+            for step in ("view", "purchase")
+        ],
+    )
+    # earliest view AFTER signup: first element of the sorted view
+    # timestamps greater than t_signup (codegen filter + element_at)
+    # try_element_at: an empty filtered array (no qualifying view)
+    # yields NULL instead of ANSI's out-of-bounds error
+    t_view = F.try_element_at(
+        F.filter(
+            F.col("ts_view"), lambda x: x > F.col("t_signup")
+        ),
+        F.lit(1),
+    )
+    per_user = per_user.withColumn("t_view", t_view)
+    t_purchase = F.try_element_at(
+        F.filter(
+            F.col("ts_purchase"), lambda x: x > F.col("t_view")
+        ),
+        F.lit(1),
+    )
+    per_user = per_user.withColumn("t_purchase", t_purchase)
+    return per_user.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count(
+            F.when(F.col("t_signup").isNotNull(), F.col("t_view"))
+        ).alias("n_then_view"),
+        F.count(
+            F.when(
+                F.col("t_signup").isNotNull()
+                & F.col("t_view").isNotNull(),
+                F.col("t_purchase"),
+            )
+        ).alias("n_then_purchase"),
+    ).select(
+        "n_signup",
+        "n_then_view",
+        "n_then_purchase",
+        F.round(
+            F.col("n_then_view")
+            / F.nullif(F.col("n_signup"), F.lit(0)),
+            6,
+        ).alias("conv_view"),
+        F.round(
+            F.col("n_then_purchase")
+            / F.nullif(F.col("n_then_view"), F.lit(0)),
+            6,
+        ).alias("conv_purchase"),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), cohorts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', first_day) AS DATE) AS cohort_week
+  FROM firsts
+), activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         CAST(floor(date_diff('day', c.cohort_week,
+                              CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+           AS age_week
+  FROM events e JOIN cohorts c USING (user_id)
+  WHERE e.user_id IS NOT NULL
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_users FROM cohorts
+  GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.age_week,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       ROUND(COUNT(*) * 1.0 / s.cohort_users, 6) AS retention
+FROM activity a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, a.age_week, s.cohort_users
+"""
+
+
+@query("agg_retention_cohorts", _RETENTION_ORACLE)
+def agg_retention_cohorts(spark, sf_dir):
+    """Weekly retention-cohort matrix: users grouped by first-seen
+    week, retention = share active in each subsequent age week — the
+    classic growth-analytics triangle. Plan: one scan derives
+    first-seen days (agg), cohort assignment broadcasts back onto the
+    event scan, distinct (user, cohort, age) collapses map-side, and
+    cohort sizes broadcast into the final ratio — the fact table
+    shuffles once, on user_id."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id").isNotNull())
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    cohorts = firsts.select(
+        "user_id",
+        F.date_trunc("week", "first_day").cast("date").alias("cohort_week"),
+    )
+    activity = (
+        ev.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_week"))
+                / 7.0
+            )
+            .cast("long")
+            .alias("age_week"),
+        )
+        .distinct()
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    return (
+        activity.groupBy("cohort_week", "age_week")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "active_users",
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            F.round(
+                F.col("active_users") / F.col("cohort_users"), 6
+            ).alias("retention"),
+        )
+    )
