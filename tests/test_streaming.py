@@ -690,3 +690,43 @@ def test_watermark_drop_accounting(spark, tmp_path):
         for op in (p.get("stateOperators") or [])
     )
     assert dropped >= 1, prog
+
+
+def test_streaming_observed_metrics(spark, tables, tmp_path):
+    """df.observe on a STREAM: per-micro-batch row counts/sums arrive
+    in StreamingQueryProgress.observedMetrics — in-flight pipeline
+    audit numbers with zero extra jobs (the streaming twin of the
+    sink's write-side Observation)."""
+    src = str(tmp_path / "src")
+    events = tables["events"].where(F.col("user_id").isNotNull())
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    observed = stream.observe(
+        "audit",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.coalesce("value", F.lit(0.0))).alias("value_sum"),
+    )
+    q = (
+        observed.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("obs_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    metrics = [
+        p["observedMetrics"]["audit"]
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("audit")
+    ]
+    q.stop()
+    assert metrics, "no observed metrics in progress"
+    total_rows = sum(m["rows"] for m in metrics)
+    total_sum = sum(m["value_sum"] for m in metrics)
+    exp = events.agg(
+        F.count("*"), F.sum(F.coalesce("value", F.lit(0.0)))
+    ).first()
+    assert total_rows == exp[0]
+    assert abs(total_sum - exp[1]) < 1e-6
