@@ -927,3 +927,94 @@ def agg_retention_cohorts(spark, sf_dir):
             ).alias("retention"),
         )
     )
+
+
+_RFM_ORACLE = """
+WITH anchor AS (
+  SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events
+), per_user AS (
+  SELECT e.user_id,
+         date_diff('day', MAX(CAST(e.ts AS DATE)), a.max_day)
+           AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(SUM(CASE WHEN e.event_type = 'purchase'
+                        THEN COALESCE(e.value, 0) ELSE 0 END), 2)
+           AS monetary
+  FROM events e CROSS JOIN anchor a
+  WHERE e.user_id IS NOT NULL
+  GROUP BY e.user_id, a.max_day
+), scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+  FROM per_user
+)
+SELECT r_q, f_q, m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(CAST(recency_days AS DOUBLE)), 6) AS avg_recency,
+       ROUND(AVG(CAST(frequency AS DOUBLE)), 6) AS avg_frequency,
+       ROUND(AVG(monetary), 6) AS avg_monetary
+FROM scored GROUP BY r_q, f_q, m_q
+"""
+
+
+@query("agg_rfm_segmentation", _RFM_ORACLE)
+def agg_rfm_segmentation(spark, sf_dir):
+    """RFM (recency/frequency/monetary) quartile segmentation — the
+    classic customer-value matrix. One fact shuffle (per-user agg);
+    the three NTILE windows run over the per-USER table (orders of
+    magnitude smaller than events), with user_id tiebreaks so quartile
+    boundaries are engine-deterministic; the max-day anchor broadcasts
+    as a scalar. Segment-level output (≤64 rows) keeps the result
+    bounded. The exact NTILE is a global sort — fine while the user
+    table fits one task's sort budget; past ~10⁸ users swap the exact
+    quartiles for approx_percentile cut points exactly as
+    ``agg_equidepth_bins_approx`` does (documented scale twin)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id").isNotNull())
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "max_day")
+        .agg(
+            F.datediff(
+                F.col("max_day"), F.max(F.col("ts").cast("date"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.coalesce("value", F.lit(0.0)),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("monetary"),
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg(F.col("recency_days").cast("double")), 6).alias(
+            "avg_recency"
+        ),
+        F.round(F.avg(F.col("frequency").cast("double")), 6).alias(
+            "avg_frequency"
+        ),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
