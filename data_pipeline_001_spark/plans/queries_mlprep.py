@@ -1018,3 +1018,82 @@ def agg_rfm_segmentation(spark, sf_dir):
         ),
         F.round(F.avg("monetary"), 6).alias("avg_monetary"),
     )
+
+
+_ARRIVAL_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+       ROUND(quantile_cont(gap_s, 0.95), 6) AS p95_gap_s,
+       ROUND(AVG(CAST(gap_s AS DOUBLE)), 6) AS mean_gap_s
+FROM seq WHERE gap_s IS NOT NULL GROUP BY event_type
+"""
+
+
+@query("time_interarrival_stats", _ARRIVAL_ORACLE)
+def time_interarrival_stats(spark, sf_dir):
+    """Inter-arrival-time distribution per event type (LAG gap +
+    exact percentiles) — the load-model input for capacity planning
+    and anomaly thresholds. One window shuffle on event_type, then a
+    per-type exact-percentile aggregate over the (bounded-cardinality)
+    groups; (ts, event_id) tiebreak pins the gap sequence."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = t["events"].select(
+        "event_type",
+        (
+            F.unix_timestamp(F.col("ts"))
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(
+            F.expr("percentile(gap_s, 0.5)"), 6
+        ).alias("p50_gap_s"),
+        F.round(
+            F.expr("percentile(gap_s, 0.95)"), 6
+        ).alias("p95_gap_s"),
+        F.round(F.avg(F.col("gap_s").cast("double")), 6).alias(
+            "mean_gap_s"
+        ),
+    )
+
+
+_SEASONALITY_ORACLE = """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(AVG(COALESCE(value, 0)), 6) AS avg_value
+FROM events GROUP BY isodow(ts), hour(ts)
+"""
+
+
+@query("time_seasonality_matrix", _SEASONALITY_ORACLE)
+def time_seasonality_matrix(spark, sf_dir):
+    """Day-of-week × hour-of-day load matrix (the ops heatmap):
+    counts, distinct users, average value per cell. One map-side-
+    combined aggregate; 168 output cells regardless of corpus size.
+    Week numbering is the cross-engine trap: Spark dayofweek is
+    1=Sunday, DuckDB's is 0=Sunday — both sides use ISO weekday
+    (Monday=1) instead: Spark weekday()+1 == DuckDB isodow()."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.avg(F.coalesce("value", F.lit(0.0))), 6).alias(
+            "avg_value"
+        ),
+    )
