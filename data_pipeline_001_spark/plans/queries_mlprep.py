@@ -1097,3 +1097,90 @@ def time_seasonality_matrix(spark, sf_dir):
             "avg_value"
         ),
     )
+
+
+_TEMPORAL_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         LAG(o_orderdate) OVER w AS prev_ts,
+         LAG(o_orderpriority) OVER w AS prev_attr
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+versions AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate FROM ordered
+  WHERE prev_ts IS NULL OR prev_attr IS DISTINCT FROM o_orderpriority),
+dim AS (
+  SELECT o_custkey, o_orderpriority,
+         o_orderdate AS valid_from,
+         LEAD(o_orderdate) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate) AS valid_to
+  FROM versions)
+SELECT d.o_orderpriority AS priority_at_ship,
+       o.o_orderpriority AS priority_at_order,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN dim d ON d.o_custkey = o.o_custkey
+          AND d.valid_from <= l.l_shipdate
+          AND (d.valid_to IS NULL OR l.l_shipdate < d.valid_to)
+GROUP BY d.o_orderpriority, o.o_orderpriority
+"""
+
+
+@query("join_temporal_dimension", _TEMPORAL_ORACLE)
+def join_temporal_dimension(spark, sf_dir):
+    """POINT-IN-TIME dimension join: each lineitem is enriched with
+    the customer's priority version valid AT SHIP TIME ([valid_from,
+    valid_to) interval from the SCD2 dimension) and compared with the
+    priority at order time — the feature-store lookup that prevents
+    training-data leakage (joining 'current' attributes backfills the
+    future into history). Plan: the SCD2 build shuffles once on
+    custkey; the temporal join is an EQUI-join on custkey with the
+    interval as a post-join filter (never a cross product — asserted
+    shape class in test_plan_shape); the summary collapses to ≤25
+    rows."""
+    from data_pipeline_001_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    t = load_tables(spark, sf_dir)
+    dim = scd2_from_changelog(
+        t["orders"].select(
+            "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+        ),
+        key_cols=("o_custkey",),
+        ts_col="o_orderdate",
+        attr_cols=("o_orderpriority",),
+        seq_col="o_orderkey",
+    ).select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderpriority").alias("priority_at_ship"),
+        "valid_from",
+        "valid_to",
+    )
+    li = t["lineitem"].select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderpriority")
+    enriched = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            dim,
+            (F.col("d_custkey") == F.col("o_custkey"))
+            & (F.col("valid_from") <= F.col("l_shipdate"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("l_shipdate") < F.col("valid_to"))
+            ),
+        )
+    )
+    return enriched.groupBy(
+        "priority_at_ship",
+        F.col("o_orderpriority").alias("priority_at_order"),
+    ).agg(
+        F.count("*").alias("n_lineitems"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
