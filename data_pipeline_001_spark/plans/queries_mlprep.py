@@ -1184,3 +1184,105 @@ def join_temporal_dimension(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+_AB_ORACLE = """
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), arms AS (
+  SELECT arm, COUNT(*) AS n_users, SUM(converted) AS n_converted,
+         AVG(CAST(converted AS DOUBLE)) AS rate
+  FROM assigned GROUP BY arm
+)
+SELECT a.n_users AS n_a, b.n_users AS n_b,
+       CAST(a.n_converted AS BIGINT) AS conv_a,
+       CAST(b.n_converted AS BIGINT) AS conv_b,
+       ROUND(a.rate, 6) AS rate_a, ROUND(b.rate, 6) AS rate_b,
+       ROUND(b.rate / NULLIF(a.rate, 0) - 1, 6) AS lift,
+       ROUND((b.rate - a.rate)
+             / NULLIF(sqrt(
+                 ((a.n_converted + b.n_converted) * 1.0
+                  / (a.n_users + b.n_users))
+                 * (1 - (a.n_converted + b.n_converted) * 1.0
+                        / (a.n_users + b.n_users))
+                 * (1.0 / a.n_users + 1.0 / b.n_users)), 0),
+             6) AS z_score
+FROM (SELECT * FROM arms WHERE arm = 'A') a
+CROSS JOIN (SELECT * FROM arms WHERE arm = 'B') b
+"""
+
+
+@query("agg_ab_experiment_lift", _AB_ORACLE)
+def agg_ab_experiment_lift(spark, sf_dir):
+    """Deterministic A/B analysis: hash-stable arm assignment (md5 of
+    the user id — the same append-stable trick as the train/holdout
+    split, so re-runs and late data never flip arms), per-arm purchase
+    conversion, lift, and the two-proportion z-score. One scan + one
+    per-user agg; the two 1-row arm summaries broadcast into the final
+    comparison row."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id").isNotNull())
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(
+            F.ascii(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+            )
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "converted",
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.avg(F.col("converted").cast("double")).alias("rate"),
+    )
+    a = arms.where(F.col("arm") == "A").select(
+        F.col("n_users").alias("n_a"),
+        F.col("n_converted").alias("conv_a"),
+        F.col("rate").alias("rate_a"),
+    )
+    b = arms.where(F.col("arm") == "B").select(
+        F.col("n_users").alias("n_b"),
+        F.col("n_converted").alias("conv_b"),
+        F.col("rate").alias("rate_b"),
+    )
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round("rate_a", 6).alias("rate_a"),
+        F.round("rate_b", 6).alias("rate_b"),
+        F.round(
+            F.col("rate_b") / F.nullif(F.col("rate_a"), F.lit(0.0)) - 1, 6
+        ).alias("lift"),
+        F.round(
+            (F.col("rate_b") - F.col("rate_a"))
+            / F.nullif(
+                F.sqrt(
+                    pooled
+                    * (1 - pooled)
+                    * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("z_score"),
+    )
