@@ -1286,3 +1286,62 @@ def agg_ab_experiment_lift(spark, sf_dir):
             6,
         ).alias("z_score"),
     )
+
+
+_TTC_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), converted AS (
+  SELECT date_diff('second', t_signup, t_purchase) AS ttc_s
+  FROM per_user
+  WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+    AND t_purchase >= t_signup
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(ttc_s, 0.5), 6) AS p50_ttc_s,
+       ROUND(quantile_cont(ttc_s, 0.9), 6) AS p90_ttc_s,
+       ROUND(AVG(CAST(ttc_s AS DOUBLE)), 6) AS mean_ttc_s
+FROM converted
+"""
+
+
+@query("time_to_convert_stats", _TTC_ORACLE)
+def time_to_convert_stats(spark, sf_dir):
+    """Time-to-convert distribution (first signup → first purchase):
+    the latency companion to the ordered funnel — exact p50/p90/mean
+    over converting users. One per-user conditional-min aggregate,
+    then one exact-percentile pass over the (bounded) converted set."""
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("t_signup"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t_purchase"),
+        )
+    )
+    conv = per_user.where(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")
+        ).alias("ttc_s")
+    )
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(ttc_s, 0.5)"), 6).alias("p50_ttc_s"),
+        F.round(F.expr("percentile(ttc_s, 0.9)"), 6).alias("p90_ttc_s"),
+        F.round(F.avg(F.col("ttc_s").cast("double")), 6).alias(
+            "mean_ttc_s"
+        ),
+    )
