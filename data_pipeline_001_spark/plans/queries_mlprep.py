@@ -1345,3 +1345,373 @@ def time_to_convert_stats(spark, sf_dir):
             "mean_ttc_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# Statistical profiling batch (round-4 continuation): correlation
+# matrix, robust outlier detection, market-basket pairs, mutual
+# information, and PMI bigrams. Reference parity: these extend the
+# reference's count/histogram reconciliation surface
+# (pipeline_logic/*) with the column-statistics layer a training-data
+# pipeline needs before trusting a 100 TB corpus.
+# ---------------------------------------------------------------------
+
+_CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT {exprs}
+  FROM lineitem
+)
+{unions}
+"""
+
+
+def _corr_oracle() -> str:
+    pairs = [
+        (x, y)
+        for i, x in enumerate(_CORR_COLS)
+        for y in _CORR_COLS[i + 1 :]
+    ]
+    exprs = ",\n         ".join(
+        f"ROUND(corr({x}, {y}), 6) AS c_{i}" for i, (x, y) in enumerate(pairs)
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{x}' AS x_col, '{y}' AS y_col, c_{i} AS corr_r FROM s"
+        for i, (x, y) in enumerate(pairs)
+    )
+    return _CORR_ORACLE.format(exprs=exprs, unions=unions)
+
+
+@query("stats_corr_matrix", _corr_oracle())
+def stats_corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix (upper triangle, long form) over the
+    lineitem numeric measures. One full scan computes all six
+    coefficients as map-side-combinable aggregates (corr is
+    algebraic: sums of x, y, x2, y2, xy), then a 1-row ``stack``
+    unpivots to long form — no per-pair rescans, no shuffle beyond
+    the single scalar aggregation."""
+    t = load_tables(spark, sf_dir)
+    pairs = [
+        (x, y)
+        for i, x in enumerate(_CORR_COLS)
+        for y in _CORR_COLS[i + 1 :]
+    ]
+    one = t["lineitem"].agg(
+        *[
+            F.round(F.corr(x, y), 6).alias(f"c_{i}")
+            for i, (x, y) in enumerate(pairs)
+        ]
+    )
+    stack = ", ".join(
+        f"'{x}', '{y}', c_{i}" for i, (x, y) in enumerate(pairs)
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (x_col, y_col, corr_r)"
+    )
+
+
+_MAD_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 6) AS rev
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), med AS (
+  SELECT ROUND(quantile_cont(rev, 0.5), 6) AS med_rev FROM daily
+), dev AS (
+  SELECT ROUND(ABS(d.rev - m.med_rev), 6) AS adev, m.med_rev
+  FROM daily d CROSS JOIN med m
+), mad AS (
+  SELECT ROUND(quantile_cont(adev, 0.5), 6) AS mad_rev FROM dev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       MIN(d.med_rev) AS med_rev,
+       MIN(a.mad_rev) AS mad_rev,
+       CAST(SUM(CASE WHEN d.adev > ROUND(3.5 * a.mad_rev / 0.6745, 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_days
+FROM dev d CROSS JOIN mad a
+"""
+
+
+@query("stats_mad_outliers", _MAD_ORACLE)
+def stats_mad_outliers(spark, sf_dir):
+    """Robust outlier detection on daily purchase revenue via median
+    absolute deviation (modified z-score, Iglewicz-Hoaglin 3.5
+    cutoff). The daily series is bounded by the calendar (one row per
+    day regardless of event volume), so the two scalar passes
+    (median, then MAD) broadcast 1-row aggregates back over it —
+    the only full-data scan is the first groupBy day."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.round(F.sum("value"), 6).alias("rev"))
+    )
+    med = daily.agg(
+        F.round(F.expr("percentile(rev, 0.5)"), 6).alias("med_rev")
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        F.round(F.abs(F.col("rev") - F.col("med_rev")), 6).alias("adev"),
+        "med_rev",
+    )
+    mad = dev.agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad_rev")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.min("med_rev").alias("med_rev"),
+            F.min("mad_rev").alias("mad_rev"),
+            F.sum(
+                F.when(
+                    F.col("adev")
+                    > F.round(F.col("mad_rev") * 3.5 / 0.6745, 6),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("n_outlier_days"),
+        )
+    )
+
+
+_PAIR_ORACLE = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+  FROM basket
+), item AS (
+  SELECT l_partkey, COUNT(*) AS item_cnt FROM basket GROUP BY 1
+), pair AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(COUNT(*) AS BIGINT) AS pair_cnt
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.p1, p.p2, p.pair_cnt,
+       ROUND(p.pair_cnt / n.n_orders, 6) AS support,
+       ROUND(p.pair_cnt * n.n_orders / (i1.item_cnt * i2.item_cnt), 6)
+         AS lift
+FROM pair p
+JOIN item i1 ON i1.l_partkey = p.p1
+JOIN item i2 ON i2.l_partkey = p.p2
+CROSS JOIN n
+ORDER BY p.pair_cnt DESC, p.p1, p.p2
+LIMIT 20
+"""
+
+
+@query("itemset_part_pairs", _PAIR_ORACLE)
+def itemset_part_pairs(spark, sf_dir):
+    """Market-basket pair mining: top co-occurring part pairs within
+    an order, with support and lift. The self-join is keyed on
+    l_orderkey, so candidate pairs are bounded by per-order basket
+    size (≤7 lines in TPC-H shape — never O(n²) in rows); item
+    frequencies and the order count broadcast back onto the bounded
+    pair table."""
+    t = load_tables(spark, sf_dir)
+    basket = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n = basket.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item = basket.groupBy("l_partkey").agg(F.count("*").alias("item_cnt"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    out = (
+        pair.join(
+            F.broadcast(item.withColumnRenamed("item_cnt", "c1")),
+            pair.p1 == F.col("l_partkey"),
+        )
+        .drop("l_partkey")
+        .join(
+            F.broadcast(item.withColumnRenamed("item_cnt", "c2")),
+            F.col("p2") == F.col("l_partkey"),
+        )
+        .drop("l_partkey")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            F.round(F.col("pair_cnt") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("pair_cnt")
+                * F.col("n_orders")
+                / (F.col("c1") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("pair_cnt"), F.asc("p1"), F.asc("p2")
+    ).limit(20)
+
+
+_MI_ORACLE = """
+WITH cell AS (
+  SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM documents GROUP BY 1, 2
+), m AS (
+  SELECT lang, source, c,
+         SUM(c) OVER (PARTITION BY lang)   AS cl,
+         SUM(c) OVER (PARTITION BY source) AS cs,
+         SUM(c) OVER ()                    AS n
+  FROM cell
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_docs,
+       ROUND(SUM((c / n) * LN(c * n / (cl * cs))), 6) AS mi_nats,
+       ROUND(-SUM((c / n) * LN(cl / n)), 6) AS h_lang,
+       ROUND(-SUM((c / n) * LN(cs / n)), 6) AS h_source
+FROM m
+"""
+
+
+@query("stats_mutual_information", _MI_ORACLE)
+def stats_mutual_information(spark, sf_dir):
+    """Mutual information (nats) between the lang and source columns
+    of the document corpus, plus the marginal entropies — the
+    standard check that a sampling or split strategy didn't couple
+    two supposedly-independent facets. One groupBy builds the
+    contingency cells; margins come from window sums over the
+    bounded cell table (|langs|×|sources| rows), never a rescan."""
+    t = load_tables(spark, sf_dir)
+    cell = (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    m = cell.select(
+        "c",
+        F.sum("c").over(Window.partitionBy("lang")).alias("cl"),
+        F.sum("c").over(Window.partitionBy("source")).alias("cs"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return m.agg(
+        F.min("n").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(
+                (F.col("c") / F.col("n"))
+                * F.log(F.col("c") * F.col("n") / (F.col("cl") * F.col("cs")))
+            ),
+            6,
+        ).alias("mi_nats"),
+        F.round(
+            -F.sum((F.col("c") / F.col("n")) * F.log(F.col("cl") / F.col("n"))),
+            6,
+        ).alias("h_lang"),
+        F.round(
+            -F.sum((F.col("c") / F.col("n")) * F.log(F.col("cs") / F.col("n"))),
+            6,
+        ).alias("h_source"),
+    )
+
+
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(tk, 1) AS INT) AS pos,
+         unnest(tk) AS tok
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+') AS tk
+        FROM documents)
+), bi AS (
+  SELECT tok AS w1,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+), bic AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2
+), uni AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c_xy) AS DOUBLE) AS n_bi FROM bic
+), utot AS (
+  SELECT SUM(c) AS n_uni FROM uni
+)
+SELECT b.w1, b.w2, b.c_xy,
+       ROUND(LN((b.c_xy / t.n_bi)
+                / ((u1.c / u.n_uni) * (u2.c / u.n_uni))), 6) AS pmi
+FROM bic b
+JOIN uni u1 ON u1.tok = b.w1
+JOIN uni u2 ON u2.tok = b.w2
+CROSS JOIN tot t CROSS JOIN utot u
+ORDER BY b.c_xy DESC, b.w1, b.w2
+LIMIT 15
+"""
+
+
+@query("text_pmi_bigrams", _PMI_ORACLE)
+def text_pmi_bigrams(spark, sf_dir):
+    """Pointwise mutual information of adjacent word bigrams over the
+    document corpus — the collocation statistic used to decide
+    tokenizer merges and phrase vocabularies. Bigrams come from a
+    LEAD window per document (no self-join); unigram counts
+    broadcast back onto the bounded bigram-count table. Tokenization
+    (`regexp_extract_all(lower(text), '[a-z]+')`) matches the BPE
+    and word-count queries byte-for-byte across both engines."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("pos", "tok"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uni = toks.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    tot = bic.agg(F.sum("c_xy").cast("double").alias("n_bi"))
+    utot = uni.agg(F.sum("c").alias("n_uni"))
+    out = (
+        bic.join(
+            F.broadcast(uni.withColumnRenamed("c", "c1")),
+            bic.w1 == F.col("tok"),
+        )
+        .drop("tok")
+        .join(
+            F.broadcast(uni.withColumnRenamed("c", "c2")),
+            F.col("w2") == F.col("tok"),
+        )
+        .drop("tok")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("n_bi"))
+                    / (
+                        (F.col("c1") / F.col("n_uni"))
+                        * (F.col("c2") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(
+        F.desc("c_xy"), F.asc("w1"), F.asc("w2")
+    ).limit(15)

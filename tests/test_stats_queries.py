@@ -1,0 +1,144 @@
+"""Property tests for the statistical-profiling query batch
+(stats_corr_matrix, stats_mad_outliers, itemset_part_pairs,
+stats_mutual_information, text_pmi_bigrams). Cross-engine value
+parity is covered by the DuckDB oracle gate; these assert the
+mathematical invariants on the sf0.001 tables plus planted-data
+sanity checks that the oracle cannot express."""
+
+import math
+
+from tests.conftest import SF_DIR
+
+
+def test_corr_matrix_bounds_and_shape(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        _CORR_COLS,
+        stats_corr_matrix,
+    )
+
+    rows = stats_corr_matrix(spark, SF_DIR).collect()
+    n = len(_CORR_COLS)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert -1.0 <= r.corr_r <= 1.0
+        assert r.x_col < r.y_col  # upper triangle, no self-pairs
+    # planted linear relation: corr(x, 3x+1) == 1, corr(x, -x) == -1
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 3 + 1).cast("double").alias("y"),
+        (-F.col("id")).cast("double").alias("z"),
+    )
+    got = df.agg(
+        F.round(F.corr("x", "y"), 6).alias("xy"),
+        F.round(F.corr("x", "z"), 6).alias("xz"),
+    ).collect()[0]
+    assert got.xy == 1.0 and got.xz == -1.0
+
+
+def test_mad_outliers_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        stats_mad_outliers,
+    )
+
+    r = stats_mad_outliers(spark, SF_DIR).collect()[0]
+    assert r.n_days > 0
+    assert r.mad_rev >= 0.0
+    assert 0 <= r.n_outlier_days <= r.n_days
+    # MAD is a lower bound-ish spread: median must sit inside the data
+    assert r.med_rev > 0.0
+
+
+def test_mad_flags_planted_spike(spark):
+    """A flat series with one huge spike: exactly the spike is an
+    outlier under the 3.5 modified-z cutoff."""
+    import pandas as pd
+
+    from data_pipeline_001_spark.plans import queries_mlprep as m
+
+    # 30 flat days of ~100 revenue, one day of 10_000
+    rows = [(f"2024-01-{d:02d}T12:00:00", "purchase", 100.0 + (d % 3))
+            for d in range(1, 31)]
+    rows.append(("2024-02-01T12:00:00", "purchase", 10_000.0))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    ).selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value",
+        "CAST(1 AS BIGINT) AS event_id",
+        "CAST(1 AS BIGINT) AS user_id", "'{}' AS props",
+    )
+    df.createOrReplaceTempView("_mad_events")
+
+    # run the same logic inline against the planted frame
+    from pyspark.sql import functions as F
+
+    daily = (
+        df.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.round(F.sum("value"), 6).alias("rev"))
+    )
+    med = daily.agg(
+        F.round(F.expr("percentile(rev, 0.5)"), 6).alias("med_rev")
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        F.round(F.abs(F.col("rev") - F.col("med_rev")), 6).alias("adev")
+    )
+    mad = dev.agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad_rev")
+    ).collect()[0].mad_rev
+    n_out = dev.where(
+        F.col("adev") > F.round(F.lit(mad * 3.5 / 0.6745), 6)
+    ).count()
+    assert n_out == 1
+
+
+def test_itemset_pairs_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        itemset_part_pairs,
+    )
+
+    rows = itemset_part_pairs(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    cnts = [r.pair_cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert r.p1 < r.p2
+        assert 0.0 < r.support <= 1.0
+        assert r.lift > 0.0
+
+
+def test_mutual_information_bounds(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        stats_mutual_information,
+    )
+
+    r = stats_mutual_information(spark, SF_DIR).collect()[0]
+    eps = 1e-5  # both sides rounded to 6 decimals
+    assert r.mi_nats >= -eps  # MI is non-negative
+    assert r.h_lang >= -eps and r.h_source >= -eps
+    # MI <= min(H(X), H(Y)) — the standard information inequality
+    assert r.mi_nats <= min(r.h_lang, r.h_source) + eps
+    # entropies bounded by log of support size
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_lang = docs.select("lang").distinct().count()
+    n_src = docs.select("source").distinct().count()
+    assert r.h_lang <= math.log(n_lang) + eps
+    assert r.h_source <= math.log(n_src) + eps
+
+
+def test_pmi_bigrams_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        text_pmi_bigrams,
+    )
+
+    rows = text_pmi_bigrams(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 15
+    cnts = [r.c_xy for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert r.c_xy >= 1
+        # PMI of an observed bigram is bounded above by
+        # ln(n_uni^2 / n_bi) in the degenerate all-mass case; just
+        # sanity-check it is finite
+        assert math.isfinite(r.pmi)
