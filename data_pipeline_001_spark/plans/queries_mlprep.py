@@ -1715,3 +1715,316 @@ def text_pmi_bigrams(spark, sf_dir):
     return out.orderBy(
         F.desc("c_xy"), F.asc("w1"), F.asc("w2")
     ).limit(15)
+
+
+# ---------------------------------------------------------------------
+# Behavioral / corpus-health batch: bounce rate, chi-squared
+# independence, Pareto concentration, hapax vocabulary stats.
+# ---------------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE user_id IS NOT NULL
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, sid,
+         CAST(MIN(ts) AS DATE) AS d,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT d,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       ROUND(AVG(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS bounce_rate
+FROM per_sess GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("events_bounce_rate", _BOUNCE_ORACLE)
+def events_bounce_rate(spark, sf_dir):
+    """Daily bounce rate over 30-minute-gap sessions: the engagement
+    health metric on top of the sessionizer. One shuffle by user_id
+    drives both windows (lag for the gap flag, running sum for the
+    session id); the per-session rollup reuses the same partitioning
+    — at 100 TB this is a single user-keyed exchange, and the daily
+    output is calendar-bounded."""
+    t = load_tables(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            F.when(
+                F.lag("ts").over(w_ord).isNull()
+                | (
+                    F.unix_timestamp("ts")
+                    - F.unix_timestamp(F.lag("ts").over(w_ord))
+                    > 1800
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("new_s"),
+        )
+        .select(
+            "user_id", "ts", F.sum("new_s").over(w_run).alias("sid")
+        )
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").cast("date").alias("d"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        per_sess.groupBy("d")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(
+                F.when(F.col("n_events") == 1, 1).otherwise(0)
+            ).alias("n_bounces"),
+            F.round(
+                F.avg(
+                    F.when(F.col("n_events") == 1, 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("d")
+    )
+
+
+_CHI2_ORACLE = """
+WITH cell AS (
+  SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM documents GROUP BY 1, 2
+), m AS (
+  SELECT o,
+         SUM(o) OVER (PARTITION BY lang)   AS rl,
+         SUM(o) OVER (PARTITION BY source) AS cs,
+         SUM(o) OVER ()                    AS n
+  FROM cell
+), dims AS (
+  SELECT COUNT(DISTINCT lang) AS r, COUNT(DISTINCT source) AS c
+  FROM documents
+)
+SELECT CAST(MIN(m.n) AS BIGINT) AS n_docs,
+       ROUND(SUM((m.o - m.rl * m.cs / m.n)
+                 * (m.o - m.rl * m.cs / m.n)
+                 / (m.rl * m.cs / m.n))
+             + (MIN(m.n) - SUM(m.rl * m.cs / m.n)), 6) AS chi2,
+       CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
+       ROUND(SQRT((SUM((m.o - m.rl * m.cs / m.n)
+                       * (m.o - m.rl * m.cs / m.n)
+                       / (m.rl * m.cs / m.n))
+                   + (MIN(m.n) - SUM(m.rl * m.cs / m.n)))
+                  / (MIN(m.n) * LEAST(d.r - 1, d.c - 1))), 6)
+         AS cramers_v
+FROM m CROSS JOIN dims d
+GROUP BY d.r, d.c
+"""
+
+
+@query("stats_chi_squared", _CHI2_ORACLE)
+def stats_chi_squared(spark, sf_dir):
+    """Chi-squared independence statistic and Cramér's V for the
+    lang × source contingency — the categorical-coupling companion
+    to stats_mutual_information (observed-vs-expected form rather
+    than information form). Same bounded-cell window-margin plan:
+    expected counts never require a second corpus scan.
+
+    Note: a chi-squared cell with zero observed count contributes
+    E(cell) to the statistic; groupBy drops empty cells, so the
+    missing-cell mass is added via the closed form
+    Σ_cells_obs (O-E)²/E + (N - Σ_cells_obs E), since Σ_all E = N.
+    Both engines compute over observed cells and add the correction
+    identically."""
+    t = load_tables(spark, sf_dir)
+    cell = (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("double").alias("o"))
+    )
+    m = cell.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("rl"),
+        F.sum("o").over(Window.partitionBy("source")).alias("cs"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    dims = t["documents"].agg(
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("c"),
+    )
+    e = F.col("rl") * F.col("cs") / F.col("n")
+    # observed-cell sum plus the closed-form mass of groupBy-dropped
+    # empty cells: Σ_missing E = N - Σ_obs E
+    chi_obs = F.sum((F.col("o") - e) * (F.col("o") - e) / e) + (
+        F.min("n") - F.sum(e)
+    )
+    return (
+        m.crossJoin(F.broadcast(dims))
+        .groupBy("r", "c")
+        .agg(
+            F.min("n").cast("bigint").alias("n_docs"),
+            F.round(chi_obs, 6).alias("chi2"),
+            ((F.col("r") - 1) * (F.col("c") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            F.round(
+                F.sqrt(
+                    chi_obs
+                    / (
+                        F.min("n")
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .drop("r", "c")
+    )
+
+
+_PARETO_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT rev,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         COUNT(*) OVER () AS n,
+         SUM(rev) OVER () AS total
+  FROM cust
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+       ROUND(MAX(CASE WHEN rn <= CEIL(0.01 * n) THEN cum_rev END)
+             / MIN(total), 6) AS share_top1,
+       ROUND(MAX(CASE WHEN rn <= CEIL(0.10 * n) THEN cum_rev END)
+             / MIN(total), 6) AS share_top10,
+       ROUND(MAX(CASE WHEN rn <= CEIL(0.20 * n) THEN cum_rev END)
+             / MIN(total), 6) AS share_top20
+FROM ranked
+"""
+
+
+@query("agg_pareto_share", _PARETO_ORACLE)
+def agg_pareto_share(spark, sf_dir):
+    """Pareto revenue concentration: the share of total order revenue
+    contributed by the top 1/10/20 % of customers — the
+    concentration diagnostic next to agg_gini_concentration. The
+    global rank is one exchange over the per-customer rollup (one
+    row per customer, already ≪ the fact table); ties broken by
+    custkey for cross-engine determinism."""
+    t = load_tables(spark, sf_dir)
+    cust = t["orders"].groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 6).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_rev"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+
+    def share(frac):
+        return F.round(
+            F.max(
+                F.when(
+                    F.col("rn") <= F.ceil(F.lit(frac) * F.col("n")),
+                    F.col("cum_rev"),
+                )
+            )
+            / F.min("total"),
+            6,
+        )
+
+    return ranked.agg(
+        F.min("n").cast("bigint").alias("n_customers"),
+        share(0.01).alias("share_top1"),
+        share(0.10).alias("share_top10"),
+        share(0.20).alias("share_top20"),
+    )
+
+
+_HAPAX_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+), wc AS (
+  SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       ROUND(SUM(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+         AS hapax_ratio,
+       ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio
+FROM wc GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("text_hapax_ratio", _HAPAX_ORACLE)
+def text_hapax_ratio(spark, sf_dir):
+    """Per-language vocabulary health: token count, vocabulary size,
+    hapax legomena (words seen once), hapax ratio, and type-token
+    ratio — the canonical corpus-diversity signals that catch both
+    boilerplate floods (TTR collapses) and OCR noise (hapax ratio
+    explodes). One explode + one (lang, token) groupBy with map-side
+    combine; the per-language rollup is bounded by vocabulary."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    wc = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    return (
+        wc.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hapax"),
+            F.round(
+                F.sum(
+                    F.when(F.col("c") == 1, 1.0).otherwise(0.0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("hapax_ratio"),
+            F.round(
+                F.count("*") / F.sum("c").cast("double"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("lang")
+    )

@@ -142,3 +142,109 @@ def test_pmi_bigrams_invariants(spark):
         # ln(n_uni^2 / n_bi) in the degenerate all-mass case; just
         # sanity-check it is finite
         assert math.isfinite(r.pmi)
+
+
+def test_bounce_rate_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        events_bounce_rate,
+    )
+
+    rows = events_bounce_rate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_bounces <= r.n_sessions
+        assert 0.0 <= r.bounce_rate <= 1.0
+    # sessions can't exceed events on the day they start
+    total_sessions = sum(r.n_sessions for r in rows)
+    n_events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where("user_id IS NOT NULL")
+        .count()
+    )
+    assert 0 < total_sessions <= n_events
+
+
+def test_bounce_sessionization_planted(spark):
+    """One user, three events: two 5 min apart (one session), one 2 h
+    later (bounce session). Expect 2 sessions, 1 bounce."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1),
+            (2, "2024-01-01 10:05:00", 1),
+            (3, "2024-01-01 12:30:00", 1),
+        ],
+        "event_id long, ts string, user_id long",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = df.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_ord).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w_ord))
+                > 1800
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+    ).select("user_id", F.sum("new_s").over(w_run).alias("sid"))
+    per = sess.groupBy("user_id", "sid").count().collect()
+    counts = sorted(r["count"] for r in per)
+    assert counts == [1, 2]
+
+
+def test_chi_squared_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        stats_chi_squared,
+        stats_mutual_information,
+    )
+
+    r = stats_chi_squared(spark, SF_DIR).collect()[0]
+    assert r.chi2 >= -1e-5
+    assert r.dof >= 1
+    assert -1e-5 <= r.cramers_v <= 1.0 + 1e-5
+    # consistency with the MI view of the same contingency: both zero
+    # together (independence) or both positive
+    mi = stats_mutual_information(spark, SF_DIR).collect()[0]
+    assert (r.chi2 < 1e-4) == (abs(mi.mi_nats) < 1e-7)
+
+
+def test_pareto_share_monotone(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        agg_pareto_share,
+    )
+
+    r = agg_pareto_share(spark, SF_DIR).collect()[0]
+    assert r.n_customers > 0
+    # shares are nested prefixes of the same descending cumsum
+    assert 0.0 < r.share_top1 <= r.share_top10 <= r.share_top20 <= 1.0
+    # top-k% must contribute at least k% of revenue when sorted desc
+    assert r.share_top10 >= 0.10 - 1e-6
+    assert r.share_top20 >= 0.20 - 1e-6
+
+
+def test_hapax_ratio_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        text_hapax_ratio,
+    )
+
+    rows = text_hapax_ratio(spark, SF_DIR).collect()
+    assert rows
+    langs = [r.lang for r in rows]
+    assert langs == sorted(langs)
+    for r in rows:
+        assert 0 < r.vocab <= r.n_tokens
+        assert 0 <= r.hapax <= r.vocab
+        assert 0.0 <= r.hapax_ratio <= 1.0
+        assert 0.0 < r.type_token_ratio <= 1.0
