@@ -2028,3 +2028,226 @@ def text_hapax_ratio(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------
+# Distribution-comparison batch: KS test, monthly growth, trigram
+# coverage.
+# ---------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH s AS (
+  SELECT value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END AS g2
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+), pv AS (
+  SELECT value, SUM(g1) AS c1, SUM(g2) AS c2
+  FROM s GROUP BY 1
+), cdf AS (
+  SELECT SUM(c1) OVER (ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum1,
+         SUM(c2) OVER (ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum2,
+         SUM(c1) OVER () AS n1,
+         SUM(c2) OVER () AS n2
+  FROM pv
+)
+SELECT CAST(MIN(n1) AS BIGINT) AS n_purchase,
+       CAST(MIN(n2) AS BIGINT) AS n_click,
+       ROUND(MAX(ABS(CAST(cum1 AS DOUBLE) / n1
+                     - CAST(cum2 AS DOUBLE) / n2)), 6) AS ks_d
+FROM cdf
+"""
+
+
+@query("stats_ks_test", _KS_ORACLE)
+def stats_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of purchase and click events: D = max |F1 - F2|
+    over the pooled support. Both empirical CDFs come from ONE
+    pass — conditional counts per distinct value, then one ordered
+    running sum over the distinct-value table. Scale note: exact KS
+    is inherently sort-based; with a continuous value column the
+    distinct-value table approaches row count and the final window
+    is a global sort. This exact form is the documented oracle
+    twin — at 100 TB, pre-quantize the value (fixed-width bins give
+    a D within bin-width of exact) or compare KLL sketch quantiles
+    (agg_kll_quantile_sketch)."""
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["events"]
+        .where(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "value",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("g2"),
+        )
+    )
+    pv = s.groupBy("value").agg(
+        F.sum("g1").alias("c1"), F.sum("g2").alias("c2")
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = pv.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(Window.partitionBy()).alias("n1"),
+        F.sum("c2").over(Window.partitionBy()).alias("n2"),
+    )
+    return cdf.agg(
+        F.min("n1").cast("bigint").alias("n_purchase"),
+        F.min("n2").cast("bigint").alias("n_click"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+    )
+
+
+_GROWTH_ORACLE = """
+WITH monthly AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS m,
+         ROUND(SUM(o_totalprice), 6) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT CAST(m AS DATE) AS month_start,
+       rev,
+       ROUND(CASE WHEN LAG(rev) OVER (ORDER BY m) IS NULL THEN NULL
+                  ELSE 100.0 * (rev - LAG(rev) OVER (ORDER BY m))
+                        / LAG(rev) OVER (ORDER BY m) END, 6)
+         AS mom_growth_pct,
+       ROUND(AVG(rev) OVER (ORDER BY m
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             6) AS ma3
+FROM monthly ORDER BY month_start
+"""
+
+
+@query("time_monthly_growth", _GROWTH_ORACLE)
+def time_monthly_growth(spark, sf_dir):
+    """Month-over-month revenue growth with a trailing 3-month moving
+    average — the standard trend report. The heavy scan reduces to
+    one calendar-bounded row per month before any window runs, so
+    the unpartitioned windows are free at any corpus size."""
+    t = load_tables(spark, sf_dir)
+    monthly = t["orders"].groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    w = Window.orderBy("m")
+    return (
+        monthly.select(
+            F.col("m").cast("date").alias("month_start"),
+            "rev",
+            F.round(
+                F.when(
+                    F.lag("rev").over(w).isNull(), F.lit(None)
+                ).otherwise(
+                    100.0
+                    * (F.col("rev") - F.lag("rev").over(w))
+                    / F.lag("rev").over(w)
+                ),
+                6,
+            ).alias("mom_growth_pct"),
+            F.round(
+                F.avg("rev").over(w.rowsBetween(-2, 0)), 6
+            ).alias("ma3"),
+        )
+        .orderBy("month_start")
+    )
+
+
+_TRIGRAM_ORACLE = """
+WITH tri AS (
+  SELECT lang,
+         unnest(list_transform(
+           range(1, GREATEST(length(lower(text)) - 1, 1)),
+           i -> substr(lower(text), CAST(i AS INT), 3))) AS tg
+  FROM documents
+  WHERE length(text) >= 3
+), tc AS (
+  SELECT lang, tg, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tri GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY c DESC, tg) AS rn,
+         SUM(c) OVER (PARTITION BY lang) AS total,
+         COUNT(*) OVER (PARTITION BY lang) AS n_distinct
+  FROM tc
+)
+SELECT lang,
+       CAST(MIN(total) AS BIGINT) AS n_trigrams,
+       CAST(MIN(n_distinct) AS BIGINT) AS distinct_trigrams,
+       ROUND(SUM(CASE WHEN rn <= 100 THEN CAST(c AS DOUBLE)
+                      ELSE 0 END) / MIN(total), 6)
+         AS top100_coverage
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("text_trigram_coverage", _TRIGRAM_ORACLE)
+def text_trigram_coverage(spark, sf_dir):
+    """Character-trigram concentration per language: what fraction of
+    all trigram occurrences the top-100 trigrams cover. Natural text
+    has high trigram concentration per language (the signal n-gram
+    language-ID exploits); a flat profile flags mixed or corrupt
+    shards. Trigram extraction is a codegen transform+explode (no
+    UDF); the rank/coverage windows run on the bounded per-language
+    trigram-count table."""
+    t = load_tables(spark, sf_dir)
+    tri = (
+        t["documents"]
+        .where(F.length("text") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
+                    " i -> substring(lower(text), i, 3))"
+                )
+            ).alias("tg"),
+        )
+    )
+    tc = tri.groupBy("lang", "tg").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("lang")
+    ranked = tc.select(
+        "lang",
+        "c",
+        F.row_number()
+        .over(wl.orderBy(F.desc("c"), F.asc("tg")))
+        .alias("rn"),
+        F.sum("c").over(wl).alias("total"),
+        F.count("*").over(wl).alias("n_distinct"),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.min("total").cast("bigint").alias("n_trigrams"),
+            F.min("n_distinct").cast("bigint").alias("distinct_trigrams"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rn") <= 100, F.col("c").cast("double")
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.min("total"),
+                6,
+            ).alias("top100_coverage"),
+        )
+        .orderBy("lang")
+    )

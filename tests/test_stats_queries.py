@@ -248,3 +248,83 @@ def test_hapax_ratio_invariants(spark):
         assert 0 <= r.hapax <= r.vocab
         assert 0.0 <= r.hapax_ratio <= 1.0
         assert 0.0 < r.type_token_ratio <= 1.0
+
+
+def test_ks_statistic_bounds_and_planted(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        stats_ks_test,
+    )
+
+    r = stats_ks_test(spark, SF_DIR).collect()[0]
+    assert r.n_purchase > 0 and r.n_click > 0
+    assert 0.0 <= r.ks_d <= 1.0
+    # planted: identical samples → D == 0; disjoint supports → D == 1
+    same = spark.createDataFrame(
+        [(float(v), g) for v in range(10) for g in ("a", "b")],
+        "value double, grp string",
+    )
+    disjoint = spark.createDataFrame(
+        [(float(v), "a") for v in range(10)]
+        + [(float(v + 100), "b") for v in range(10)],
+        "value double, grp string",
+    )
+
+    def ks(df):
+        pv = df.groupBy("value").agg(
+            F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).alias("c2"),
+        )
+        w = Window.orderBy("value").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cdf = pv.select(
+            F.sum("c1").over(w).alias("cum1"),
+            F.sum("c2").over(w).alias("cum2"),
+            F.sum("c1").over(Window.partitionBy()).alias("n1"),
+            F.sum("c2").over(Window.partitionBy()).alias("n2"),
+        )
+        return cdf.agg(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+            ).alias("d")
+        ).collect()[0].d
+
+    assert ks(same) == 0.0
+    assert ks(disjoint) == 1.0
+
+
+def test_monthly_growth_window_math(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        time_monthly_growth,
+    )
+
+    rows = time_monthly_growth(spark, SF_DIR).collect()
+    assert len(rows) > 2
+    assert rows[0].mom_growth_pct is None  # no prior month
+    # spot-check the lag arithmetic on the first valid pair
+    r0, r1 = rows[0], rows[1]
+    expect = round(100.0 * (r1.rev - r0.rev) / r0.rev, 6)
+    assert abs(r1.mom_growth_pct - expect) < 1e-6
+    # ma3 of the first row is the row itself
+    assert abs(rows[0].ma3 - rows[0].rev) < 1e-6
+
+
+def test_trigram_coverage_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        text_trigram_coverage,
+    )
+
+    rows = text_trigram_coverage(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.distinct_trigrams <= r.n_trigrams
+        assert 0.0 < r.top100_coverage <= 1.0
+        # if a language has <=100 distinct trigrams, coverage is total
+        if r.distinct_trigrams <= 100:
+            assert r.top100_coverage == 1.0
