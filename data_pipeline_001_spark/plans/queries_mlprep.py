@@ -2251,3 +2251,214 @@ def text_trigram_coverage(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------
+# Estimation-quality batch: jackknife standard error, readability,
+# new-vs-returning decomposition.
+# ---------------------------------------------------------------------
+
+_JACK_ORACLE = """
+WITH g AS (
+  SELECT ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) % 10
+           AS grp,
+         o_totalprice AS x
+  FROM orders
+), per AS (
+  SELECT grp, SUM(x) AS s, COUNT(*) AS n FROM g GROUP BY 1
+), tot AS (
+  SELECT SUM(s) AS st, SUM(n) AS nt, COUNT(*) AS ng FROM per
+), loo AS (
+  SELECT (t.st - p.s) / (t.nt - p.n) AS m_i, t.ng
+  FROM per p CROSS JOIN tot t
+), jb AS (
+  SELECT AVG(m_i) AS m_bar, MIN(ng) AS ng FROM loo
+)
+SELECT CAST(t.nt AS BIGINT) AS n_rows,
+       CAST(j.ng AS BIGINT) AS n_groups,
+       ROUND(t.st / t.nt, 6) AS mean_price,
+       ROUND(SQRT((j.ng - 1.0) / j.ng
+                  * (SELECT SUM((m_i - j.m_bar) * (m_i - j.m_bar))
+                     FROM loo)), 6) AS jackknife_se
+FROM tot t CROSS JOIN jb j
+"""
+
+
+@query("stats_jackknife_se", _JACK_ORACLE)
+def stats_jackknife_se(spark, sf_dir):
+    """Delete-one-group jackknife standard error for the mean order
+    price over 10 hash-stable buckets (ascii-of-md5 assignment, the
+    same append-stable trick as the A/B arms — re-runs and late
+    data never reshuffle groups, unlike RNG resampling). One scan
+    produces 10 per-group partials; every downstream step runs on
+    that 10-row table, so the estimator costs the same as the mean
+    itself at any corpus size."""
+    t = load_tables(spark, sf_dir)
+    g = t["orders"].select(
+        (
+            F.ascii(
+                F.substring(
+                    F.md5(F.col("o_orderkey").cast("string")), 1, 1
+                )
+            )
+            % 10
+        ).alias("grp"),
+        F.col("o_totalprice").alias("x"),
+    )
+    per = g.groupBy("grp").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    tot = per.agg(
+        F.sum("s").alias("st"),
+        F.sum("n").alias("nt"),
+        F.count("*").alias("ng"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        ((F.col("st") - F.col("s")) / (F.col("nt") - F.col("n"))).alias(
+            "m_i"
+        ),
+        "st",
+        "nt",
+        "ng",
+    )
+    jb = loo.agg(F.avg("m_i").alias("m_bar"))
+    return (
+        loo.crossJoin(F.broadcast(jb))
+        .agg(
+            F.min("nt").cast("bigint").alias("n_rows"),
+            F.min("ng").cast("bigint").alias("n_groups"),
+            F.round(F.min("st") / F.min("nt"), 6).alias("mean_price"),
+            F.round(
+                F.sqrt(
+                    (F.min("ng") - 1.0)
+                    / F.min("ng")
+                    * F.sum(
+                        (F.col("m_i") - F.col("m_bar"))
+                        * (F.col("m_i") - F.col("m_bar"))
+                    )
+                ),
+                6,
+            ).alias("jackknife_se"),
+        )
+    )
+
+
+_READ_ORACLE = """
+WITH d AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '[a-z]+'))       AS words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))    AS sylls
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(words AS DOUBLE) / sents), 6) AS avg_words_per_sent,
+       ROUND(AVG(CAST(sylls AS DOUBLE) / words), 6) AS avg_sylls_per_word,
+       ROUND(AVG(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                 - 84.6 * (CAST(sylls AS DOUBLE) / words)), 6)
+         AS flesch_ease
+FROM d WHERE words > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("text_readability", _READ_ORACLE)
+def text_readability(spark, sf_dir):
+    """Per-language Flesch reading ease with vowel-group syllable
+    approximation — the readability axis of quality scoring
+    (documents that score far outside prose range are tables, code,
+    or OCR noise). All three counts are codegen regexp_extract_all
+    sizes in the same scan; zero-word docs are excluded before the
+    division."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "lang",
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        ).alias("sents"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).alias("sylls"),
+    ).where(F.col("words") > 0)
+    wps = F.col("words").cast("double") / F.col("sents")
+    spw = F.col("sylls").cast("double") / F.col("words")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(wps), 6).alias("avg_words_per_sent"),
+            F.round(F.avg(spw), 6).alias("avg_sylls_per_word"),
+            F.round(
+                F.avg(206.835 - 1.015 * wps - 84.6 * spw), 6
+            ).alias("flesch_ease"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NEWRET_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL
+), firsts AS (
+  SELECT user_id, d,
+         MIN(d) OVER (PARTITION BY user_id) AS first_d
+  FROM du
+)
+SELECT d,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN d <> first_d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning,
+       ROUND(AVG(CASE WHEN d = first_d THEN 1.0 ELSE 0.0 END), 6)
+         AS pct_new
+FROM firsts GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("events_new_vs_returning", _NEWRET_ORACLE)
+def events_new_vs_returning(spark, sf_dir):
+    """Daily active users decomposed into new (first-ever-seen that
+    day) vs returning — the growth-accounting report. The first-seen
+    date is a window min over the deduplicated (user, day) table, so
+    the user-keyed shuffle from the distinct is reused by the window
+    (no self-join against a firsts table) and the output is
+    calendar-bounded."""
+    t = load_tables(spark, sf_dir)
+    du = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    firsts = du.select(
+        "d",
+        F.min("d").over(Window.partitionBy("user_id")).alias("first_d"),
+    )
+    return (
+        firsts.groupBy("d")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(
+                F.when(F.col("d") == F.col("first_d"), 1).otherwise(0)
+            ).alias("n_new"),
+            F.sum(
+                F.when(F.col("d") != F.col("first_d"), 1).otherwise(0)
+            ).alias("n_returning"),
+            F.round(
+                F.avg(
+                    F.when(F.col("d") == F.col("first_d"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("pct_new"),
+        )
+        .orderBy("d")
+    )

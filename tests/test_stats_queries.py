@@ -328,3 +328,67 @@ def test_trigram_coverage_invariants(spark):
         # if a language has <=100 distinct trigrams, coverage is total
         if r.distinct_trigrams <= 100:
             assert r.top100_coverage == 1.0
+
+
+def test_jackknife_se_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        stats_jackknife_se,
+    )
+
+    r = stats_jackknife_se(spark, SF_DIR).collect()[0]
+    assert r.n_groups == 10
+    assert r.jackknife_se >= 0.0
+    assert r.mean_price > 0.0
+    # jackknife SE of a mean should be within an order of magnitude
+    # of the classical SE = sd / sqrt(n)
+    import math
+
+    stats = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .selectExpr(
+            "stddev_samp(o_totalprice) AS sd", "count(*) AS n"
+        )
+        .collect()[0]
+    )
+    classical = stats.sd / math.sqrt(stats.n)
+    assert classical / 10 < r.jackknife_se < classical * 10
+
+
+def test_readability_prose_range(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        text_readability,
+    )
+
+    rows = text_readability(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0
+        assert r.avg_words_per_sent > 0.0
+        # every word has at least ~one vowel group in natural text
+        assert 0.2 < r.avg_sylls_per_word < 10.0
+        # Flesch is unbounded in theory but sane corpora sit in
+        # roughly [-200, 206.835]
+        assert -500.0 < r.flesch_ease <= 206.835
+
+
+def test_new_vs_returning_accounting(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        events_new_vs_returning,
+    )
+
+    rows = events_new_vs_returning(spark, SF_DIR).collect()
+    assert rows
+    # day 1: everyone is new; decomposition always sums
+    assert rows[0].n_new == rows[0].n_active
+    for r in rows:
+        assert r.n_new + r.n_returning == r.n_active
+        assert 0.0 <= r.pct_new <= 1.0
+    # total new across all days == number of distinct users
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where("user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_new for r in rows) == n_users
