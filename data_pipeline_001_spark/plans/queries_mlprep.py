@@ -1780,8 +1780,8 @@ def events_bounce_rate(spark, sf_dir):
             F.when(
                 F.lag("ts").over(w_ord).isNull()
                 | (
-                    F.unix_timestamp("ts")
-                    - F.unix_timestamp(F.lag("ts").over(w_ord))
+                    F.col("ts").cast("double")
+                    - F.lag("ts").over(w_ord).cast("double")
                     > 1800
                 ),
                 F.lit(1),
@@ -2461,4 +2461,272 @@ def events_new_vs_returning(spark, sf_dir):
             ).alias("pct_new"),
         )
         .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------
+# Comparative-statistics batch: Welch's t, Herfindahl concentration,
+# session durations.
+# ---------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH assigned AS (
+  SELECT CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         value
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND value IS NOT NULL
+), s AS (
+  SELECT arm, COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+  FROM assigned GROUP BY 1
+), ab AS (
+  SELECT
+    MAX(CASE WHEN arm = 'A' THEN n END) AS n1,
+    MAX(CASE WHEN arm = 'A' THEN m END) AS m1,
+    MAX(CASE WHEN arm = 'A' THEN v END) AS v1,
+    MAX(CASE WHEN arm = 'B' THEN n END) AS n2,
+    MAX(CASE WHEN arm = 'B' THEN m END) AS m2,
+    MAX(CASE WHEN arm = 'B' THEN v END) AS v2
+  FROM s
+)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       ROUND(m1, 6) AS mean_a, ROUND(m2, 6) AS mean_b,
+       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS welch_t,
+       ROUND(POW(v1 / n1 + v2 / n2, 2)
+             / (POW(v1 / n1, 2) / (n1 - 1)
+                + POW(v2 / n2, 2) / (n2 - 1)), 6) AS welch_dof
+FROM ab
+"""
+
+
+@query("stats_welch_ttest", _WELCH_ORACLE)
+def stats_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t statistic (with Welch–Satterthwaite
+    degrees of freedom) comparing purchase value between the two
+    hash-stable arms — the continuous-metric companion to the
+    conversion z-test in agg_ab_experiment_lift. One scan computes
+    both arms' count/mean/variance as algebraic aggregates; the
+    statistic is 1-row arithmetic via a conditional pivot."""
+    t = load_tables(spark, sf_dir)
+    assigned = (
+        t["events"]
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.when(
+                F.ascii(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 1
+                    )
+                )
+                % 2
+                == 0,
+                "A",
+            )
+            .otherwise("B")
+            .alias("arm"),
+            "value",
+        )
+    )
+    s = assigned.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+
+    def pick(col, arm):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    ab = s.agg(
+        pick("n", "A").alias("n1"),
+        pick("m", "A").alias("m1"),
+        pick("v", "A").alias("v1"),
+        pick("n", "B").alias("n2"),
+        pick("m", "B").alias("m2"),
+        pick("v", "B").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return ab.select(
+        F.col("n1").cast("bigint").alias("n_a"),
+        F.col("n2").cast("bigint").alias("n_b"),
+        F.round("m1", 6).alias("mean_a"),
+        F.round("m2", 6).alias("mean_b"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias(
+            "welch_t"
+        ),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("welch_dof"),
+    )
+
+
+_HHI_ORACLE = """
+WITH supp_rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), shares AS (
+  SELECT s_nationkey, rev,
+         SUM(rev) OVER (PARTITION BY s_nationkey) AS nat_rev,
+         COUNT(*) OVER (PARTITION BY s_nationkey) AS n_suppliers
+  FROM supp_rev
+)
+SELECT n.n_name AS nation,
+       CAST(MIN(sh.n_suppliers) AS BIGINT) AS n_suppliers,
+       ROUND(SUM((sh.rev / sh.nat_rev) * (sh.rev / sh.nat_rev)), 6)
+         AS hhi
+FROM shares sh JOIN nation n ON sh.s_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("agg_hhi_concentration", _HHI_ORACLE)
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman supplier-concentration index per nation:
+    Σ share² of discounted supply revenue — the antitrust-style
+    companion to agg_gini_concentration (HHI weights the head,
+    Gini the whole curve). The fact scan reduces to one row per
+    (nation, supplier) before the share windows run; supplier and
+    nation dims broadcast."""
+    t = load_tables(spark, sf_dir)
+    supp_rev = (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["supplier"].select("s_suppkey", "s_nationkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    wn = Window.partitionBy("s_nationkey")
+    shares = supp_rev.select(
+        "s_nationkey",
+        "rev",
+        F.sum("rev").over(wn).alias("nat_rev"),
+        F.count("*").over(wn).alias("n_suppliers"),
+    )
+    share = F.col("rev") / F.col("nat_rev")
+    return (
+        shares.join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.min("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+_SESSDUR_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE user_id IS NOT NULL
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, sid,
+         epoch(MAX(ts)) - epoch(MIN(ts)) AS dur_s,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(quantile_cont(CAST(dur_s AS DOUBLE), 0.5), 6)
+         AS p50_duration_s,
+       ROUND(quantile_cont(CAST(dur_s AS DOUBLE), 0.9), 6)
+         AS p90_duration_s,
+       ROUND(AVG(CAST(n_events AS DOUBLE)), 6) AS avg_events,
+       ROUND(MAX(CAST(dur_s AS DOUBLE)), 6) AS max_duration_s
+FROM per_sess
+"""
+
+
+@query("events_session_duration", _SESSDUR_ORACLE)
+def events_session_duration(spark, sf_dir):
+    """Session-duration distribution over the same 30-minute-gap
+    sessions as events_bounce_rate: exact p50/p90/max duration and
+    mean events per session. Shares the single user-keyed exchange
+    of the sessionizer; the percentile pass runs over one row per
+    session."""
+    t = load_tables(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            F.when(
+                F.lag("ts").over(w_ord).isNull()
+                | (
+                    F.col("ts").cast("double")
+                    - F.lag("ts").over(w_ord).cast("double")
+                    > 1800
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("new_s"),
+        )
+        .select(
+            "user_id", "ts", F.sum("new_s").over(w_run).alias("sid")
+        )
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        (
+            F.max(F.col("ts").cast("double"))
+            - F.min(F.col("ts").cast("double"))
+        ).alias("dur_s"),
+        F.count("*").alias("n_events"),
+    )
+    return per_sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(
+            F.expr("percentile(CAST(dur_s AS DOUBLE), 0.5)"), 6
+        ).alias("p50_duration_s"),
+        F.round(
+            F.expr("percentile(CAST(dur_s AS DOUBLE), 0.9)"), 6
+        ).alias("p90_duration_s"),
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias(
+            "avg_events"
+        ),
+        F.round(F.max(F.col("dur_s").cast("double")), 6).alias(
+            "max_duration_s"
+        ),
     )

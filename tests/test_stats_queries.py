@@ -392,3 +392,50 @@ def test_new_vs_returning_accounting(spark):
         .count()
     )
     assert sum(r.n_new for r in rows) == n_users
+
+
+def test_welch_ttest_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        stats_welch_ttest,
+    )
+
+    r = stats_welch_ttest(spark, SF_DIR).collect()[0]
+    assert r.n_a > 1 and r.n_b > 1
+    import math
+
+    assert math.isfinite(r.welch_t)
+    # Welch dof is bounded by min(n1,n2)-1 below and n1+n2-2 above
+    assert min(r.n_a, r.n_b) - 1 <= r.welch_dof + 1e-6
+    assert r.welch_dof <= r.n_a + r.n_b - 2 + 1e-6
+    # hash arms on the same corpus: means should be same order of
+    # magnitude (sanity that assignment isn't degenerate)
+    assert r.mean_a > 0 and r.mean_b > 0
+
+
+def test_hhi_bounds(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        agg_hhi_concentration,
+    )
+
+    rows = agg_hhi_concentration(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # HHI of n equal shares is 1/n; monopoly is 1
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6
+
+
+def test_session_duration_consistency(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        events_bounce_rate,
+        events_session_duration,
+    )
+
+    d = events_session_duration(spark, SF_DIR).collect()[0]
+    assert d.n_sessions > 0
+    assert 0.0 <= d.p50_duration_s <= d.p90_duration_s <= d.max_duration_s
+    assert d.avg_events >= 1.0
+    # same sessionizer: session counts must agree with the bounce query
+    total = sum(
+        r.n_sessions for r in events_bounce_rate(spark, SF_DIR).collect()
+    )
+    assert total == d.n_sessions
