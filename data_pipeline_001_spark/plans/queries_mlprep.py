@@ -2730,3 +2730,79 @@ def events_session_duration(spark, sf_dir):
             "max_duration_s"
         ),
     )
+
+
+_ANOVA_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         ISODOW(CAST(ts AS DATE)) AS dow,
+         ROUND(SUM(value), 6) AS rev
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), g AS (
+  SELECT dow, COUNT(*) AS n_g, AVG(rev) AS m_g,
+         SUM(rev * rev) AS ss_g, SUM(rev) AS s_g
+  FROM daily GROUP BY 1
+), tot AS (
+  SELECT SUM(n_g) AS n, SUM(s_g) / SUM(n_g) AS m,
+         COUNT(*) AS k FROM g
+)
+SELECT CAST(t.n AS BIGINT) AS n_days,
+       CAST(t.k AS BIGINT) AS k_groups,
+       ROUND(SUM(g.n_g * (g.m_g - t.m) * (g.m_g - t.m)) / (t.k - 1)
+             / (SUM(g.ss_g - g.n_g * g.m_g * g.m_g) / (t.n - t.k)),
+             6) AS f_stat
+FROM g CROSS JOIN tot t
+GROUP BY t.n, t.k
+"""
+
+
+@query("stats_anova_weekday", _ANOVA_ORACLE)
+def stats_anova_weekday(spark, sf_dir):
+    """One-way ANOVA F statistic for daily purchase revenue grouped
+    by ISO weekday — does day-of-week explain revenue variance?
+    Completes the test-statistic family (z: A/B lift, t: Welch,
+    chi²: independence, KS: distribution, F: variance decomposition).
+    Between/within sums of squares come from algebraic per-group
+    partials over the calendar-bounded daily table; the F ratio is
+    7-row arithmetic."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.dayofweek(F.col("ts").cast("date")).alias("dow_raw"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("rev"))
+    )
+    g = daily.groupBy("dow_raw").agg(
+        F.count("*").alias("n_g"),
+        F.avg("rev").alias("m_g"),
+        F.sum(F.col("rev") * F.col("rev")).alias("ss_g"),
+        F.sum("rev").alias("s_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        (F.sum("s_g") / F.sum("n_g")).alias("m"),
+        F.count("*").alias("k"),
+    )
+    ssb = F.sum(
+        F.col("n_g") * (F.col("m_g") - F.col("m")) * (F.col("m_g") - F.col("m"))
+    )
+    ssw = F.sum(
+        F.col("ss_g") - F.col("n_g") * F.col("m_g") * F.col("m_g")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(
+            F.min("n").cast("bigint").alias("n_days"),
+            F.min("k").cast("bigint").alias("k_groups"),
+            F.round(
+                (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))),
+                6,
+            ).alias("f_stat"),
+        )
+        .drop("n", "k")
+    )

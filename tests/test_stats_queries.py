@@ -439,3 +439,14 @@ def test_session_duration_consistency(spark):
         r.n_sessions for r in events_bounce_rate(spark, SF_DIR).collect()
     )
     assert total == d.n_sessions
+
+
+def test_anova_f_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        stats_anova_weekday,
+    )
+
+    r = stats_anova_weekday(spark, SF_DIR).collect()[0]
+    assert r.k_groups <= 7
+    assert r.n_days >= r.k_groups
+    assert r.f_stat >= 0.0
