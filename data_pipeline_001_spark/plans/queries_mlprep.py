@@ -2806,3 +2806,39 @@ def stats_anova_weekday(spark, sf_dir):
         )
         .drop("n", "k")
     )
+
+
+_LOAD_ORACLE = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS h, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(AVG(c), 6) AS mean_per_hour,
+       ROUND(STDDEV_SAMP(c) / AVG(c), 6) AS cv,
+       ROUND(MAX(c) / AVG(c), 6) AS peak_to_mean,
+       ROUND(MAX(c) / MIN(c), 6) AS peak_to_trough
+FROM hourly
+"""
+
+
+@query("events_load_imbalance", _LOAD_ORACLE)
+def events_load_imbalance(spark, sf_dir):
+    """Hourly ingest-load imbalance profile: coefficient of variation
+    and peak-to-mean / peak-to-trough ratios of events per hour —
+    the capacity-planning numbers behind the reference's window-size
+    scaling curves (scalar_duration_curves picks window granularity;
+    this measures the burstiness that forces it). One scan reduces
+    to calendar-bounded hourly counts; all ratios are algebraic
+    aggregates over that."""
+    t = load_tables(spark, sf_dir)
+    hourly = t["events"].groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("double").alias("c"))
+    return hourly.agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.avg("c"), 6).alias("mean_per_hour"),
+        F.round(F.stddev_samp("c") / F.avg("c"), 6).alias("cv"),
+        F.round(F.max("c") / F.avg("c"), 6).alias("peak_to_mean"),
+        F.round(F.max("c") / F.min("c"), 6).alias("peak_to_trough"),
+    )

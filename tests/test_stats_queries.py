@@ -450,3 +450,16 @@ def test_anova_f_invariants(spark):
     assert r.k_groups <= 7
     assert r.n_days >= r.k_groups
     assert r.f_stat >= 0.0
+
+
+def test_load_imbalance_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        events_load_imbalance,
+    )
+
+    r = events_load_imbalance(spark, SF_DIR).collect()[0]
+    assert r.n_hours > 0
+    assert r.mean_per_hour > 0.0
+    assert r.cv >= 0.0
+    assert r.peak_to_mean >= 1.0
+    assert r.peak_to_trough >= r.peak_to_mean
