@@ -2842,3 +2842,76 @@ def events_load_imbalance(spark, sf_dir):
         F.round(F.max("c") / F.avg("c"), 6).alias("peak_to_mean"),
         F.round(F.max("c") / F.min("c"), 6).alias("peak_to_trough"),
     )
+
+
+_AGING_ORACLE = """
+WITH mx AS (
+  SELECT MAX(o_orderdate) AS max_d FROM orders
+), aged AS (
+  SELECT o.o_orderstatus AS status,
+         CASE
+           WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(m.max_d AS DATE)) <= 30  THEN '0-30'
+           WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(m.max_d AS DATE)) <= 90  THEN '31-90'
+           WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(m.max_d AS DATE)) <= 365 THEN '91-365'
+           ELSE '365+'
+         END AS age_bucket,
+         o.o_totalprice
+  FROM orders o CROSS JOIN mx m
+)
+SELECT status, age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS total_value
+FROM aged GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("orders_status_aging", _AGING_ORACLE)
+def orders_status_aging(spark, sf_dir):
+    """Order-backlog aging matrix: status × age bucket (days relative
+    to the newest order date, so the report is re-run-stable on a
+    frozen snapshot) with counts and value. The max-date scalar
+    broadcasts; the bucketing is a codegen CASE and the rollup is
+    one map-side-combinable groupBy."""
+    t = load_tables(spark, sf_dir)
+    mx = t["orders"].agg(F.max("o_orderdate").alias("max_d"))
+    aged = t["orders"].crossJoin(F.broadcast(mx)).select(
+        F.col("o_orderstatus").alias("status"),
+        F.when(
+            F.datediff(
+                F.col("max_d").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            <= 30,
+            "0-30",
+        )
+        .when(
+            F.datediff(
+                F.col("max_d").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            <= 90,
+            "31-90",
+        )
+        .when(
+            F.datediff(
+                F.col("max_d").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            <= 365,
+            "91-365",
+        )
+        .otherwise("365+")
+        .alias("age_bucket"),
+        "o_totalprice",
+    )
+    return (
+        aged.groupBy("status", "age_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_value"),
+        )
+        .orderBy("status", "age_bucket")
+    )

@@ -463,3 +463,17 @@ def test_load_imbalance_invariants(spark):
     assert r.cv >= 0.0
     assert r.peak_to_mean >= 1.0
     assert r.peak_to_trough >= r.peak_to_mean
+
+
+def test_status_aging_accounting(spark):
+    from data_pipeline_001_spark.plans.queries_mlprep import (
+        orders_status_aging,
+    )
+
+    rows = orders_status_aging(spark, SF_DIR).collect()
+    assert rows
+    valid = {"0-30", "31-90", "91-365", "365+"}
+    assert all(r.age_bucket in valid for r in rows)
+    # cell counts sum to the table row count
+    n = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n
