@@ -124,7 +124,7 @@ def q03(spark, sf_dir):
         li.join(t["orders"].where(F.col("o_orderdate") < cut),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["customer"].where(F.col("c_mktsegment") == "BUILDING")),
+            t["customer"].where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
@@ -248,7 +248,7 @@ def q10(spark, sf_dir):
     )
     return (
         per_cust.join(
-            F.broadcast(t["customer"]),
+            t["customer"],
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
@@ -274,7 +274,7 @@ def part_type_revenue(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -550,7 +550,7 @@ def agg_rollup(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     base = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
     )

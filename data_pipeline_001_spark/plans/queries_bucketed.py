@@ -149,9 +149,7 @@ def q03_bucketed(spark, sf_dir):
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(
-                t["customer"].where(F.col("c_mktsegment") == "BUILDING")
-            ),
+            t["customer"].where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
@@ -193,7 +191,7 @@ def q10_bucketed(spark, sf_dir):
     )
     return (
         per_cust.join(
-            F.broadcast(t["customer"]),
+            t["customer"],
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select("c_custkey", "c_name", F.round("rev", 2).alias("revenue"))

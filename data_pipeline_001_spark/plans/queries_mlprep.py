@@ -2603,9 +2603,7 @@ def agg_hhi_concentration(spark, sf_dir):
     supp_rev = (
         t["lineitem"]
         .join(
-            F.broadcast(
-                t["supplier"].select("s_suppkey", "s_nationkey")
-            ),
+            t["supplier"].select("s_suppkey", "s_nationkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_nationkey", "l_suppkey")

@@ -99,7 +99,7 @@ def q14(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"))
     )
 
@@ -126,7 +126,7 @@ def q18(spark, sf_dir):
     )
     return (
         big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "o_orderkey", F.round("total_qty", 2).alias("total_qty"))
     )
 

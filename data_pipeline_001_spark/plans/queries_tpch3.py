@@ -67,12 +67,12 @@ def q07(spark, sf_dir):
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            t["customer"].select("c_custkey", "c_nationkey"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(
-            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            t["supplier"].select("s_suppkey", "s_nationkey"),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
@@ -123,12 +123,12 @@ def q08(spark, sf_dir):
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            t["customer"].select("c_custkey", "c_nationkey"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .join(F.broadcast(euro_nations), F.col("c_nationkey") == F.col("c_nkey"))
         .join(
-            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            t["supplier"].select("s_suppkey", "s_nationkey"),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
@@ -167,11 +167,11 @@ def q09(spark, sf_dir):
     return (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].where(F.col("p_type") == "PROMO")),
+            t["part"].where(F.col("p_type") == "PROMO"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(
-            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            t["supplier"].select("s_suppkey", "s_nationkey"),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
@@ -290,7 +290,7 @@ def q16(spark, sf_dir):
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -349,7 +349,7 @@ def q19(spark, sf_dir):
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
         .where(
             branch("Brand#12", 5, 1, 11)
             | branch("Brand#23", 10, 10, 20)
@@ -388,7 +388,7 @@ def q20(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(t["part"].where(F.col("p_type") == "SMALL")),
+            t["part"].where(F.col("p_type") == "SMALL"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("l_suppkey")

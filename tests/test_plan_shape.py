@@ -172,3 +172,51 @@ def test_shuffle_hash_hint_takes_effect(spark, registry):
     plan = _plan(registry["join_hint_shuffle_hash"](spark, SF))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+GROWING_DIM_HINT = re.compile(
+    r'F\.broadcast\(\s*t\["(?:customer|part|supplier|orders)"\]'
+)
+
+
+def test_no_broadcast_hints_on_growing_dimensions():
+    """Scale guard: customer/part/supplier/orders grow linearly with
+    scale factor — an explicit F.broadcast hint on any frame derived
+    from them forces a multi-GB build at the 100 TB north star
+    regardless of AQE. Hints are allowed only on bounded sides
+    (nation/region <=25 rows, 1-row scalar aggregates). This test
+    pins the round-5 de-hint: no source line may wrap a growing
+    dimension table in F.broadcast(...)."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data_pipeline_001_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        for m in GROWING_DIM_HINT.finditer(src):
+            line = src[: m.start()].count("\n") + 1
+            offenders.append(f"{os.path.relpath(path, root)}:{line}")
+    assert not offenders, offenders
+
+
+def test_dehinted_joins_still_broadcast_at_small_sf(spark, registry):
+    """The de-hinted TPC-H plans must still get broadcast joins at
+    bench scales from statistics + AQE (24 MB threshold) — removing
+    the hint shifts the decision to the optimizer, it must not
+    regress small-SF plans to shuffled joins. Executed-plan check:
+    run each query under AQE and assert the final adaptive plan
+    kept at least one BroadcastHashJoin and no cartesian product."""
+    for name in (
+        "q03_shipping_priority",
+        "q10_returned_revenue",
+        "part_type_revenue",
+        "q14_promo_revenue",
+        "q18_large_orders",
+        "q07_volume_shipping",
+        "q09_product_profit",
+    ):
+        df = registry[name](spark, SF)
+        df.collect()  # drive AQE to the final physical plan
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
