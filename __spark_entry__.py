@@ -76,14 +76,46 @@ _R3_BACKLOG = (
 )
 
 
+#: the 51 registry entries that had no driver CORRECTNESS row after
+#: round 4 (the round-4 session additions; all oracle-verified green
+#: or rows-only-by-design via tools/check_oracle.py). Pinned for the
+#: same reason as _R3_BACKLOG: round-5+ additions and newly graduated
+#: oracles must not displace these from the driver's prefix sample.
+_R4_BACKLOG = (
+    "q05_nation_revenue_bucketed", "multimodal_decoded_features",
+    "multimodal_sampled_features", "text_html_extract",
+    "text_url_canonicalize", "text_line_dedup",
+    "profile_lineitem_columns", "embedding_quant_calibration",
+    "text_bpe_pair_stats", "agg_theta_set_algebra",
+    "agg_approx_topk_merge", "dedup_bloom_incremental",
+    "text_bpe_encode", "curation_session_assembly",
+    "graph_event_reachability", "time_ewma_daily", "sql_lateral_topn",
+    "sql_parameterized_exec", "curation_keyword_tags",
+    "json_schema_profile", "text_sentence_stats",
+    "window_funnel_conversion", "agg_rfm_segmentation",
+    "time_interarrival_stats", "time_seasonality_matrix",
+    "join_temporal_dimension", "agg_ab_experiment_lift",
+    "time_to_convert_stats", "stats_corr_matrix", "stats_mad_outliers",
+    "itemset_part_pairs", "stats_mutual_information",
+    "text_pmi_bigrams", "events_bounce_rate", "stats_chi_squared",
+    "agg_pareto_share", "text_hapax_ratio", "stats_ks_test",
+    "time_monthly_growth", "text_trigram_coverage",
+    "stats_jackknife_se", "text_readability", "events_new_vs_returning",
+    "stats_welch_ttest", "agg_hhi_concentration",
+    "events_session_duration", "stats_anova_weekday",
+    "events_load_imbalance", "orders_status_aging", "text_bpe_train",
+    "text_compressibility",
+)
+
+
 def _coverage_order(names, oracles=None) -> list[str]:
     """Queries with no driver CORRECTNESS row from any past round come
     FIRST (in registration order), so a driver that samples a prefix of
     the dict converges to full coverage across rounds. A query whose
     past rows are all rows-only (``hash_match`` null) but that NOW has
     an oracle is fronted too — its hash gate has never actually run.
-    Within the fronted block the pinned round-3 backlog outranks
-    anything newly added."""
+    Within the fronted block the pinned round-4 backlog outranks
+    anything newly added or newly graduated."""
     import glob
     import json
     import os
@@ -112,18 +144,21 @@ def _coverage_order(names, oracles=None) -> list[str]:
         return n in oracles and latest[n].get("hash_match") is not True
 
     ordered = list(names)
-    # within the fronted block: the pinned backlog first (oracle-backed
-    # before rows-only — a sampled oracle query yields a hash-gate row,
-    # a rows-only one only an execution row), then round-4+ additions
-    backlog = set(_R3_BACKLOG)
+    # within the fronted block: the pinned round-4 backlog first
+    # (oracle-backed before rows-only — a sampled oracle query yields
+    # a hash-gate row, a rows-only one only an execution row), then
+    # graduated/red oracle-backed entries, then round-5+ additions
+    backlog = set(_R3_BACKLOG) | set(_R4_BACKLOG)
+    r4 = set(_R4_BACKLOG)
 
     def rank(n: str) -> int:
-        if n in backlog and n in oracles:
+        if n in r4 and n in oracles:
             return 0
         if n in oracles and n in seen:
             # sampled before but its hash gate never ran (an err row —
-            # e.g. round 2's NTZ-cast failure, since fixed): clearing
-            # the ledger's red row outranks sampling new additions
+            # a rows-only entry since graduated to a contract oracle,
+            # or a since-fixed mismatch): clearing the ledger's red
+            # row outranks sampling new additions
             return 1
         if n in backlog:
             return 2
