@@ -20,7 +20,11 @@ STOPWORDS = {
     "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
 }
 
-TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# whitespace spelled as the explicit java.util.regex \s class
+# [ \t\n\x0B\f\r]: RE2's \s omits U+000B (vertical tab), so a bare
+# \s in a pattern shared across JVM/Arrow-RE2/DuckDB engines counts
+# \x0B as punctuation on one side and whitespace on the other
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def normalize_text(text: Column) -> Column:

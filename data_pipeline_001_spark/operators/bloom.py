@@ -38,6 +38,21 @@ from pyspark.sql.types import BooleanType
 _SEED2 = 0x9E3779B9  # second-hash salt (golden-ratio constant)
 
 
+def _check_m_bits(m_bits: int) -> None:
+    """Fail fast on filter sizes the double-hash math cannot honor:
+    ``(h1 + i*h2)`` wraps mod 2**64 BEFORE the ``% m_bits``, which is
+    only distribution-exact when m_bits divides 2**64 (a power of
+    two); and the packed array is ``m_bits // 8`` bytes, so a
+    non-multiple-of-8 silently truncates and indexes past the array
+    inside the executor. Raising here turns that executor-side
+    IndexError into an immediate, explainable error."""
+    if m_bits <= 0 or (m_bits & (m_bits - 1)) != 0 or m_bits % 8 != 0:
+        raise ValueError(
+            f"m_bits must be a power of two and a multiple of 8, "
+            f"got {m_bits}"
+        )
+
+
 def _hash_cols(df: DataFrame, fp_col: str) -> DataFrame:
     """Two independent 64-bit hashes, computed JVM-side (codegen) so
     build and probe agree bit-for-bit."""
@@ -64,6 +79,7 @@ def bloom_bits(
     bounded arrays (the only collect — P × m/8 bytes, documented)."""
     import numpy as np
 
+    _check_m_bits(m_bits)
     hashed = _hash_cols(df, fp_col).select("_h1", "_h2")
     nbytes = m_bits // 8
 
@@ -92,6 +108,36 @@ def bloom_bits(
     return out
 
 
+#: one Spark broadcast per distinct bit-array payload per SparkContext
+#: (keyed by content digest): repeated bloom_probe calls against the
+#: same filter must not leak a fresh executor-side copy each time
+_BC_CACHE: dict = {}
+
+
+def _broadcast_bits(spark, payload: bytes):
+    import hashlib
+
+    sc = spark.sparkContext
+    key = (id(sc), hashlib.md5(payload).hexdigest())
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        bc = _BC_CACHE[key] = sc.broadcast(payload)
+    return bc
+
+
+def clear_broadcast_cache() -> None:
+    """Release every cached bit-array broadcast (executor + driver
+    copies). Safe to call between pipelines; in-flight lazy plans
+    holding a cleared broadcast must not be re-executed afterwards."""
+    for bc in _BC_CACHE.values():
+        try:
+            bc.unpersist(blocking=False)
+            bc.destroy()
+        except Exception:
+            pass  # context already stopped
+    _BC_CACHE.clear()
+
+
 def bloom_probe(
     df: DataFrame,
     fp_col: str,
@@ -102,9 +148,16 @@ def bloom_probe(
 ) -> DataFrame:
     """Add a boolean ``flag_col``: False ⇒ definitely absent from the
     set the filter was built over; True ⇒ candidate (verify exactly).
-    The bit array ships to executors once via a Spark broadcast."""
+    The bit array ships to executors once via a Spark broadcast; the
+    broadcast is cached per bit-array content (``_BC_CACHE``), so
+    repeated probes against the same filter in one session reuse one
+    executor-side copy instead of accumulating new broadcasts. The
+    plan is lazy, so the broadcast cannot be destroyed here — call
+    :func:`clear_broadcast_cache` after the last action against a
+    filter to release executor memory."""
+    _check_m_bits(m_bits)
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(bits.tobytes())
+    bc = _broadcast_bits(spark, bits.tobytes())
 
     @F.pandas_udf(BooleanType())
     def probe(h1, h2):

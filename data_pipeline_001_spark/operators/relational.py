@@ -44,6 +44,14 @@ def asof_join(
     The right row is carried as one struct (not per-column ``last``)
     so right rows containing legitimate NULL values can never be
     blended across rows.
+
+    **Eager probe**: when ``by`` is empty and ``broadcast_threshold``
+    is not ``None`` (the default), calling this function runs a small
+    Spark job immediately — it collects up to ``threshold + 1`` right
+    rows to decide whether the codegen fast path applies. Plan
+    construction is therefore action-triggering in the default
+    configuration; pass ``broadcast_threshold=None`` (or supply
+    ``right_rows``) to keep it fully lazy.
     """
     value_cols = [c for c in right.columns if c != right_time and c not in by]
     left_only = [c for c in left.columns if c not in by]

@@ -42,7 +42,7 @@ def dedup_exact_q(spark, sf_dir):
     SELECT lang, COUNT(*) AS n_docs,
            ROUND(AVG(LENGTH(text)), 6) AS avg_chars,
            ROUND(AVG(len(string_split_regex(trim(text), '\\s+'))), 6) AS avg_tokens,
-           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]'))) AS BIGINT)
                AS total_regex_tokens,
            ROUND(AVG((LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))
                      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0)), 6) AS avg_punct_ratio

@@ -267,10 +267,20 @@ _BPE_MERGES = (
 
 
 def _bpe_sql_chain(expr: str) -> str:
-    """Chained leftmost non-overlapping pair replaces — one replace()
-    per merge rule, identical semantics in Spark SQL and DuckDB."""
+    """Chained delimited pair replaces — one replace() per merge rule,
+    identical semantics in Spark SQL and DuckDB. The char sequence is
+    wrapped in sentinel spaces and each rule matches the
+    space-delimited pair (' a b ' -> ' ab '), so a merge can never
+    consume the tail of a longer token ('the r' no longer
+    substring-matches rule (e,r)). Residual approximation vs
+    token-exact merge-all BPE (operators/text_analysis._merge_tokens):
+    immediately-adjacent repeat sites share a delimiter, so a single
+    non-overlapping pass can take one fewer merge on e.g. 'erer';
+    both engines share these exact semantics, so the oracle is still
+    an equality check."""
+    expr = f"concat(' ', {expr}, ' ')"
     for a, b in _BPE_MERGES:
-        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+        expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
     return expr
 
 
@@ -286,7 +296,7 @@ WITH words AS (
   SELECT doc_id, length(w) AS n_chars,
          length({_DUCK_SEQ})
            - length(replace({_DUCK_SEQ}, ' ', ''))
-           + 1 AS n_tok
+           - 1 AS n_tok
   FROM words
 )
 SELECT doc_id,
@@ -302,10 +312,13 @@ FROM toks GROUP BY doc_id
 def text_bpe_encode(spark, sf_dir):
     """APPLY a learned BPE merge table (the consumption side of
     ``text_bpe_pair_stats``): each word becomes a char-spaced sequence
-    and the ordered merge rules collapse pairs via chained leftmost
-    non-overlapping ``replace`` — exactly the iterative BPE semantics
-    ("a a a" + rule (a,a) → "aa a"), and exactly expressible on both
-    engines, so the oracle is an equality check, not a contract. The
+    and the ordered merge rules collapse pairs via chained
+    space-delimited ``replace`` on a sentinel-wrapped sequence —
+    merges never cross token boundaries ("o the r" + rule (e,r) stays
+    3 tokens), and the one residual divergence from token-exact
+    merge-all BPE (adjacent repeat sites, see ``_bpe_sql_chain``) is
+    shared bit-for-bit by both engines, so the oracle is an equality
+    check, not a contract. The
     whole pipeline is codegen string ops inside one projection — per
     doc: word count, char-token count, BPE-token count, compression.
     At a production vocab (30k+ merges) the chain becomes an
@@ -315,7 +328,7 @@ def text_bpe_encode(spark, sf_dir):
     docs = t["documents"]
     seq = "rtrim(regexp_replace(w, '(.)', '$1 '))"
     chain = _bpe_sql_chain(seq)
-    n_tok = f"length({chain}) - length(replace({chain}, ' ', '')) + 1"
+    n_tok = f"length({chain}) - length(replace({chain}, ' ', '')) - 1"
     words = docs.select(
         "doc_id",
         F.explode(
@@ -2758,7 +2771,11 @@ GROUP BY t.n, t.k
 @query("stats_anova_weekday", _ANOVA_ORACLE)
 def stats_anova_weekday(spark, sf_dir):
     """One-way ANOVA F statistic for daily purchase revenue grouped
-    by ISO weekday — does day-of-week explain revenue variance?
+    by day of week (``F.dayofweek`` numbering: 1=Sunday … 7=Saturday,
+    NOT ISO) — does day-of-week explain revenue variance? The F
+    statistic itself is labeling-invariant (any 7-way day partition
+    is the same partition), but per-group rows added later must use
+    this numbering.
     Completes the test-statistic family (z: A/B lift, t: Welch,
     chi²: independence, KS: distribution, F: variance decomposition).
     Between/within sums of squares come from algebraic per-group

@@ -583,7 +583,9 @@ def explode_word_frequency(spark, sf_dir):
 # One alternation, no lookarounds: word runs | single digits | single
 # non-space symbols — the GPT-2-ish split granularity, expressed in the
 # regex subset where Java (Spark) and RE2 (DuckDB) agree.
-_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# whitespace spelled explicitly ([ \t\n\x0B\f\r], the JVM \s class):
+# RE2's \s omits \x0B, so the bare class diverges between engines
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 @query(
@@ -593,7 +595,7 @@ _BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
              AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]'))
              AS BIGINT) AS bpe_tokens
     FROM documents
     """,

@@ -100,3 +100,41 @@ def test_plan_never_shuffle_joins_corpus(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_m_bits_validation_rejects_unsafe_sizes(spark, tables):
+    """Non-power-of-two or non-multiple-of-8 m_bits would wrap-bias
+    the double hash and index past the packed array inside executors;
+    both build and probe must refuse them at plan-construction time."""
+    import numpy as np
+    import pytest
+
+    from data_pipeline_001_spark.operators.bloom import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    docs = tables["documents"].withColumn("_fp", F.md5(F.col("text")))
+    for bad in (0, -8, 12, 1000, (1 << 20) + 8):
+        with pytest.raises(ValueError):
+            bloom_bits(docs, "_fp", m_bits=bad)
+        with pytest.raises(ValueError):
+            bloom_probe(docs, "_fp", np.zeros(16, dtype=np.uint8), m_bits=bad)
+
+
+def test_probe_broadcast_reused_per_bit_array(spark, tables):
+    """Two probes against the same filter must share ONE Spark
+    broadcast (content-keyed cache) — repeated admission batches in a
+    session must not accumulate executor copies."""
+    from data_pipeline_001_spark.operators import bloom as B
+
+    docs = tables["documents"].limit(50).withColumn(
+        "_fp", F.md5(F.col("text"))
+    )
+    bits = B.bloom_bits(docs, "_fp", m_bits=1 << 16)
+    before = dict(B._BC_CACHE)
+    n1 = B.bloom_probe(docs, "_fp", bits, m_bits=1 << 16).count()
+    n2 = B.bloom_probe(docs, "_fp", bits, m_bits=1 << 16).count()
+    assert n1 == n2 == 50
+    new_keys = set(B._BC_CACHE) - set(before)
+    assert len(new_keys) == 1  # one broadcast for both probes

@@ -724,6 +724,10 @@ def test_arrow_regex_count_parity_with_jvm(spark):
         (5, "\U0001f600 emoji \U0001f680x9"),  # non-BMP: surrogate pair in UTF-16
         (6, "x" * 5000 + "!?" * 100),
         (7, "1234567890" * 50),
+        # \x0B (vertical tab): java.util.regex \s includes it, RE2's
+        # \s does not — the explicit [ \t\n\x0B\f\r] class in
+        # TOKEN_PATTERN must make both engines treat it as whitespace
+        (8, "a\x0bb ,\x0b, c"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = df.select(
