@@ -5,10 +5,11 @@ shared REGISTRY.
 
 ``embedding_covariance`` / ``embedding_centroids`` /
 ``text_ngram_novelty`` carry exact DuckDB oracles.
-``embedding_pca`` is rows-only by necessity (SQL has no
-eigendecomposition) — its correctness is pinned by property tests
-(components orthonormal, projections match NumPy exactly on a toy
-corpus, variance ordering) in tests/test_vector_stats.py.
+``embedding_pca`` carries a CONTRACT oracle (SQL has no
+eigendecomposition, but variance conservation, eigenvalue/projection
+agreement, and orthonormality are checkable); the raw projection is
+additionally pinned by NumPy-equivalence property tests in
+tests/test_vector_stats.py.
 """
 
 from __future__ import annotations
@@ -64,17 +65,89 @@ def embedding_centroids_q(spark, sf_dir):
     return label_centroids(t["embeddings"])
 
 
-@query("embedding_pca")
+_PCA_ORACLE = """
+WITH dim_var AS (
+  SELECT var_pop(CAST(x AS DOUBLE)) AS v
+  FROM (SELECT unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS d
+        FROM embeddings)
+  GROUP BY d
+)
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+       ROUND(SUM(v), 6) AS total_var,
+       TRUE AS explained_frac_ok,
+       TRUE AS projection_var_ok,
+       TRUE AS orthonormal_ok
+FROM dim_var
+"""
+
+
+@query("embedding_pca", _PCA_ORACLE)
 def embedding_pca_q(spark, sf_dir):
-    """Top-4 PCA projection of the embedding corpus. Eig on the d×d
-    covariance happens driver-side (bounded by embedding dim, not
-    corpus size); the projection is one codegen dot-product scan.
-    Rows-only: SQL cannot express the eigendecomposition — pinned by
-    NumPy-equivalence property tests instead."""
-    from data_pipeline_001_spark.operators.vector_stats import pca_project
+    """Top-4 PCA of the embedding corpus, graduated from rows-only to
+    a CONTRACT oracle (round-2 pattern): SQL cannot express the
+    eigendecomposition, but it CAN check what PCA must conserve. The
+    query runs the real operator (driver-side eig on the d×d
+    covariance + one codegen dot-product projection scan,
+    ``vector_stats.pca_project``) and emits one row of invariants:
+
+    * ``n_vecs`` / ``total_var`` — recomputed distributively the same
+      way DuckDB does (per-dimension ``var_pop`` over the exploded
+      corpus, summed): exact equality.
+    * ``projection_var_ok`` — the population variance of each
+      projected coordinate equals its eigenvalue to 1e-4 (ties the
+      distributed projection to the driver-side eig).
+    * ``explained_frac_ok`` — 0 < Σλ_top4 ≤ total_var, and the top-4
+      eigenvalues explain at least the uniform 4/d share.
+    * ``orthonormal_ok`` — max |VᵀV − I| ≤ 1e-8.
+
+    The full projection stays available as
+    ``vector_stats.pca_project`` (NumPy-equivalence property tests in
+    tests/test_vector_stats.py). Bounded collects only: the 1-row
+    variance aggregates and the d² covariance rows the eig already
+    needed."""
+    import numpy as np
+
+    from data_pipeline_001_spark.operators.vector_stats import (
+        _principal_components,
+        pca_project,
+    )
 
     t = load_tables(spark, sf_dir)
-    return pca_project(t["embeddings"], k=4)
+    e = t["embeddings"]
+    k = 4
+    comps, lam = _principal_components(e, "embedding", k)
+
+    total_var = (
+        e.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.var_pop(F.col("x").cast("double")).alias("v"))
+        .agg(F.sum("v").alias("tv"))
+        .collect()[0]["tv"]
+    )
+    proj = pca_project(e, k=k)
+    stats = proj.agg(
+        F.count("*").alias("n"),
+        *[F.var_pop(f"pc{i + 1}").alias(f"v{i + 1}") for i in range(k)],
+    ).collect()[0]
+
+    proj_var_ok = all(
+        abs(stats[f"v{i + 1}"] - float(lam[i])) <= 1e-4 for i in range(k)
+    )
+    lam_sum = float(np.sum(lam))
+    explained_ok = (
+        0.0 < lam_sum <= total_var + 1e-6
+        and lam_sum >= (k / comps.shape[1]) * total_var - 1e-3
+    )
+    gram = comps @ comps.T
+    ortho_ok = bool(np.max(np.abs(gram - np.eye(k))) <= 1e-8)
+
+    return spark.createDataFrame(
+        [(int(stats["n"]), round(float(total_var), 6), explained_ok,
+          proj_var_ok, ortho_ok)],
+        "n_vecs long, total_var double, explained_frac_ok boolean, "
+        "projection_var_ok boolean, orthonormal_ok boolean",
+    )
 
 
 @query(

@@ -556,7 +556,13 @@ def text_chunking(spark, sf_dir):
     return chunk_documents(t["documents"], chunk_chars=200, overlap_chars=40)
 
 
-@query("dedup_embedding_lsh")  # approximate recall — rows-only check
+_LSH_PLANTED_ORACLE = """
+SELECT vec_id AS pair_id, TRUE AS exact_copy_found
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+@query("dedup_embedding_lsh", _LSH_PLANTED_ORACLE)
 def dedup_embedding_lsh_q(spark, sf_dir):
     """PRIMARY embedding near-dup path (§2.13): multi-table
     hyperplane-LSH candidate buckets → exact cosine verify. Cost is
@@ -564,12 +570,40 @@ def dedup_embedding_lsh_q(spark, sf_dir):
     exact twin `dedup_embedding_cosine`, recall bounded in
     tests/test_llm_operators.py::test_embedding_lsh_recall_vs_exact.
     bits auto-scale with corpus size (bits=None) so candidate volume
-    stays linear in n at any sf."""
+    stays linear in n at any sf.
+
+    Graduated from rows-only to a planted-copy CONTAINMENT oracle:
+    general-pair recall is probabilistic (not SQL-checkable), but an
+    EXACT copy produces identical hyperplane signatures in every
+    table — a deterministic, not probabilistic, collision — so a
+    planted duplicate (every 50th vector re-inserted as
+    vec_id + 1_000_000) is guaranteed to surface as a verified pair
+    with cosine 1.0, unless its bucket blew past ``max_bucket_size``
+    in all 16 tables at once (auto-bits keeps average buckets ~64
+    rows, so a >500 bucket does not occur at gate scales). The full
+    pair frame stays recall-tested against the exact twin."""
     from data_pipeline_001_spark.operators.similarity import embedding_near_dup_lsh
 
     t = load_tables(spark, sf_dir)
-    return embedding_near_dup_lsh(
-        t["embeddings"], threshold=0.4, bits=None, tables=16, dim=64
+    e = t["embeddings"].select("vec_id", "embedding")
+    orig = e.where(F.col("vec_id") % 50 == 0)
+    copies = orig.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    pairs = embedding_near_dup_lsh(
+        e.unionByName(copies), threshold=0.4, bits=None, tables=16, dim=64
+    )
+    found = pairs.where(
+        (F.col("id_b") - F.col("id_a") == 1_000_000)
+        & (F.col("id_a") % 50 == 0)
+    ).select(F.col("id_a").alias("pair_id"), "cosine")
+    return orig.select(F.col("vec_id").alias("pair_id")).join(
+        found, "pair_id", "left"
+    ).select(
+        "pair_id",
+        (F.col("cosine").isNotNull() & (F.col("cosine") >= 0.999999)).alias(
+            "exact_copy_found"
+        ),
     )
 
 
@@ -642,18 +676,57 @@ def multimodal_features(spark, sf_dir):
     )
 
 
-@query("dedup_semantic_clusters")  # k-means routing — rows-only check
+_SEMANTIC_ORACLE = """
+SELECT vec_id AS pair_id,
+       TRUE AS same_component,
+       TRUE AS not_both_kept
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+@query("dedup_semantic_clusters", _SEMANTIC_ORACLE)
 def dedup_semantic_q(spark, sf_dir):
     """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse
     k-means clusters bound the pairwise cosine search; one canonical
-    survivor per near-dup component. Rows-only: the cluster routing is
-    a trained quantizer no SQL engine reproduces; the keep/remove
-    contract is property-tested (planted near-identical vectors must
-    collapse; every removed row has a kept neighbor ≥ threshold)."""
+    survivor per near-dup component. Graduated from rows-only to a
+    planted-copy CONTAINMENT oracle (round-2 pattern): the trained
+    k-means routing is not SQL-reproducible, but what dedup must DO
+    to an exact duplicate is. Every 50th vector is planted back into
+    the corpus as an exact copy (vec_id + 1_000_000); identical
+    vectors route to the same cluster deterministically and their
+    cosine is 1.0 ≥ threshold, so each planted pair is guaranteed to
+    land in one near-dup component (``same_component``) with at most
+    one survivor (``not_both_kept`` — the component's canonical
+    min-id may be a third member, so 'exactly one of the pair kept'
+    is NOT guaranteed, and the contract doesn't claim it). Holds as
+    long as no cluster exceeds ``max_cluster_size`` (sub-bucketing
+    splits on id hash) — at gate scales clusters are ~500 rows. The
+    full keep/remove frame remains property-tested in
+    tests/test_llm_operators.py."""
     from data_pipeline_001_spark.operators.similarity import semantic_dedup
 
     t = load_tables(spark, sf_dir)
-    return semantic_dedup(t["embeddings"], threshold=0.93)
+    e = t["embeddings"].select("vec_id", "embedding", "label")
+    orig = e.where(F.col("vec_id") % 50 == 0)
+    copies = orig.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    out = semantic_dedup(e.unionByName(copies), threshold=0.93)
+    pair_rows = out.where(F.col("vec_id") % 50 == 0)  # 1_000_000 % 50 == 0
+    return (
+        pair_rows.groupBy(
+            (F.col("vec_id") % 1_000_000).alias("pair_id")
+        )
+        .agg(
+            (
+                (F.count("group_id") == 2)
+                & (F.countDistinct("group_id") == 1)
+            ).alias("same_component"),
+            (F.sum(F.col("keep").cast("int")) <= 1).alias("not_both_kept"),
+        )
+    )
 
 
 @query("similarity_pq_topk")  # sample-trained codebooks — rows-only check

@@ -662,23 +662,89 @@ def curation_keyword_tags(spark, sf_dir):
     )
 
 
-@query("text_compressibility", None)
+# planted texts with zlib-level-6 ratios computed once and pinned as
+# oracle literals (zlib is deterministic for a fixed level — the same
+# closed-form-predicted-oracle pattern as the multimodal decoders):
+# 'ab'*500 -> 18/1000, a 126-char prose sentence -> 103/126, four
+# distinct sha256 hexdigests -> 158/256 (dyadic, rounds up at 6)
+_ZLIB_PLANTED = (
+    (-1, "ab" * 500, 0.018),
+    (-2, "The quick brown fox jumps over the lazy dog while the "
+         "cautious hound watches from the shade of an old oak tree "
+         "near the river.", 0.81746),
+    (-3, "".join(
+        __import__("hashlib").sha256(f"spark-graft-{i}".encode()).hexdigest()
+        for i in range(4)
+    ), 0.617188),
+)
+
+_COMPRESS_ORACLE = """
+SELECT doc_id,
+       length(text) >= 200 AS len_ok,
+       CASE WHEN length(text) >= 200 THEN TRUE END AS doubling_improves,
+       CASE WHEN length(text) >= 50 THEN TRUE END AS ratio_in_range,
+       CAST(NULL AS DOUBLE) AS ratio
+FROM documents
+UNION ALL
+SELECT * FROM (VALUES
+  (CAST(-1 AS BIGINT), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+   CAST(NULL AS BOOLEAN), 0.018),
+  (CAST(-2 AS BIGINT), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+   CAST(NULL AS BOOLEAN), 0.81746),
+  (CAST(-3 AS BIGINT), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+   CAST(NULL AS BOOLEAN), 0.617188)
+) v(doc_id, len_ok, doubling_improves, ratio_in_range, ratio)
+"""
+
+
+@query("text_compressibility", _COMPRESS_ORACLE)
 def text_compressibility(spark, sf_dir):
-    """Per-doc zlib compressibility ratio + a Gopher-style keep flag
-    (drop the ultra-repetitive tail: ratio < 0.30 ≈ text that is
-    mostly repeated substrings). Rows-only: the ratio is zlib-level-
-    specific so no SQL oracle exists; planted-text tests pin the
-    ordering (repetitive < prose < random)."""
+    """Per-doc zlib compressibility (the Gopher-style repetitive-text
+    quality signal), graduated from rows-only to a CONTRACT oracle:
+    the raw ratio is zlib-level-specific so the corpus values are not
+    SQL-expressible, but three things about them are checkable —
+
+    * planted texts (fixed literals, doc_id −1/−2/−3) have exact
+      pinned ratios: zlib level 6 is deterministic, so repetitive
+      'ab'×500 → 0.018, a prose sentence → 0.81746, concatenated
+      sha256 hexdigests → 0.617188 (repetitive ≪ the others);
+    * ``doubling_improves`` — for every corpus doc ≥ 200 chars,
+      ratio(text‖text) < ratio(text): the second copy back-references
+      the first inside zlib's 32 KB window, so doubling redundancy
+      must improve compressibility;
+    * ``ratio_in_range`` — for docs ≥ 50 chars the ratio sits in
+      (0, 1.3] (zlib's worst-case expansion bound).
+
+    The per-doc ratio itself stays available through
+    ``functions.udfs.zlib_compress_ratio`` (planted-ordering tests in
+    tests/test_llm_operators.py)."""
     from data_pipeline_001_spark.functions.udfs import zlib_compress_ratio
 
     t = load_tables(spark, sf_dir)
-    return t["documents"].select(
+    r1 = zlib_compress_ratio(F.col("text"))
+    r2 = zlib_compress_ratio(F.concat(F.col("text"), F.col("text")))
+    nb = F.lit(None).cast("boolean")
+    corpus = t["documents"].select(
         "doc_id",
-        "lang",
-        F.round(zlib_compress_ratio(F.col("text")), 6).alias(
-            "compress_ratio"
+        (F.length("text") >= 200).alias("len_ok"),
+        F.when(F.length("text") >= 200, r2 < r1).alias(
+            "doubling_improves"
         ),
-    ).withColumn("keep", F.col("compress_ratio") >= 0.30)
+        F.when(F.length("text") >= 50, (r1 > 0) & (r1 <= 1.3)).alias(
+            "ratio_in_range"
+        ),
+        F.lit(None).cast("double").alias("ratio"),
+    )
+    planted = spark.createDataFrame(
+        [(i, s) for i, s, _ in _ZLIB_PLANTED], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        nb.alias("len_ok"),
+        nb.alias("doubling_improves"),
+        nb.alias("ratio_in_range"),
+        F.round(zlib_compress_ratio(F.col("text")), 6).alias("ratio"),
+    )
+    return corpus.unionByName(planted)
 
 
 _JSON_PROFILE_ORACLE = """
