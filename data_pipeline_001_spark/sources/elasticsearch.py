@@ -181,6 +181,25 @@ class ElasticsearchSource(Source):
     #: hard cap for the driver-side REST extract; beyond this the
     #: connector jar is the only sane path (see extract docstring)
     REST_EXTRACT_MAX_DOCS = 100_000
+    #: REST failure-path parity with the reference: ``_count`` and
+    #: the scroll extract are wrapped in the R1 retry decorator with
+    #: the reference's schedule — 3 attempts, 30 s apart
+    #: (log_retry_decorators.py:47-87). Only transport/HTTP errors
+    #: (OSError covers urllib's URLError/HTTPError) retry; logic
+    #: errors like the extract cap propagate immediately. A retried
+    #: scroll re-establishes the whole scroll from scratch — the
+    #: expired server-side context cannot be resumed.
+    REST_RETRY_ATTEMPTS = 3
+    REST_RETRY_DELAY_S = 30.0
+
+    def _retrying(self, fn):
+        from data_pipeline_001_spark.utils import retry
+
+        return retry(
+            attempts=self.REST_RETRY_ATTEMPTS,
+            delay_s=self.REST_RETRY_DELAY_S,
+            exceptions=(OSError,),
+        )(fn)
 
     def _rest_url(self, path: str) -> str:
         node = self.nodes.split(",")[0].strip()
@@ -273,7 +292,7 @@ class ElasticsearchSource(Source):
         only match counts cross the wire."""
         if self._connector_available():
             return self._read(start, end).count()
-        return self._rest_count(start, end)
+        return self._retrying(self._rest_count)(start, end)
 
     def extract(self, start: datetime, end: datetime) -> DataFrame:
         """S2: the window's documents. Connector path: lazy scan,
@@ -285,7 +304,7 @@ class ElasticsearchSource(Source):
         run without the jar, and it fails loudly past the cap)."""
         if self._connector_available():
             return self._read(start, end)
-        docs = self._rest_scroll_docs(start, end)
+        docs = self._retrying(self._rest_scroll_docs)(start, end)
         if not docs:
             # empty windows are ROUTINE in windowed ingestion — the
             # pipeline loads an empty batch, it does not fail. A typed

@@ -109,6 +109,12 @@ import threading
 
 class _MockES(http.server.BaseHTTPRequestHandler):
     requests: list = []  # (method, path, body) per call, shared per-server
+    #: failure-injection state, reset per fixture: flaky _count serves
+    #: N transport errors before succeeding; the expiring scroll kills
+    #: the first scroll context (ES keep-alive lapse) so the client
+    #: must re-establish the whole scroll
+    flaky_count_fails: int = 0
+    expiry_searches: int = 0
 
     def _respond(self, payload):
         data = _json.dumps(payload).encode()
@@ -122,8 +128,21 @@ class _MockES(http.server.BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", 0))
         body = _json.loads(self.rfile.read(n)) if n else {}
         self.__class__.requests.append(("POST", self.path, body))
-        if self.path.endswith("/_count"):
+        if self.path == "/flaky-idx/_count":
+            if self.__class__.flaky_count_fails > 0:
+                self.__class__.flaky_count_fails -= 1
+                self.send_error(503, "es_rejected_execution_exception")
+                return
+            payload = {"count": 777, "_shards": {"total": 3}}
+        elif self.path.endswith("/_count"):
             payload = {"count": 1234, "_shards": {"total": 3}}
+        elif self.path.startswith("/expiry-idx/_search"):
+            self.__class__.expiry_searches += 1
+            sid = f"scroll-x{self.__class__.expiry_searches}"
+            payload = {
+                "_scroll_id": sid,
+                "hits": {"hits": [{"_source": {"user_id": 1, "value": 10.5}}]},
+            }
         elif self.path.startswith("/empty-idx/_search"):
             payload = {"_scroll_id": "scroll-e", "hits": {"hits": []}}
         elif "/_search?scroll=" in self.path:
@@ -138,7 +157,17 @@ class _MockES(http.server.BaseHTTPRequestHandler):
             }
         elif self.path == "/_search/scroll":
             scroll_id = body.get("scroll_id")
-            if scroll_id == "scroll-1":
+            if scroll_id == "scroll-x1":
+                # first scroll context expired server-side: ES answers
+                # 404 search_context_missing_exception
+                self.send_error(404, "search_context_missing_exception")
+                return
+            if scroll_id == "scroll-x2":
+                payload = {
+                    "_scroll_id": "scroll-x3",
+                    "hits": {"hits": [{"_source": {"user_id": 4, "value": 40.5}}]},
+                }
+            elif scroll_id == "scroll-1":
                 payload = {
                     "_scroll_id": "scroll-2",
                     "hits": {"hits": [{"_source": {"user_id": 3, "value": 30.5}}]},
@@ -163,6 +192,8 @@ class _MockES(http.server.BaseHTTPRequestHandler):
 @pytest.fixture()
 def mock_es():
     _MockES.requests = []
+    _MockES.flaky_count_fails = 0
+    _MockES.expiry_searches = 0
     server = http.server.HTTPServer(("127.0.0.1", 0), _MockES)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -244,3 +275,101 @@ def test_rest_extract_empty_window_typed_frame(spark, mock_es):
     )
     with pytest.raises(RuntimeError, match="schema"):
         bare.extract(S, E)
+
+
+@pytest.fixture()
+def retry_sleeps(monkeypatch):
+    """Capture R1 retry sleeps instead of actually waiting: swap the
+    ``time`` module object inside utils for a shim whose ``sleep``
+    records its argument (other attributes pass through)."""
+    import time as _time
+    import types
+
+    from data_pipeline_001_spark import utils as U
+
+    calls: list[float] = []
+    shim = types.SimpleNamespace(
+        sleep=calls.append,
+        time=_time.time,
+        perf_counter=_time.perf_counter,
+        monotonic=_time.monotonic,
+        strftime=_time.strftime,
+    )
+    monkeypatch.setattr(U, "time", shim)
+    yield calls
+
+
+def test_rest_count_retries_through_transient_failures(
+    spark, mock_es, retry_sleeps
+):
+    """Failure-path parity with the reference: its ``_count`` is
+    wrapped in @retry (3 attempts, 30 s apart,
+    log_retry_decorators.py:47-87). A _count that 503s twice then
+    succeeds must recover transparently, sleeping the reference
+    schedule between attempts."""
+    port, recorded = mock_es
+    _MockES.flaky_count_fails = 2
+    src = ElasticsearchSource(
+        spark, resource="flaky-idx", nodes="127.0.0.1", port=port
+    )
+    if src._connector_available():  # pragma: no cover - jar present
+        pytest.skip("connector jar on classpath")
+    assert src.count(S, E) == 777
+    counts = [(m, p) for m, p, _ in recorded if p == "/flaky-idx/_count"]
+    assert len(counts) == 3  # 2 failures + 1 success
+    assert retry_sleeps == [30.0, 30.0]
+
+
+def test_rest_count_exhausted_retries_raise(spark, mock_es, retry_sleeps):
+    """Permanent failure must surface after exactly 3 attempts, not
+    hang or loop."""
+    import urllib.error
+
+    port, recorded = mock_es
+    _MockES.flaky_count_fails = 99
+    src = ElasticsearchSource(
+        spark, resource="flaky-idx", nodes="127.0.0.1", port=port
+    )
+    if src._connector_available():  # pragma: no cover - jar present
+        pytest.skip("connector jar on classpath")
+    with pytest.raises(urllib.error.HTTPError):
+        src.count(S, E)
+    assert len(recorded) == 3
+    assert retry_sleeps == [30.0, 30.0]
+
+
+def test_rest_extract_reestablishes_expired_scroll(
+    spark, mock_es, retry_sleeps
+):
+    """An expired scroll context (404 search_context_missing) cannot
+    be resumed — the R1 retry must re-run the WHOLE scroll from a
+    fresh search and still return the complete window."""
+    port, recorded = mock_es
+    src = ElasticsearchSource(
+        spark, resource="expiry-idx", nodes="127.0.0.1", port=port
+    )
+    if src._connector_available():  # pragma: no cover - jar present
+        pytest.skip("connector jar on classpath")
+    df = src.extract(S, E)
+    rows = {(r["user_id"], r["value"]) for r in df.collect()}
+    # attempt 2's fresh scroll serves page 1 (user 1) + page 2 (user 4)
+    assert rows == {(1, 10.5), (4, 40.5)}
+    searches = [p for _, p, _ in recorded if p.startswith("/expiry-idx/_search?")]
+    assert len(searches) == 2  # initial + re-established after expiry
+    assert retry_sleeps == [30.0]
+
+
+def test_rest_extract_cap_is_not_retried(spark, mock_es, retry_sleeps):
+    """The REST extract volume cap is a logic error, not a transport
+    fault — it must propagate on the FIRST attempt (retrying would
+    re-scroll 100k docs twice for nothing)."""
+    port, recorded = mock_es
+    src = ElasticsearchSource(
+        spark, resource="logs-2024", nodes="127.0.0.1", port=port
+    )
+    if src._connector_available():  # pragma: no cover - jar present
+        pytest.skip("connector jar on classpath")
+    src.REST_EXTRACT_MAX_DOCS = 1
+    with pytest.raises(RuntimeError, match="exceeded 1 documents"):
+        src.extract(S, E)
+    assert retry_sleeps == []
