@@ -67,11 +67,16 @@ def decode_stub(payload: bytes, media_type: str) -> dict:
 # hash-checkable cross-engine oracle with no codec on the other side.
 
 
-def make_bmp(doc_id: int) -> bytes:
+def make_bmp(doc_id: int, brightness: int = 0) -> bytes:
     """Uncompressed 24-bit bottom-up BMP, 4-byte row padding; size
-    4–8 × 3–5 px derived from ``doc_id``."""
+    4–8 × 3–5 px derived from ``doc_id``. ``brightness`` adds a
+    uniform offset to every channel (still < 256 for offsets ≤ 100):
+    the classic exposure-shift near-duplicate, used to plant pairs
+    that perceptual hashes must treat as identical."""
     w, h = 4 + doc_id % 5, 3 + doc_id % 3
-    br, bg, bb = doc_id % 100, (2 * doc_id) % 100, (3 * doc_id) % 100
+    br = doc_id % 100 + brightness
+    bg = (2 * doc_id) % 100 + brightness
+    bb = (3 * doc_id) % 100 + brightness
     pad = (-3 * w) % 4
     body = bytearray()
     for y in range(h - 1, -1, -1):  # BMP stores rows bottom-up
@@ -424,3 +429,162 @@ def sampled_features(
             )
 
     return media.mapInPandas(run, SAMPLED_SCHEMA)
+
+
+# -- perceptual hashing (image near-dup over the binary column) --------
+
+
+def _bmp_gray_grid(payload: bytes):
+    """(h, w) int32 array of per-pixel channel sums (r+g+b) in
+    top-down logical order — the integer 'grayscale' perceptual
+    hashes operate on (sum instead of mean: monotone-equivalent,
+    no division, exactly brightness-shift-covariant)."""
+    import numpy as np
+
+    if bytes(payload[:2]) != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    _hs, w, h, _p, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP")
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    rows = (
+        np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=off)
+        .reshape(h, stride)[:, : 3 * w]
+        .reshape(h, w, 3)
+        .astype(np.int32)
+        .sum(axis=2)
+    )
+    return rows if top_down else rows[::-1]
+
+
+def _nn_resize(grid, th: int, tw: int):
+    """Integer nearest-neighbor resample (source index ti*src//tgt —
+    identical mapping to ``resize_bmp_nearest``)."""
+    import numpy as np
+
+    h, w = grid.shape
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return grid[np.ix_(ys, xs)]
+
+
+def _pack_bits(flat_bool) -> int:
+    """64 bools (MSB first) → signed int64 (bit 63 wraps negative)."""
+    import numpy as np
+
+    v = np.uint64(0)
+    for b in flat_bool:
+        v = np.uint64(v << np.uint64(1)) | np.uint64(bool(b))
+    return int(np.int64(v))
+
+
+def ahash64(payload: bytes) -> int:
+    """Average hash: 8×8 NN-resampled gray cells, bit = cell > mean.
+    Exactly invariant under uniform brightness shifts (mean shifts
+    with the cells)."""
+    cells = _nn_resize(_bmp_gray_grid(payload), 8, 8)
+    return _pack_bits((cells > cells.mean()).ravel())
+
+
+def dhash64(payload: bytes) -> int:
+    """Difference hash: 8 rows × 9 cols NN-resampled, bit = right
+    neighbor > left. Brightness-shift invariant (differences cancel
+    the offset)."""
+    cells = _nn_resize(_bmp_gray_grid(payload), 8, 9)
+    return _pack_bits((cells[:, 1:] > cells[:, :-1]).ravel())
+
+
+def bmp_perceptual_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, ahash, dhash) via ``mapInPandas`` NumPy decode — no
+    shuffle; hash parallelism is the input partitioning."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "ahash": [
+                        ahash64(bytes(p)) for p in pdf[payload_col]
+                    ],
+                    "dhash": [
+                        dhash64(bytes(p)) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, ahash long, dhash long"
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) via banded exact-match
+    buckets — the SimHash rotation trick
+    (``operators/dedup.py:simhash_near_duplicates``) applied to a
+    perceptual hash: 4 × 16-bit bands of the 64-bit hash; by
+    pigeonhole any pair within Hamming ≤ 3 agrees exactly on at
+    least one band, so candidates come from per-(band, key)
+    self-joins (Σ bucket², skew-capped) and are then verified with
+    ``bit_count(xor)`` — precision 1.0, NEVER an all-pairs product.
+    Oversized buckets (degenerate hash collisions) are dropped, the
+    same cap discipline as every other LSH path here."""
+    from pyspark.sql import Window
+
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        F.col("media_id").alias("id"),
+        F.col(hash_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(hash_col, i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+    if max_bucket_size:
+        wb = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(wb))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+        .where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    )

@@ -19,6 +19,8 @@ coverage queue so the driver's prefix sample converges.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_pipeline_001_spark.plans.queries import query
 from data_pipeline_001_spark.session import load_tables
 
@@ -111,4 +113,81 @@ def multimodal_sampled_features(spark, sf_dir):
         "media_id", "media_type", "thumb_w", "thumb_h",
         "thumb_mean_r", "thumb_mean_g", "thumb_mean_b",
         "n_frames", "frame_samples",
+    )
+
+
+_PHASH_ORACLE = """
+SELECT doc_id AS pair_id, TRUE AS phash_match
+FROM documents
+WHERE doc_id % 50 = 0 AND doc_id < 2000
+"""
+
+
+@query("multimodal_phash_neardup", _PHASH_ORACLE)
+def multimodal_phash_neardup(spark, sf_dir):
+    """Image near-duplicate detection over the binary media column:
+    aHash/dHash perceptual hashes (8×8 / 8×9 NN-resampled gray
+    grids, NumPy in ``mapInPandas``), Hamming-≤3 pairs via banded
+    exact-match buckets (4 × 16-bit bands, pigeonhole — the SimHash
+    rotation trick, never an all-pairs product).
+
+    Planted-near-copy CONTAINMENT oracle: every 50th image is
+    re-inserted brightness-shifted (+40 on every channel,
+    media_id + 1_000_000) — the classic exposure-change near-dup.
+    Both hashes are EXACTLY invariant under uniform brightness shifts
+    (aHash compares cells to their own mean; dHash compares adjacent
+    cells), so each planted pair must surface at Hamming 0: a
+    deterministic guarantee, not a recall probability.
+
+    Corpus is the fixed even-id < 2000 slice: fixture pixels are
+    closed-form in doc_id, which collapses the corpus into ~5 dhash
+    classes — an id-bounded slice keeps every (band, key) bucket
+    under the 500-row cap at ANY sf (max class 200 + copies). Real
+    image corpora don't mass-collide like this; there the cap is
+    plain skew protection and the corpus scales freely."""
+    import pandas as pd
+
+    from data_pipeline_001_spark.operators.multimodal import (
+        bmp_perceptual_hashes,
+        make_bmp,
+        phash_near_dup_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    imgs = docs.where(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 2000)
+    )
+    planted = imgs.where(F.col("doc_id") % 50 == 0)
+
+    def build(shift, id_offset):
+        def run(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].astype("int64")
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids + id_offset,
+                        "payload": [
+                            make_bmp(int(d), brightness=shift) for d in ids
+                        ],
+                    }
+                )
+
+        return run
+
+    schema = "media_id long, payload binary"
+    media = imgs.mapInPandas(build(0, 0), schema).unionByName(
+        planted.mapInPandas(build(40, 1_000_000), schema)
+    )
+    pairs = phash_near_dup_pairs(
+        bmp_perceptual_hashes(media), hash_col="dhash", max_hamming=3
+    )
+    found = pairs.where(
+        (F.col("id_b") - F.col("id_a") == 1_000_000)
+        & (F.col("id_a") % 50 == 0)
+        & (F.col("hamming") == 0)
+    ).select(F.col("id_a").alias("pair_id"))
+    return (
+        planted.select(F.col("doc_id").alias("pair_id"))
+        .join(found.withColumn("_hit", F.lit(True)), "pair_id", "left")
+        .select("pair_id", F.coalesce("_hit", F.lit(False)).alias("phash_match"))
     )

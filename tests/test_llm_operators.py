@@ -879,3 +879,81 @@ def test_compressibility_orders_text_quality(spark):
     }
     assert got["empty"] is None and got["null"] is None
     assert got["rep"] < 0.05 < got["prose"] < got["noise"]
+
+
+# -- perceptual hashing (image near-dup over the binary column) --------
+
+
+def test_phash_brightness_invariance_and_sensitivity():
+    """aHash/dHash must be EXACTLY invariant under uniform brightness
+    shifts (the planted-pair guarantee) and must differ across
+    genuinely different images (not a constant function)."""
+    from data_pipeline_001_spark.operators.multimodal import (
+        ahash64,
+        dhash64,
+        make_bmp,
+    )
+
+    hashes = set()
+    for d in range(0, 60, 2):
+        base = make_bmp(d)
+        for shift in (1, 40, 99):
+            assert ahash64(base) == ahash64(make_bmp(d, brightness=shift))
+            assert dhash64(base) == dhash64(make_bmp(d, brightness=shift))
+        hashes.add((ahash64(base), dhash64(base)))
+    assert len(hashes) > 1
+
+
+def test_phash_near_dup_recovers_planted_pairs(spark, tables):
+    """Planted brightness-shifted copies must come back as Hamming-0
+    pairs through the banded bucket join; pairs output must be exact
+    (verified hamming, precision 1.0 against direct hash distance)."""
+    import pandas as pd
+
+    from data_pipeline_001_spark.operators.multimodal import (
+        bmp_perceptual_hashes,
+        make_bmp,
+        phash_near_dup_pairs,
+    )
+
+    ids = list(range(0, 200, 2))
+    rows = [(i, make_bmp(i)) for i in ids] + [
+        (i + 1_000_000, make_bmp(i, brightness=25)) for i in ids if i % 50 == 0
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        "media_id long, payload binary",
+    )
+    pairs = phash_near_dup_pairs(
+        bmp_perceptual_hashes(media), hash_col="dhash", max_hamming=3
+    ).collect()
+    planted = {
+        (i, i + 1_000_000) for i in ids if i % 50 == 0
+    }
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert planted <= found
+    for r in pairs:
+        assert 0 <= r["hamming"] <= 3
+        if (r["id_a"], r["id_b"]) in planted:
+            assert r["hamming"] == 0
+
+
+def test_phash_pigeonhole_bands_catch_hamming_3():
+    """Flipping any ≤3 bits of a 64-bit hash must leave at least one
+    of the 4 16-bit bands untouched (the pigeonhole guarantee the
+    bucket join relies on)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        sig = rng.getrandbits(64)
+        nbits = rng.randint(1, 3)
+        flipped = sig
+        for b in rng.sample(range(64), nbits):
+            flipped ^= 1 << b
+        shared = any(
+            (sig >> (16 * i)) & 0xFFFF == (flipped >> (16 * i)) & 0xFFFF
+            for i in range(4)
+        )
+        assert shared

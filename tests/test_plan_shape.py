@@ -220,3 +220,13 @@ def test_dehinted_joins_still_broadcast_at_small_sf(spark, registry):
         plan = _plan(df)
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_phash_near_dup_join_is_band_bucketed_not_cartesian(spark, registry):
+    """Perceptual-hash near-dup candidates must come from the banded
+    exact-match self-join (band/key equi-join) — never a cartesian /
+    nested-loop pairwise product over the image corpus."""
+    plan = _plan(registry["multimodal_phash_neardup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "band" in plan and "key" in plan
