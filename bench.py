@@ -265,10 +265,18 @@ def main() -> None:
         ]
         huge_t = _time_spark_point(spark, qs, huge_dir, huge_sel)
         huge_duck = _time_duckdb_point(oracles, huge_dir, huge_sel)
+        hbkt = [
+            "q03_shipping_priority_bucketed",
+            "q05_nation_revenue_bucketed",
+            "q10_returned_revenue_bucketed",
+        ]
+        hbkt_t = _time_spark_point(spark, qs, huge_dir, hbkt)
+        hbkt_duck = _time_duckdb_point(oracles, huge_dir, hbkt)
         result["huge"] = {
             "sf": "10(100x-replicated-sf0.1)",
             "total_s": round(sum(huge_t.values()), 3),
             "per_query": _per_query(huge_t, huge_duck),
+            "bucketed": _per_query(hbkt_t, hbkt_duck),
         }
 
     # Full rich result goes to a sidecar (the driver captures only a
