@@ -5,6 +5,8 @@ and sample bounds are all fixed, so two runs must match row-for-row."""
 
 import pytest
 
+pytestmark = pytest.mark.slow  # lane 2: see pytest.ini
+
 SF = "/root/testdata/sf0.001"
 
 def _rows_only_names():

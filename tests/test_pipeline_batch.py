@@ -5,6 +5,8 @@ dynamic partition overwrite keeps re-runs idempotent."""
 from datetime import datetime
 
 import pytest
+
+pytestmark = pytest.mark.slow  # lane 2: see pytest.ini
 from pyspark.sql import functions as F
 
 from data_pipeline_001_spark.plans.control_table import ControlTable

@@ -6,6 +6,8 @@ verify drive-table transitions + idempotence + backfill + stale reset
 from datetime import datetime
 
 import pytest
+
+pytestmark = pytest.mark.slow  # lane 2: see pytest.ini
 from pyspark.sql import functions as F
 
 from data_pipeline_001_spark.plans.control_table import ControlTable

@@ -372,14 +372,16 @@ def test_property_bpe_encode_chain_matches_python(spark):
     ]
 
     def py_tokens(w):
-        seq = " ".join(w)
+        # sentinel-delimited semantics, matching _bpe_sql_chain: each
+        # rule matches only whole space-delimited token pairs
+        seq = " " + " ".join(w) + " "
         for a, b in _BPE_MERGES:
-            seq = seq.replace(f"{a} {b}", f"{a}{b}")
-        return len(seq.split(" "))
+            seq = seq.replace(f" {a} {b} ", f" {a}{b} ")
+        return len(seq.split())
 
     df = spark.createDataFrame([(w,) for w in words], "w string")
     chain = _bpe_sql_chain("rtrim(regexp_replace(w, '(.)', '$1 '))")
-    n_tok = f"length({chain}) - length(replace({chain}, ' ', '')) + 1"
+    n_tok = f"length({chain}) - length(replace({chain}, ' ', '')) - 1"
     got = {
         r.w: r.n for r in df.select("w", F.expr(n_tok).alias("n")).collect()
     }

@@ -6,6 +6,8 @@ import shutil
 from datetime import datetime
 
 import pytest
+
+pytestmark = pytest.mark.slow  # lane 2: see pytest.ini
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -179,14 +181,19 @@ def test_streaming_pipeline_foreachbatch_sink(spark, stream_dir, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     q = pipe.start()
-    # availableNow isn't used here; wait for one processing cycle then stop
+    # availableNow isn't used here (the CONTINUOUS path is the point);
+    # stop as soon as the sink has rows — waiting for a further empty
+    # micro-batch cycle burned ~30 s of suite time for no extra signal
     import time
 
     deadline = time.time() + 120
     while time.time() < deadline:
-        if q.lastProgress and q.lastProgress["numInputRows"] == 0:
-            break
-        time.sleep(2)
+        try:
+            if sink.read_all().limit(1).count() > 0:
+                break
+        except Exception:  # target not created yet
+            pass
+        time.sleep(1)
     q.stop()
     out = sink.read_all()
     assert out.count() > 0

@@ -6,6 +6,8 @@ import os
 import time
 
 import pytest
+
+pytestmark = pytest.mark.slow  # lane 2: see pytest.ini
 from pyspark.sql import functions as F
 
 from data_pipeline_001_spark.sources.versioned_table import (
