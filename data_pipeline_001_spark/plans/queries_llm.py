@@ -209,24 +209,111 @@ def text_winnowing(spark, sf_dir):
     return winnowing_fingerprints(t["documents"], k=8, window=4)
 
 
-@query("dedup_minhash_lsh")  # murmur3-based sketch — rows-only check
+_MINHASH_PLANTED_ORACLE = f"""
+SELECT doc_id AS pair_id, TRUE AS copy_pair_found
+FROM (SELECT doc_id, {_NORM_SQL} AS s FROM documents)
+WHERE doc_id % 50 = 0 AND len(string_split(s, ' ')) >= 3
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_PLANTED_ORACLE)
 def dedup_minhash_q(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (banded signatures →
-    bucket join → exact Jaccard verify ≥ 0.5)."""
+    bucket join → exact Jaccard verify ≥ 0.5).
+
+    Graduated from rows-only to a planted-copy CONTAINMENT oracle
+    (the `dedup_embedding_lsh` pattern): near-dup recall is
+    probabilistic, but a VERBATIM copy has an identical murmur3
+    signature, collides in every band, and its exact hashed-shingle
+    Jaccard is 1.0 — a deterministic pair, provided its band buckets
+    stay under ``max_bucket_size`` (at gate scales the duplicated
+    text appears twice, nowhere near the 100-row cap). Every 50th
+    shingleable doc (≥3 normalized tokens, the same predicate the
+    oracle states in SQL) is re-inserted as doc_id + 10_000_000; each
+    must surface as a verified pair with jaccard 1.0. The full pair
+    frame stays covered by the planted-pair pytest suite."""
+    from data_pipeline_001_spark.functions.text import normalize_text
     from data_pipeline_001_spark.operators.dedup import minhash_lsh_pairs
 
     t = load_tables(spark, sf_dir)
-    return minhash_lsh_pairs(t["documents"], num_hashes=32, bands=8, jaccard_threshold=0.5)
+    docs = t["documents"].select("doc_id", "text")
+    shingleable = (
+        F.size(F.split(normalize_text(F.col("text")), r"\s+")) >= 3
+    )
+    orig = docs.where((F.col("doc_id") % 50 == 0) & shingleable)
+    copies = orig.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_pairs(
+        docs.unionByName(copies), num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+    found = pairs.where(
+        (F.col("id_b") - F.col("id_a") == 10_000_000)
+        & (F.col("id_a") % 50 == 0)
+    ).select(F.col("id_a").alias("pair_id"), "jaccard")
+    return (
+        orig.select(F.col("doc_id").alias("pair_id"))
+        .join(found, "pair_id", "left")
+        .select(
+            "pair_id",
+            (
+                F.col("jaccard").isNotNull()
+                & (F.col("jaccard") >= 0.999999)
+            ).alias("copy_pair_found"),
+        )
+    )
 
 
-@query("dedup_simhash")  # murmur3-based sketch — rows-only check
+_SIMHASH_PLANTED_ORACLE = f"""
+SELECT doc_id AS pair_id, TRUE AS copy_hamming_zero
+FROM (SELECT doc_id, {_NORM_SQL} AS s FROM documents)
+WHERE doc_id % 50 = 0 AND len(string_split(s, ' ')) >= 3
+"""
+
+
+@query("dedup_simhash", _SIMHASH_PLANTED_ORACLE)
 def dedup_simhash_q(spark, sf_dir):
     """SimHash near-dup candidates: 64-bit signatures, prefix-block
-    candidates, hamming distance ≤ 3."""
+    candidates, hamming distance ≤ 3.
+
+    Graduated from rows-only to a planted-copy CONTAINMENT oracle:
+    identical normalized text gives an identical 64-bit SimHash, so a
+    planted verbatim copy shares all four 16-bit prefix blocks and
+    must surface as a hamming-0 pair (the pigeonhole blocking cannot
+    miss distance 0), provided its blocks stay under
+    ``max_block_size`` — at gate scales the duplicated text appears
+    twice against a 200-row cap. Same planted set + SQL predicate as
+    `dedup_minhash_lsh`. The general hamming≤3 frame stays covered by
+    the planted-pair pytest suite."""
+    from data_pipeline_001_spark.functions.text import normalize_text
     from data_pipeline_001_spark.operators.dedup import simhash_near_duplicates
 
     t = load_tables(spark, sf_dir)
-    return simhash_near_duplicates(t["documents"]).where(F.col("hamming") <= 3)
+    docs = t["documents"].select("doc_id", "text")
+    shingleable = (
+        F.size(F.split(normalize_text(F.col("text")), r"\s+")) >= 3
+    )
+    orig = docs.where((F.col("doc_id") % 50 == 0) & shingleable)
+    copies = orig.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    pairs = simhash_near_duplicates(docs.unionByName(copies)).where(
+        F.col("hamming") <= 3
+    )
+    found = pairs.where(
+        (F.col("id_b") - F.col("id_a") == 10_000_000)
+        & (F.col("id_a") % 50 == 0)
+    ).select(F.col("id_a").alias("pair_id"), "hamming")
+    return (
+        orig.select(F.col("doc_id").alias("pair_id"))
+        .join(found, "pair_id", "left")
+        .select(
+            "pair_id",
+            (
+                F.col("hamming").isNotNull() & (F.col("hamming") == 0)
+            ).alias("copy_hamming_zero"),
+        )
+    )
 
 
 @query(
@@ -313,18 +400,66 @@ def embedding_dim_stats(spark, sf_dir):
     )
 
 
-@query("similarity_lsh_topk")  # approximate — rows-only check
+_ANN_PLANTED_ORACLE = """
+SELECT vec_id AS query_id, TRUE AS copy_found,
+       TRUE AS copy_cosine_one, TRUE AS copy_rank1
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+def _ann_planted_contract(topk_fn, e, n_queries=10, **kw):
+    """Shared planted-copy containment harness for the approximate
+    top-k paths (LSH / IVF / PQ): re-insert each query vector as an
+    exact copy (vec_id + 1_000_000), run the ANN operator over
+    corpus+copies, and report per query whether the copy surfaced,
+    scored cosine 1.0, and ranked first. General-neighbor recall
+    stays covered by the recall-vs-brute-force pytest suite; this
+    contract checks the deterministic guarantee an exact duplicate
+    carries through each index structure."""
+    base = e.select("vec_id", "embedding")
+    orig = base.where(F.col("vec_id") < n_queries)
+    copies = orig.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    out = topk_fn(base.unionByName(copies), orig, **kw)
+    hit = out.where(
+        F.col("neighbor_id") == F.col("query_id") + 1_000_000
+    ).select("query_id", F.col("cosine").alias("_cos"), F.col("rn").alias("_rn"))
+    return (
+        orig.select(F.col("vec_id").alias("query_id"))
+        .join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("_cos").isNotNull().alias("copy_found"),
+            (F.col("_cos").isNotNull() & (F.col("_cos") >= 0.999999)).alias(
+                "copy_cosine_one"
+            ),
+            (F.coalesce(F.col("_rn"), F.lit(99)) == 1).alias("copy_rank1"),
+        )
+    )
+
+
+@query("similarity_lsh_topk", _ANN_PLANTED_ORACLE)
 def similarity_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN: bucketed candidates + multi-probe.
-    The scale path — candidates/query ≈ corpus/2^bits · probes."""
+    The scale path — candidates/query ≈ corpus/2^bits · probes.
+
+    Graduated from rows-only to a planted-copy CONTAINMENT oracle: an
+    exact copy of a query vector has an identical hyperplane signature
+    in every table, so it is a guaranteed candidate in the unflipped
+    probe bucket (lsh_topk has no bucket cap) and the exact cosine
+    verify ranks it first at 1.0. Recall on general neighbors is
+    probabilistic and stays bounded by
+    tests/test_llm_operators.py::test_lsh_recall_reasonable."""
     from data_pipeline_001_spark.operators.similarity import lsh_topk
 
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"]
     # near-uniform synthetic vectors separate weakly (top-5 cosine ≈
     # 0.3), so recall needs generous tables/probes; clustered real
     # embeddings reach the same recall with far fewer candidates
-    return lsh_topk(e, e.where(F.col("vec_id") < 10), k=5, bits=6, tables=8, probes=7)
+    return _ann_planted_contract(
+        lsh_topk, t["embeddings"], k=5, bits=6, tables=8, probes=7
+    )
 
 
 @query(
@@ -357,15 +492,23 @@ def similarity_numpy(spark, sf_dir):
     return numpy_topk_batches(e, qvecs, k=5)
 
 
-@query("similarity_ivf_topk")  # approximate — rows-only check
+@query("similarity_ivf_topk", _ANN_PLANTED_ORACLE)
 def similarity_ivf(spark, sf_dir):
     """IVF ANN: mini-kmeans coarse quantizer → inverted lists →
-    nprobe-bounded fine search. The second scale path next to LSH."""
+    nprobe-bounded fine search. The second scale path next to LSH.
+
+    Graduated from rows-only to a planted-copy CONTAINMENT oracle: an
+    exact copy is assigned to the query's own nearest centroid, which
+    is by definition among the query's nprobe probed lists, so the
+    copy is a guaranteed candidate for ANY trained centroid set and
+    the exact rerank puts it first at cosine 1.0. Recall on general
+    neighbors stays bounded by the recall pytest suite."""
     from data_pipeline_001_spark.operators.similarity import ivf_topk
 
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"]
-    return ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=6)
+    return _ann_planted_contract(
+        ivf_topk, t["embeddings"], k=5, n_centroids=16, nprobe=6
+    )
 
 
 @query(
@@ -441,7 +584,14 @@ def dedup_clusters_q(spark, sf_dir):
     return connected_components(pairs)
 
 
-@query("dedup_cluster_components_lsh")  # approximate pair source — rows-only
+_LSH_CLUSTER_PLANTED_ORACLE = f"""
+SELECT doc_id AS pair_id, TRUE AS same_cluster
+FROM (SELECT doc_id, {_NORM_SQL} AS s FROM documents)
+WHERE doc_id % 50 = 0 AND len(string_split(s, ' ')) >= 3
+"""
+
+
+@query("dedup_cluster_components_lsh", _LSH_CLUSTER_PLANTED_ORACLE)
 def dedup_clusters_lsh_q(spark, sf_dir):
     """SCALE-PATH near-dup clusters: the same min-label propagation,
     sourced from MinHash-LSH verified pairs instead of the blocked
@@ -450,15 +600,51 @@ def dedup_clusters_lsh_q(spark, sf_dir):
     already 50M-pair joins); the LSH source keeps pair generation
     ~linear in corpus size, so this is the registered form a 100 TB
     corpus dedup would run. Cluster membership agreement with the
-    exact twin is bounded in tests/test_llm_operators.py."""
+    exact twin is bounded in tests/test_llm_operators.py.
+
+    Graduated from rows-only to a planted-copy CONTAINMENT oracle:
+    a verbatim copy is a deterministic MinHash-LSH pair (identical
+    signature → collides in every band → exact Jaccard 1.0, see
+    `dedup_minhash_lsh`), and min-label propagation puts both
+    endpoints of any surfaced pair in one component — so each planted
+    (orig, orig+10M) pair must land in the same cluster."""
+    from data_pipeline_001_spark.functions.text import normalize_text
     from data_pipeline_001_spark.operators.dedup import (
         connected_components,
         minhash_lsh_pairs,
     )
 
     t = load_tables(spark, sf_dir)
-    pairs = minhash_lsh_pairs(t["documents"])
-    return connected_components(pairs)
+    docs = t["documents"].select("doc_id", "text")
+    shingleable = (
+        F.size(F.split(normalize_text(F.col("text")), r"\s+")) >= 3
+    )
+    orig = docs.where((F.col("doc_id") % 50 == 0) & shingleable)
+    copies = orig.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_pairs(docs.unionByName(copies))
+    clusters = connected_components(pairs)
+    c_orig = clusters.select(
+        F.col("doc_id").alias("pair_id"), F.col("cluster_id").alias("_ca")
+    )
+    c_copy = clusters.select(
+        (F.col("doc_id") - F.lit(10_000_000)).alias("pair_id"),
+        F.col("cluster_id").alias("_cb"),
+    ).where(F.col("pair_id") >= 0)
+    return (
+        orig.select(F.col("doc_id").alias("pair_id"))
+        .join(c_orig, "pair_id", "left")
+        .join(c_copy, "pair_id", "left")
+        .select(
+            "pair_id",
+            (
+                F.col("_ca").isNotNull()
+                & F.col("_cb").isNotNull()
+                & (F.col("_ca") == F.col("_cb"))
+            ).alias("same_cluster"),
+        )
+    )
 
 
 @query(
@@ -729,17 +915,29 @@ def dedup_semantic_q(spark, sf_dir):
     )
 
 
-@query("similarity_pq_topk")  # sample-trained codebooks — rows-only check
+@query("similarity_pq_topk", _ANN_PLANTED_ORACLE)
 def similarity_pq(spark, sf_dir):
     """Product-quantization ANN (ADC scan over m-byte codes + exact
     rerank): the memory-bounded scale path — a 100 TB corpus of
     64-float vectors becomes ~3 TB of codes, scannable without
-    touching a float vector until rerank."""
+    touching a float vector until rerank.
+
+    Graduated from rows-only to a planted-copy CONTAINMENT oracle.
+    Unlike LSH/IVF this is not a theorem — ADC ranks by quantized
+    inner product, and another vector's reconstruction CAN outscore
+    the copy's own — but the copy's ADC score is near-maximal by
+    construction, and with ``rerank=8`` (40 ADC survivors per query)
+    the copy reached rerank in every validation run at
+    sf0.001/0.01/0.1; the exact rerank then pins it at rank 1,
+    cosine 1.0. A miss would surface as a loud FALSE row, i.e. this
+    pins the recall contract the operator is designed to meet.
+    General-neighbor recall stays bounded by the pytest suite."""
     from data_pipeline_001_spark.operators.similarity import pq_topk
 
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"]
-    return pq_topk(e, e.where(F.col("vec_id") < 10), k=5, m=8, nbits=4)
+    return _ann_planted_contract(
+        pq_topk, t["embeddings"], k=5, m=8, nbits=4, rerank=8
+    )
 
 
 @query(

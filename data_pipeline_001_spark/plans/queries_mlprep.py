@@ -547,14 +547,65 @@ def time_ewma_daily(spark, sf_dir):
     )
 
 
-@query("text_bpe_train", None)
+def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
+    """Generate the EXACT DuckDB oracle for ``bpe_train``: a chained
+    CTE per merge step. Step k counts adjacent pairs over the step-k-1
+    token sequences, takes the same deterministic argmax
+    (count DESC, left ASC, right ASC), and applies the same
+    leftmost-greedy non-overlapping merge — DuckDB's ``list_reduce``
+    lacks list-typed accumulators (1.0), so the accumulator is the
+    space-joined token STRING (tokens are ``[a-z]+`` so space-free),
+    with the last token read/rewritten via an end-anchored regex.
+    This is the identical fold `_merge_tokens` runs in Spark
+    (``operators/text_analysis.py``): merging never creates a token
+    that can re-merge in the same pass (l||r != l), so the
+    accumulator fold IS leftmost-greedy."""
+    parts = ["""
+cur0 AS (
+  SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS s FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents) WHERE length(w) >= 2
+)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""
+pc{k} AS (
+  SELECT toks[i] AS l, toks[i+1] AS r, COUNT(*) AS n
+  FROM (SELECT string_split(s, ' ') AS toks FROM cur{p}),
+       UNNEST(range(1, len(toks))) AS u(i)
+  GROUP BY 1, 2
+),
+top{k} AS (
+  SELECT {k} AS step, l, r, n FROM pc{k}
+  ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+cur{k} AS (
+  SELECT list_reduce(string_split(c.s, ' '),
+    (acc, t) -> CASE WHEN regexp_extract(acc, '[a-z]+$') = tk.l AND t = tk.r
+                THEN regexp_replace(acc, '[a-z]+$', tk.lr)
+                ELSE acc || ' ' || t END) AS s
+  FROM cur{p} c, (SELECT l, r, l || r AS lr FROM top{k}) tk
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(step AS INT) AS step, l AS left, r AS right,"
+        f" CAST(n AS BIGINT) AS pair_count FROM top{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + union
+
+
+@query("text_bpe_train", _bpe_train_oracle_sql(8))
 def text_bpe_train(spark, sf_dir):
     """LEARN a BPE merge table over the document corpus (8 iterations
     of pair-count → deterministic argmax → corpus-wide leftmost-greedy
     merge; operators/text_analysis.bpe_train). Iterative by nature —
     each step's counts depend on the previous merge — so not
-    single-SQL-expressible: rows-only for the driver; the algorithm is
-    pinned by a pure-Python reference-parity test."""
+    SINGLE-SQL-expressible; graduated from rows-only to an EXACT
+    oracle by generating one chained CTE per step
+    (`_bpe_train_oracle_sql`): both engines run the identical
+    count→argmax→greedy-merge fold, so the full 8-row merge table
+    (step, left, right, pair_count) hash-matches. The algorithm is
+    additionally pinned by a pure-Python reference-parity test."""
     from data_pipeline_001_spark.operators.text_analysis import bpe_train
 
     t = load_tables(spark, sf_dir)
