@@ -34,6 +34,7 @@ def _registry():
     from data_pipeline_001_spark.plans import queries_multimodal  # noqa: F401
     from data_pipeline_001_spark.plans import queries_textprep  # noqa: F401
     from data_pipeline_001_spark.plans import queries_mlprep  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_graph  # noqa: F401
 
     return base.REGISTRY, base.ORACLES
 

@@ -1,0 +1,506 @@
+"""Graph, survival, and feature-engineering analytics — round-5 wave.
+
+Extends the engine's §2.13 surface with the graph primitives and
+ML-prep transforms a large-scale training-data pipeline runs next to
+dedup/curation: co-occurrence graph metrics (degree profile, triangle
+count / clustering coefficient, PageRank), Kaplan-Meier survival over
+order fulfilment, smoothed target encoding, hash-stable k-fold
+assignment, equal-frequency binning, CUSUM changepoint detection, and
+lagged cross-correlation. Every query is DuckDB-oracle-backed; graph
+algorithms live in ``operators/graph.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.plans.queries import query
+from data_pipeline_001_spark.session import load_tables
+
+# Item co-occurrence edges within an order, id-canonical (src < dst).
+# DISTINCT first so a part split across line rows counts once.
+_EDGES_SQL = """
+items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+edges AS (
+  SELECT a.item AS src, b.item AS dst, COUNT(*) AS weight
+  FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY 1, 2
+)
+"""
+
+
+def _edges(spark, sf_dir):
+    from data_pipeline_001_spark.operators.graph import copurchase_edges
+
+    t = load_tables(spark, sf_dir)
+    return copurchase_edges(t["lineitem"])
+
+
+@query(
+    "graph_degree_buckets",
+    f"""
+    WITH {_EDGES_SQL.strip().lstrip()}
+    , deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY node
+    )
+    SELECT CAST(length(bin(degree)) - 1 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(degree) AS BIGINT) AS min_degree,
+           CAST(MAX(degree) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_buckets(spark, sf_dir):
+    """Degree distribution of the part co-occurrence graph in
+    power-of-two buckets (floor(log2 d) computed EXACTLY as
+    length(bin(d))-1 — float log2 rounds differently across engines
+    at power boundaries). One self-join + two aggregations; the
+    degree profile is the input to skew decisions (salting threshold,
+    hub caps) every other graph pass here makes."""
+    from data_pipeline_001_spark.operators.graph import degrees
+
+    deg = degrees(_edges(spark, sf_dir))
+    return (
+        deg.select(
+            (F.length(F.bin(F.col("degree"))) - 1)
+            .cast("int")
+            .alias("bucket"),
+            "degree",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+        )
+    )
+
+
+@query(
+    "graph_triangle_stats",
+    f"""
+    WITH {_EDGES_SQL.strip().lstrip()}
+    , deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (ds.degree, e.src) < (dd.degree, e.dst)
+                  THEN e.src ELSE e.dst END AS u,
+             CASE WHEN (ds.degree, e.src) < (dd.degree, e.dst)
+                  THEN e.dst ELSE e.src END AS v
+      FROM edges e
+      JOIN deg ds ON ds.node = e.src
+      JOIN deg dd ON dd.node = e.dst
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM (SELECT w1.v AS v1, w2.v AS v2
+            FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u
+            WHERE w1.v < w2.v) w
+      JOIN edges c ON c.src = w.v1 AND c.dst = w.v2
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           (SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           ROUND(3.0 * tri.n_triangles /
+                 (SELECT SUM(degree * (degree - 1) / 2.0) FROM deg), 6)
+             AS global_clustering
+    FROM tri
+    """,
+)
+def graph_triangle_stats(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the part
+    co-occurrence graph via degree-ordered orientation (out-degree
+    bounded by sqrt(2m), so the wedge join never explodes on hub
+    parts — the Suri-Vassilvitskii MapReduce formulation). Exact
+    integer counts both engines."""
+    from data_pipeline_001_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_edges(spark, sf_dir))
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Chained-CTE power iteration, one CTE per step, each step
+    rounded to 8 decimals — the identical arithmetic the Spark
+    operator runs, so scores hash-match exactly (the same generated-
+    oracle pattern as ``text_bpe_train``)."""
+    head = f"""
+WITH {_EDGES_SQL.strip().lstrip()}
+, sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+pr0 AS (SELECT node, ROUND(1.0 / nn.n, 8) AS pr FROM deg CROSS JOIN nn)
+"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f"""
+pr{k} AS (
+  SELECT e.dst AS node,
+         ROUND({1.0 - damping} / ANY_VALUE(nn.n)
+               + {damping} * SUM(p.pr / d.deg), 8) AS pr
+  FROM sym e
+  JOIN pr{k - 1} p ON p.node = e.src
+  JOIN deg d ON d.node = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst
+)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT node, ROUND(pr, 6) AS pagerank
+FROM pr{iterations}
+ORDER BY pr DESC, node ASC LIMIT 20
+"""
+    )
+
+
+@query("graph_pagerank_top", _pagerank_oracle_sql(5, 0.85))
+def graph_pagerank_top(spark, sf_dir):
+    """Top-20 PageRank parts (5 synchronous power steps, d=0.85) over
+    the symmetrized co-occurrence graph. Per-step rounding to 8
+    decimals makes the trajectory bit-stable across engines and
+    partitionings; each step is one shuffle (groupBy dst), so the
+    iteration count — not data volume — bounds plan depth at 100 TB."""
+    from data_pipeline_001_spark.operators.graph import pagerank
+
+    pr = pagerank(_edges(spark, sf_dir), iterations=5, damping=0.85)
+    return (
+        pr.select("node", F.round("pr", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "survival_kaplan_meier",
+    """
+    WITH dur AS (
+      SELECT datediff('day', o.o_orderdate, MAX(l.l_shipdate)) AS t,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+      HAVING datediff('day', o.o_orderdate, MAX(l.l_shipdate)) >= 0
+    ),
+    by_t AS (
+      SELECT t, SUM(ev) AS d, COUNT(*) AS c FROM dur GROUP BY t
+    ),
+    km AS (
+      SELECT t, d, c,
+             (SELECT COUNT(*) FROM dur)
+               - COALESCE(SUM(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM by_t
+    )
+    SELECT CAST(t AS INT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN d = n_risk THEN 0.0
+                ELSE ROUND(EXP(SUM(
+                       CASE WHEN d < n_risk
+                            THEN LN(1.0 - d / CAST(n_risk AS DOUBLE))
+                            ELSE NULL END)
+                     OVER (ORDER BY t)), 6) END AS survival
+    FROM km
+    """,
+)
+def survival_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve of order fulfilment time (days
+    from order date to last shipment; open/pending orders are
+    right-censored, status F is the event). Product-limit estimator
+    via exp(cumulative sum of log factors) — one aggregation per
+    distinct duration plus one window pass, no per-subject state. The
+    d == n_risk terminal factor (survival hits exactly 0) is handled
+    explicitly: Spark's ln(0) is NULL where DuckDB's is -inf."""
+    t = load_tables(spark, sf_dir)
+    dur = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"],
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.datediff(F.col("last_ship"), F.col("o_orderdate")).alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+        )
+        .where(F.col("t") >= 0)
+    )
+    total = dur.agg(F.count("*").alias("n_total"))
+    by_t = dur.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("c")
+    )
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    km = by_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n_total") - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    log_factor = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double")),
+    )
+    return km.select(
+        F.col("t").cast("int").alias("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(log_factor).over(w_cum)), 6))
+        .alias("survival"),
+    )
+
+
+@query(
+    "ml_target_encoding",
+    """
+    WITH g AS (SELECT AVG(o_totalprice) AS gm FROM orders),
+    by_nation AS (
+      SELECT c.c_nationkey, COUNT(*) AS n, SUM(o.o_totalprice) AS s
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT CAST(c_nationkey AS INT) AS nationkey,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND((s + 10.0 * g.gm) / (n + 10.0), 6) AS encoded_price
+    FROM by_nation CROSS JOIN g
+    """,
+)
+def ml_target_encoding(spark, sf_dir):
+    """Smoothed target (mean) encoding of customer nation against
+    order price — the leakage-safe categorical encoder (m=10
+    pseudo-observations of the global mean shrink rare categories).
+    One groupBy plus a broadcast 1-row global mean: the encoder table
+    for a 100 TB corpus is |categories| rows and broadcasts back for
+    application."""
+    t = load_tables(spark, sf_dir)
+    g = t["orders"].agg(F.avg("o_totalprice").alias("gm"))
+    by_nation = (
+        t["orders"]
+        .join(
+            t["customer"],
+            t["customer"]["c_custkey"] == t["orders"]["o_custkey"],
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+    )
+    return by_nation.crossJoin(F.broadcast(g)).select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(
+            (F.col("s") + F.lit(10.0) * F.col("gm"))
+            / (F.col("n") + F.lit(10.0)),
+            6,
+        ).alias("encoded_price"),
+    )
+
+
+@query(
+    "ml_kfold_assignment",
+    """
+    SELECT CAST(ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) % 5
+                AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 6) AS avg_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY 1
+    """,
+)
+def ml_kfold_assignment(spark, sf_dir):
+    """Hash-stable 5-fold cross-validation assignment (ascii of the
+    first md5 hex char mod k — the same engine-portable bucketing the
+    A/B and jackknife queries use) with per-fold balance stats. Pure
+    map-side expression: fold membership is reproducible across
+    engines, runs, and partitionings, which is what makes CV splits
+    auditable on a shared 100 TB corpus."""
+    t = load_tables(spark, sf_dir)
+    fold = (
+        F.ascii(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1))
+        % 5
+    ).cast("int")
+    return (
+        t["orders"]
+        .groupBy(fold.alias("fold"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "ml_quantile_binning",
+    """
+    WITH binned AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM binned GROUP BY 1
+    """,
+)
+def ml_quantile_binning(spark, sf_dir):
+    """Equal-frequency discretization of order price into 10 bins
+    (deterministic NTILE tie-break on the key) with per-bin edges —
+    the feature-binning table a trainer consumes. ORACLE-TWIN NOTE:
+    exact NTILE is a global sort; the scale path at 100 TB is the
+    approx-percentile cut-point variant (`agg_kll_quantile_sketch` /
+    `window_quartiles_approx` document that family) — this exact form
+    is the small-sf contract for it."""
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .select("o_totalprice", F.ntile(10).over(w).alias("bin"))
+        .groupBy(F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "stats_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_days, SUM(rev_c) AS total_c FROM daily
+    ),
+    cu AS (
+      SELECT day,
+             tot.n_days * SUM(rev_c) OVER (ORDER BY day)
+               - (ROW_NUMBER() OVER (ORDER BY day)) * tot.total_c
+               AS cusum_scaled,
+             tot.n_days
+      FROM daily CROSS JOIN tot
+    )
+    SELECT day,
+           ROUND(cusum_scaled / (n_days * 100.0), 4) AS cusum,
+           CAST(ABS(cusum_scaled) =
+                (SELECT MAX(ABS(cusum_scaled)) FROM cu) AS BOOLEAN)
+             AS is_peak
+    FROM cu
+    """,
+)
+def stats_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint statistic over daily revenue: cumulative sum
+    of deviations from the global mean, peak |CUSUM| marks the most
+    likely level-shift day (Page 1954). Computed in EXACT integer
+    cents — cusum_t·N = N·(running sum) - rank·total — because the
+    naive float form (cumulative Σ(rev-μ) over ~2400 days) drifts
+    past round-4 granularity between engines; the peak flag compares
+    scaled BIGINTs, so it can never flip on a last-ulp difference.
+    One day-grain aggregate, a broadcast 1-row total, one window
+    pass — the series table is calendar-bounded regardless of corpus
+    size."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    tot = daily.agg(
+        F.count("*").alias("n_days"), F.sum("rev_c").alias("total_c")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_rank = Window.orderBy("day")
+    cu = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (
+            F.col("n_days") * F.sum("rev_c").over(w_cum)
+            - F.row_number().over(w_rank).cast("long") * F.col("total_c")
+        ).alias("cusum_scaled"),
+        "n_days",
+    )
+    peak = cu.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("mx"))
+    return cu.crossJoin(F.broadcast(peak)).select(
+        "day",
+        F.round(
+            F.col("cusum_scaled") / (F.col("n_days") * F.lit(100.0)), 4
+        ).alias("cusum"),
+        (F.abs(F.col("cusum_scaled")) == F.col("mx")).alias("is_peak"),
+    )
+
+
+@query(
+    "stats_crosscorr_lags",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS cnt,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS lag)
+    SELECT g.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CORR(a.rev, b.cnt), 6) AS xcorr
+    FROM lags g
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.day = a.day - g.lag
+    GROUP BY g.lag
+    """,
+)
+def stats_crosscorr_lags(spark, sf_dir):
+    """Lagged cross-correlation between daily order volume and daily
+    revenue (does volume lead revenue?): corr(rev_t, cnt_{t-lag}) for
+    lags 0..7, joined on the calendar so gap days pair only where
+    both sides exist. Calendar-bounded intermediate, algebraic corr —
+    scales with days, not rows."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("double").alias("cnt"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day"), F.col("rev"))
+    b = daily.select(F.col("day").alias("bday"), F.col("cnt"))
+    return (
+        lags.crossJoin(a)
+        .join(b, F.col("bday") == F.date_sub(F.col("day"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.corr("rev", "cnt"), 6).alias("xcorr"),
+        )
+    )

@@ -1,0 +1,154 @@
+"""Graph-analytics operators: planted-graph ground truth for triangle
+counting, PageRank invariants, and edge-builder semantics (the
+cross-engine value check lives in the DuckDB oracle gate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.operators.graph import (
+    copurchase_edges,
+    degrees,
+    pagerank,
+    triangle_stats,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "src long, dst long, weight long"
+    )
+
+
+def test_copurchase_edges_dedups_line_splits(spark):
+    """A part split across two line rows of one order counts once,
+    and pairs are emitted id-canonical (src < dst)."""
+    li = spark.createDataFrame(
+        [
+            (1, 10),
+            (1, 10),  # split line: same (order, part)
+            (1, 20),
+            (1, 30),
+            (2, 10),
+            (2, 20),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = {
+        (r.src, r.dst): r.weight
+        for r in copurchase_edges(li).collect()
+    }
+    assert rows == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+
+
+def test_triangle_stats_counts_planted_cliques(spark):
+    """K4 has 4 triangles; adding a disjoint path (no triangle) and a
+    pendant vertex changes wedges but not triangles."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    extra = [(10, 11), (11, 12), (4, 13)]  # path + pendant
+    row = triangle_stats(_edges_df(spark, k4 + extra)).collect()[0]
+    assert row.n_triangles == 4
+    assert row.n_edges == len(k4) + 3
+    assert row.n_nodes == 8
+    # wedges: deg K4 nodes 3,3,3,4 -> 3+3+3+6; path 1,2,1 -> 1; pendant 1
+    assert row.n_wedges == 3 + 3 + 3 + 6 + 1
+    assert abs(row.global_clustering - 3 * 4 / 16) < 1e-6
+
+
+def test_triangle_orientation_handles_hub(spark):
+    """A star (hub + leaves) has zero triangles regardless of hub
+    degree; closing one leaf pair adds exactly one."""
+    star = [(1, i) for i in range(2, 12)]
+    assert triangle_stats(_edges_df(spark, star)).collect()[0].n_triangles == 0
+    closed = star + [(2, 3)]
+    assert (
+        triangle_stats(_edges_df(spark, closed)).collect()[0].n_triangles == 1
+    )
+
+
+def test_pagerank_mass_and_symmetry(spark):
+    """PageRank over an undirected graph: total mass stays ~1, and
+    structurally equivalent nodes get identical scores (4-cycle: all
+    equal; star: leaves equal, hub strictly larger)."""
+    cycle = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    pr = {r.node: r.pr for r in pagerank(_edges_df(spark, cycle)).collect()}
+    assert len(set(pr.values())) == 1
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+    star = [(1, i) for i in range(2, 7)]
+    pr = {r.node: r.pr for r in pagerank(_edges_df(spark, star)).collect()}
+    leaves = {v for k, v in pr.items() if k != 1}
+    assert len(leaves) == 1
+    assert pr[1] > leaves.pop()
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_iteration_rounding_is_stable(spark):
+    """Two runs over different partitionings produce identical rounded
+    scores — the determinism contract the cross-engine oracle relies
+    on."""
+    edges = [(a, b) for a in range(1, 8) for b in range(a + 1, 8) if (a + b) % 3]
+    e1 = _edges_df(spark, edges).repartition(1)
+    e8 = _edges_df(spark, edges).repartition(8)
+    r1 = sorted((r.node, r.pr) for r in pagerank(e1).collect())
+    r8 = sorted((r.node, r.pr) for r in pagerank(e8).collect())
+    assert r1 == r8
+
+
+def test_degrees_counts_both_endpoints(spark):
+    deg = {
+        r.node: r.degree
+        for r in degrees(_edges_df(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])).collect()
+    }
+    assert deg == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "graph_degree_buckets",
+        "graph_triangle_stats",
+        "graph_pagerank_top",
+        "survival_kaplan_meier",
+        "ml_target_encoding",
+        "ml_kfold_assignment",
+        "ml_quantile_binning",
+        "stats_cusum_changepoint",
+        "stats_crosscorr_lags",
+    ],
+)
+def test_wave_queries_execute(spark, name):
+    """Every round-5 wave query runs at sf0.001 and returns rows with
+    its declared schema (value parity is the oracle gate's job)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    df = qs[name](spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+
+
+def test_kaplan_meier_survival_monotone(spark):
+    """S(t) is non-increasing and within [0, 1]."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["survival_kaplan_meier"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.orderBy("t").collect()
+    surv = [r.survival for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
+
+
+def test_quantile_binning_equal_frequency(spark):
+    """Bin sizes differ by at most 1 and edges are non-overlapping."""
+    import __spark_entry__ as entry
+
+    rows = (
+        entry.queries()["ml_quantile_binning"](spark, "/root/testdata/sf0.001")
+        .orderBy("bin")
+        .collect()
+    )
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo + 1e-9
