@@ -36,14 +36,38 @@ def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
 
 
-def random_projection_signature(vec: Column, planes: list[list[float]]) -> Column:
+def random_projection_signature(
+    vec: Column | str, planes: list[list[float]]
+) -> Column:
     """SimHash-style LSH bucket id: sign bits against fixed hyperplanes.
 
     ``planes`` are driver-side constants (deterministic, seeded), so
     the whole signature is a codegen'd expression — at scale this is
     the bucketing key that turns O(n²) similarity search into a
     per-bucket join.
-    """
+
+    Pass ``vec`` as a COLUMN NAME to take the single-`expr` fast
+    path: the whole bits×dim plane matrix becomes one parsed SQL
+    literal instead of bits·dim individual ``F.lit`` columns — the
+    py4j-object-per-literal form cost ~0.5 s of plan-build per table
+    (multi-table callers were spending 10+ s building plans before a
+    single task ran). Bit maths are identical: per plane,
+    Σ cast(x as double)·cast(y as double) in array order, sign bit,
+    MSB-first fold into a BIGINT."""
+    if isinstance(vec, str):
+        mat = ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+            for plane in planes
+        )
+        return F.expr(
+            f"""aggregate(
+              transform(array({mat}), p ->
+                IF(aggregate(zip_with({vec}, p,
+                             (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0,
+                   1, 0)),
+              CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b)"""
+        )
     bits = []
     for plane in planes:
         arr = F.array(*[F.lit(float(x)) for x in plane])

@@ -111,7 +111,7 @@ def lsh_topk(
     c_parts, q_parts = [], []
     for t in range(tables):
         planes = _hyperplanes(dim, bits, seed + 1000 * t)
-        sig = random_projection_signature(F.col(vec_col), planes)
+        sig = random_projection_signature(f"`{vec_col}`", planes)
         c_parts.append(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),
@@ -121,8 +121,16 @@ def lsh_topk(
                 sig.alias("bucket"),
             )
         )
+        # two-step select: name the signature column FIRST, then build
+        # the probe array from the named column — inlining `sig` into
+        # every XOR probe copies the whole bits×dim expression tree
+        # probes× per table and the analyzer pays for each copy
         probe_buckets = F.array(
-            sig, *[sig.bitwiseXOR(F.lit(1 << i)) for i in range(min(probes - 1, bits))]
+            F.col("_sig"),
+            *[
+                F.col("_sig").bitwiseXOR(F.lit(1 << i))
+                for i in range(min(probes - 1, bits))
+            ],
         )
         q_parts.append(
             queries.select(
@@ -130,6 +138,12 @@ def lsh_topk(
                 F.col(vec_col).alias("q_vec"),
                 norm(F.col(vec_col)).alias("q_norm"),
                 F.lit(t).alias("tbl"),
+                sig.alias("_sig"),
+            ).select(
+                "query_id",
+                "q_vec",
+                "q_norm",
+                "tbl",
                 F.explode(probe_buckets).alias("bucket"),
             )
         )
@@ -220,7 +234,7 @@ def embedding_near_dup_lsh(
     parts = []
     for t in range(tables):
         planes = _hyperplanes(dim, bits, seed + 1000 * t)
-        sig = random_projection_signature(F.col(vec_col), planes)
+        sig = random_projection_signature(f"`{vec_col}`", planes)
         parts.append(
             corpus.select(
                 F.col(id_col).alias("id"),

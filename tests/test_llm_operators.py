@@ -90,14 +90,41 @@ def test_similarity_bruteforce_equals_numpy(tables):
     assert np_.subtract(bf).count() == 0
 
 
+def _numpy_truth(tables):
+    """Exact neighbors computed driver-side with NumPy: the ground
+    truth for recall tests needs no Spark job — sf0.001 embeddings fit
+    trivially in memory, and the SUBJECT under test (the distributed
+    ANN operator) still runs on Spark. Returns (ids, unit_matrix)."""
+    import numpy as np
+
+    rows = tables["embeddings"].select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat / np.where(norms == 0, 1, norms)
+
+
+def _numpy_topk_pairs(ids, unit, query_mask, k=5):
+    import numpy as np
+
+    out = set()
+    for qi in np.where(query_mask)[0]:
+        cos = unit @ unit[qi]
+        cos[qi] = -2.0  # exclude self
+        order = np.lexsort((ids, -np.round(cos, 6)))
+        for j in order[:k]:
+            out.add((int(ids[qi]), int(ids[j])))
+    return out
+
+
 def test_lsh_recall_reasonable(tables):
-    """Multi-probe LSH should recover a decent share of true top-5."""
+    """Multi-probe LSH should recover a decent share of true top-5
+    (exact truth computed driver-side with NumPy — same rounding and
+    id tiebreak as brute_force_topk)."""
     e = tables["embeddings"]
     q = e.where(F.col("vec_id") < 10)
-    truth = {
-        (r["query_id"], r["neighbor_id"])
-        for r in brute_force_topk(e, q, k=5).collect()
-    }
+    ids, unit = _numpy_truth(tables)
+    truth = _numpy_topk_pairs(ids, unit, ids < 10, k=5)
     approx = {
         (r["query_id"], r["neighbor_id"])
         for r in lsh_topk(e, q, k=5, bits=6, tables=8, probes=7).collect()
@@ -116,18 +143,15 @@ def test_embedding_lsh_recall_vs_exact(tables):
     At cosine 0.4 (θ≈66°, p=1-θ/π≈0.63) with bits=4/tables=16 the
     analytic recall floor is 1-(1-0.63^4)^16 ≈ 0.94; assert 0.7 to
     absorb seed variance on the hardest (near-threshold) pairs."""
-    from data_pipeline_001_spark.functions.vectors import cosine_similarity
+    import numpy as np
 
     e = tables["embeddings"]
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    ids, unit = _numpy_truth(tables)
+    cos = np.triu(unit @ unit.T, k=1)
+    ii, jj = np.where(cos >= 0.4)
     truth = {
-        (r["id_a"], r["id_b"])
-        for r in a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .where(cos >= 0.4)
-        .select("id_a", "id_b")
-        .collect()
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(ii, jj)
     }
     approx = {
         (r["id_a"], r["id_b"])

@@ -167,16 +167,22 @@ def test_duration_estimates_scale_staleness_bound(spark, tmp_path):
         target = PartitionedParquetSink(spark, str(tmp_path / f"{name}_target"))
         control = ControlTable(spark, str(tmp_path / f"{name}_control"))
         cfg = PipelineConfig(
+            # one 12h window over the half-day span below: every
+            # assertion here is per-row (curve estimates, reap
+            # bounds), so extra windows only re-run the same path —
+            # at 6h over a day this test cost 4 windows x 2 pipelines
+            # of identical coverage (granularity must stay sub-day)
             pipeline_name=name,
-            granularity="6h",
+            granularity="12h",
             max_pipeline_runs=4,
             avg_records_per_window=avg,
         )
         return WindowPipeline(spark, cfg, source, stage, target, control)
 
     # heavy: avg=1 → ratio = count >> 1 → estimates scale up
+    half_day = DAY + timedelta(hours=12)  # exactly one 12h window
     heavy = build("heavy", 1)
-    heavy.run(DAY, DAY_END)
+    heavy.run(DAY, half_day)
     row = heavy.control.read().collect()[0]
     n = row["source_count"]
     assert n > 1
@@ -188,7 +194,7 @@ def test_duration_estimates_scale_staleness_bound(spark, tmp_path):
     # light: avg huge → ratio <= 1 → bases ×(1+skew), as the reference
     # computes them (source_discovery_manager.py:218-231)
     light = build("light", 10_000_000)
-    light.run(DAY, DAY_END)
+    light.run(DAY, half_day)
     lrow = light.control.read().collect()[0]
     assert lrow["source_to_stage_expected_duration_minutes"] == 15
     assert lrow["stage_to_target_expected_duration_minutes"] == 7
