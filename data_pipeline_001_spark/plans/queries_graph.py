@@ -6,8 +6,12 @@ dedup/curation: co-occurrence graph metrics (degree profile, triangle
 count / clustering coefficient, PageRank), Kaplan-Meier survival over
 order fulfilment, smoothed target encoding, hash-stable k-fold
 assignment, equal-frequency binning, CUSUM changepoint detection, and
-lagged cross-correlation. Every query is DuckDB-oracle-backed; graph
-algorithms live in ``operators/graph.py``.
+lagged cross-correlation. Wave 2 adds repeat-co-purchase component
+sizes, Mann-Kendall trend, Spearman rank correlation, the
+Wald-Wolfowitz runs test (all over exact integer-cents daily series —
+see the CUSUM drift lesson), hashing-trick feature buckets, scaler
+parameter tables, and crossed-feature support audits. Every query is
+DuckDB-oracle-backed; graph algorithms live in ``operators/graph.py``.
 """
 
 from __future__ import annotations
@@ -502,5 +506,379 @@ def stats_crosscorr_lags(spark, sf_dir):
         .agg(
             F.count("*").alias("n_days"),
             F.round(F.corr("rev", "cnt"), 6).alias("xcorr"),
+        )
+    )
+
+
+_W2_EDGES_SQL = """
+items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+edges AS (
+  SELECT a.item AS src, b.item AS dst
+  FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+"""
+
+
+@query(
+    "graph_component_sizes",
+    f"""
+    WITH {_W2_EDGES_SQL.strip().lstrip()}
+    , sym AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    reach AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.dst, r.label FROM r JOIN sym s ON s.src = r.node
+      ) SELECT node, MIN(label) AS cluster_id FROM r GROUP BY node
+    ),
+    comp AS (SELECT cluster_id, COUNT(*) AS size FROM reach GROUP BY 1)
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM comp GROUP BY 1
+    """,
+)
+def graph_component_sizes(spark, sf_dir):
+    """Connected-component size distribution of the repeat
+    co-purchase graph (edges = part pairs bought together in >= 2
+    orders — the weight floor keeps one-off basket noise out, the
+    same admission rule a product-affinity pipeline would use).
+    Spark runs the min-label propagation loop from
+    operators/dedup.connected_components (O(diameter) rounds, one
+    join+agg each); the oracle computes the identical min-reachable-id
+    labels with a recursive CTE."""
+    from data_pipeline_001_spark.operators.dedup import connected_components
+
+    edges = (
+        _edges(spark, sf_dir)
+        .where(F.col("weight") >= 2)
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count("*").alias("size"))
+        .groupBy(F.col("size").cast("long").alias("size"))
+        .agg(F.count("*").alias("n_components"))
+    )
+
+
+# Daily revenue in EXACT integer cents — the shared basis for the
+# trend/rank statistics below: sign/rank decisions on BIGINTs cannot
+# drift between engines the way raw double sums can (the CUSUM
+# lesson).
+_DAILY_CENTS_SQL = """
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+)
+"""
+
+
+def _daily_cents(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_c"),
+        )
+    )
+
+
+@query(
+    "stats_mann_kendall",
+    f"""
+    WITH {_DAILY_CENTS_SQL.strip().lstrip()}
+    , s AS (
+      SELECT SUM(CASE WHEN b.rev_c > a.rev_c THEN 1
+                      WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END) AS s,
+             (SELECT COUNT(*) FROM daily) AS n
+      FROM daily a JOIN daily b ON b.day > a.day
+    )
+    SELECT CAST(s AS BIGINT) AS s_statistic,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND((s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+                 / SQRT(n * (n - 1.0) * (2 * n + 5) / 18.0), 6) AS z
+    FROM s
+    """,
+)
+def stats_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test on daily revenue:
+    S = sum of sign(x_j - x_i) over day pairs i<j, normal
+    approximation z with continuity correction (tie term omitted
+    identically in both engines). Signs compare exact integer cents,
+    so S is engine-exact. The pair join is calendar-bounded
+    (~n_days^2 / 2 ~ 3M pairs at 2400 days) regardless of row volume —
+    the day-grain aggregate is what scales, not the corpus."""
+    daily = _daily_cents(spark, sf_dir)
+    a = daily.select(F.col("day").alias("da"), F.col("rev_c").alias("ra"))
+    b = daily.select(F.col("day").alias("db"), F.col("rev_c").alias("rb"))
+    n_df = daily.agg(F.count("*").alias("n"))
+    pairs = a.join(b, F.col("db") > F.col("da"))
+    s_df = pairs.agg(
+        F.sum(
+            F.when(F.col("rb") > F.col("ra"), 1)
+            .when(F.col("rb") < F.col("ra"), -1)
+            .otherwise(0)
+        ).alias("s")
+    ).crossJoin(F.broadcast(n_df))
+    sgn = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    return s_df.select(
+        F.col("s").cast("long").alias("s_statistic"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            (F.col("s") - sgn)
+            / F.sqrt(
+                F.col("n") * (F.col("n") - F.lit(1.0))
+                * (2 * F.col("n") + 5) / F.lit(18.0)
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@query(
+    "stats_spearman_corr",
+    f"""
+    WITH {_DAILY_CENTS_SQL.strip().lstrip()}
+    , ranked AS (
+      SELECT RANK() OVER (ORDER BY cnt) +
+             (COUNT(*) OVER (PARTITION BY cnt) - 1) / 2.0 AS r_cnt,
+             RANK() OVER (ORDER BY rev_c) +
+             (COUNT(*) OVER (PARTITION BY rev_c) - 1) / 2.0 AS r_rev
+      FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CORR(r_cnt, r_rev), 6) AS spearman_rho
+    FROM ranked
+    """,
+)
+def stats_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between daily order count and daily
+    revenue: Pearson correlation of AVERAGE ranks (min-rank + half
+    the tie-group size — deterministic on the exact integer inputs,
+    so both engines rank identically). Two window passes over the
+    calendar-bounded day table; rho is the robust companion to the
+    Pearson `stats_crosscorr_lags`."""
+    from pyspark.sql import Window as W
+
+    daily = _daily_cents(spark, sf_dir)
+    r_cnt = F.rank().over(W.orderBy("cnt")) + (
+        F.count("*").over(W.partitionBy("cnt")) - 1
+    ) / F.lit(2.0)
+    r_rev = F.rank().over(W.orderBy("rev_c")) + (
+        F.count("*").over(W.partitionBy("rev_c")) - 1
+    ) / F.lit(2.0)
+    ranked = daily.select(r_cnt.alias("r_cnt"), r_rev.alias("r_rev"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.corr("r_cnt", "r_rev"), 6).alias("spearman_rho"),
+    )
+
+
+@query(
+    "stats_runs_test",
+    f"""
+    WITH {_DAILY_CENTS_SQL.strip().lstrip()}
+    , med AS (
+      SELECT rev_c AS m FROM daily ORDER BY rev_c
+      LIMIT 1 OFFSET ((SELECT COUNT(*) FROM daily) - 1) // 2
+    ),
+    flags AS (
+      SELECT day, CASE WHEN rev_c > med.m THEN 1 ELSE 0 END AS above
+      FROM daily CROSS JOIN med
+    ),
+    chg AS (
+      SELECT above,
+             CASE WHEN above <> LAG(above) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS changed
+      FROM flags
+    ),
+    runs AS (
+      SELECT SUM(changed) + 1 AS r,
+             SUM(above) AS n1,
+             SUM(1 - above) AS n2
+      FROM chg
+    )
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+             AS z
+    FROM runs
+    """,
+)
+def stats_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of daily revenue
+    around its median: binarize each day (above the exact lower
+    median of integer cents — ties count as below, identically in
+    both engines), count sign runs with one lag window, and z-score
+    against the runs-count null. Detects regime persistence the
+    variance stats miss; one window pass over the day table."""
+    from pyspark.sql import Window as W
+
+    daily = _daily_cents(spark, sf_dir)
+    n_df = daily.agg(F.count("*").alias("n"))
+    med = (
+        daily.crossJoin(F.broadcast(n_df))
+        .select(
+            "rev_c",
+            (F.row_number().over(W.orderBy("rev_c")) - 1).alias("rn"),
+            ((F.col("n") - 1) / F.lit(2)).cast("long").alias("target"),
+        )
+        .where(F.col("rn") == F.col("target"))
+        .select(F.col("rev_c").alias("m"))
+    )
+    flags = daily.crossJoin(F.broadcast(med)).select(
+        "day", F.when(F.col("rev_c") > F.col("m"), 1).otherwise(0).alias("above")
+    )
+    w = W.orderBy("day")
+    runs = flags.select(
+        F.when(F.col("above") != F.lag("above").over(w), 1)
+        .otherwise(0)
+        .alias("chg"),
+        "above",
+    ).agg(
+        (F.sum("chg") + 1).alias("r"),
+        F.sum("above").alias("n1"),
+        F.sum(1 - F.col("above")).alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + 1
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+    )
+    return runs.select(
+        r.cast("long").alias("n_runs"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        F.round((r - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@query(
+    "ml_feature_hashing",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(p_name, ' ')) AS tok FROM part
+    ),
+    hashed AS (
+      SELECT tok,
+             (ascii(substr(md5(tok), 1, 1)) * 256
+              + ascii(substr(md5(tok), 2, 1))) % 64 AS bucket
+      FROM toks
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+    FROM hashed GROUP BY 1
+    """,
+)
+def ml_feature_hashing(spark, sf_dir):
+    """Hashing-trick feature buckets over part-name tokens (64
+    buckets via the engine-portable md5-ascii hash) with per-bucket
+    collision stats (distinct tokens sharing a bucket) — the load/
+    collision profile that sizes a hashed feature space before
+    training. Pure map-side expression plus one aggregate."""
+    t = load_tables(spark, sf_dir)
+    toks = t["part"].select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("tok")
+    )
+    bucket = (
+        (
+            F.ascii(F.substring(F.md5(F.col("tok")), 1, 1)) * 256
+            + F.ascii(F.substring(F.md5(F.col("tok")), 2, 1))
+        )
+        % 64
+    ).cast("int")
+    return (
+        toks.select("tok", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct_tokens"),
+        )
+    )
+
+
+@query(
+    "ml_scaler_params",
+    """
+    SELECT CAST(c_nationkey AS INT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(AVG(c_acctbal), 6) AS mean_bal,
+           ROUND(STDDEV_SAMP(c_acctbal), 6) AS std_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def ml_scaler_params(spark, sf_dir):
+    """Per-group feature-scaling parameter table (min-max range +
+    z-score mean/std per nation) — the fit() artifact of a
+    normalizer; at 100 TB this is |groups| rows that broadcast back
+    for the transform pass. One aggregate."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 6).alias("mean_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 6).alias("std_bal"),
+        )
+    )
+
+
+@query(
+    "ml_feature_crosses",
+    """
+    WITH binned AS (
+      SELECT o_orderpriority,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(decile AS INT) AS price_decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def ml_feature_crosses(spark, sf_dir):
+    """Crossed categorical x binned-numeric feature table
+    (order priority x price decile) with per-cell support and target
+    mean — the cross-feature audit that catches empty/starved cells
+    before one-hot crossing explodes a model. Reuses the
+    deterministic NTILE contract from `ml_quantile_binning`."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.ntile(10).over(w).cast("int").alias("price_decile"),
+            "o_totalprice",
+        )
+        .groupBy("priority", "price_decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
         )
     )

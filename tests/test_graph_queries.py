@@ -114,6 +114,13 @@ def test_degrees_counts_both_endpoints(spark):
         "ml_quantile_binning",
         "stats_cusum_changepoint",
         "stats_crosscorr_lags",
+        "graph_component_sizes",
+        "stats_mann_kendall",
+        "stats_spearman_corr",
+        "stats_runs_test",
+        "ml_feature_hashing",
+        "ml_scaler_params",
+        "ml_feature_crosses",
     ],
 )
 def test_wave_queries_execute(spark, name):
@@ -152,3 +159,65 @@ def test_quantile_binning_equal_frequency(spark):
     assert max(sizes) - min(sizes) <= 1
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo + 1e-9
+
+
+def test_spearman_bounds_and_self_correlation(spark):
+    """rho is in [-1, 1] at sf0.001; a constructed perfectly monotone
+    pair of series gives rho == 1 through the same rank formula."""
+    import __spark_entry__ as entry
+    from pyspark.sql import Window as W
+
+    r = entry.queries()["stats_spearman_corr"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert -1.0 <= r.spearman_rho <= 1.0
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(i * i)) for i in range(20)], "k int, x double, y double"
+    )
+    rx = F.rank().over(W.orderBy("x")) + (
+        F.count("*").over(W.partitionBy("x")) - 1
+    ) / F.lit(2.0)
+    ry = F.rank().over(W.orderBy("y")) + (
+        F.count("*").over(W.partitionBy("y")) - 1
+    ) / F.lit(2.0)
+    rho = (
+        df.select(rx.alias("rx"), ry.alias("ry"))
+        .agg(F.round(F.corr("rx", "ry"), 6))
+        .collect()[0][0]
+    )
+    assert rho == 1.0
+
+
+def test_runs_test_accounting(spark):
+    """n_above + n_below == n_days and 1 <= runs <= n_days."""
+    import __spark_entry__ as entry
+
+    r = entry.queries()["stats_runs_test"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    n = r.n_above + r.n_below
+    assert 1 <= r.n_runs <= n
+    # lower-median split: 'above' is the strict majority side's complement
+    assert r.n_above <= r.n_below
+
+
+def test_component_sizes_accounting(spark):
+    """Sum(size * n_components) equals the number of clustered nodes
+    (every node with a weight>=2 edge lands in exactly one component)."""
+    import __spark_entry__ as entry
+    from data_pipeline_001_spark.operators.graph import copurchase_edges
+    from data_pipeline_001_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["graph_component_sizes"](spark, sf).collect()
+    clustered = sum(r.size * r.n_components for r in rows)
+    t = load_tables(spark, sf)
+    e2 = copurchase_edges(t["lineitem"]).where(F.col("weight") >= 2)
+    n_nodes = (
+        e2.select(F.col("src").alias("n"))
+        .unionAll(e2.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert clustered == n_nodes
