@@ -882,3 +882,256 @@ def ml_feature_crosses(spark, sf_dir):
             F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
         )
     )
+
+
+# Wave 3 — model-evaluation harness over a deterministic rule score:
+# score = exact order cents, positive label = fulfilled ('F'). The
+# synthetic relationship is weak by design; what these pin is the
+# EVALUATION math (confusion counts, rank-sum AUC, calibration), all
+# computed distributed and engine-exact on integers.
+
+
+@query(
+    "ml_classifier_eval",
+    """
+    WITH scored AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS score_c,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    med AS (
+      SELECT score_c AS m FROM scored ORDER BY score_c
+      LIMIT 1 OFFSET ((SELECT COUNT(*) FROM scored) - 1) // 2
+    ),
+    cm AS (
+      SELECT SUM(CASE WHEN score_c > med.m AND y = 1 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN score_c > med.m AND y = 0 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN score_c <= med.m AND y = 1 THEN 1 ELSE 0 END) AS fn,
+             SUM(CASE WHEN score_c <= med.m AND y = 0 THEN 1 ELSE 0 END) AS tn
+      FROM scored CROSS JOIN med
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           ROUND(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+           ROUND(tp / CAST(tp + fn AS DOUBLE), 6) AS recall,
+           ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+    FROM cm
+    """,
+)
+def ml_classifier_eval(spark, sf_dir):
+    """Confusion matrix + precision/recall/F1 for the
+    above-median-price rule predicting order fulfilment. Threshold is
+    the exact lower median of integer cents (deterministic both
+    engines); counts are one aggregate over the scored frame — the
+    shape of every distributed model-eval job."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    scored = t["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("score_c"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    n_df = scored.agg(F.count("*").alias("n"))
+    med = (
+        scored.crossJoin(F.broadcast(n_df))
+        .select(
+            "score_c",
+            (F.row_number().over(W.orderBy("score_c")) - 1).alias("rn"),
+            ((F.col("n") - 1) / F.lit(2)).cast("long").alias("tgt"),
+        )
+        .where(F.col("rn") == F.col("tgt"))
+        .select(F.col("score_c").alias("m"))
+    )
+    pred = F.col("score_c") > F.col("m")
+    cm = scored.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when(pred & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & (F.col("y") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pred & (F.col("y") == 0), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.round(tp / (tp + fp).cast("double"), 6).alias("precision"),
+        F.round(tp / (tp + fn).cast("double"), 6).alias("recall"),
+        F.round(F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn), 6).alias("f1"),
+    )
+
+
+@query(
+    "ml_roc_auc",
+    """
+    WITH scored AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS score_c,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    ranked AS (
+      SELECT y,
+             RANK() OVER (ORDER BY score_c) +
+             (COUNT(*) OVER (PARTITION BY score_c) - 1) / 2.0 AS r
+      FROM scored
+    )
+    SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+           ROUND((SUM(CASE WHEN y = 1 THEN r ELSE 0 END)
+                  - SUM(y) * (SUM(y) + 1) / 2.0)
+                 / (SUM(y) * CAST(SUM(1 - y) AS DOUBLE)), 6) AS auc
+    FROM ranked
+    """,
+)
+def ml_roc_auc(spark, sf_dir):
+    """Exact ROC AUC via the rank-sum (Mann-Whitney U) identity:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg) with average
+    ranks for ties. One window pass + one aggregate — no threshold
+    sweep, no per-point curve materialization — and ranks are
+    deterministic on the exact integer-cents score, so AUC is
+    engine-exact to the rounding. This is how AUC should be computed
+    at 100 TB: a sort-based rank, not a quadratic pair count."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    scored = t["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("score_c"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    r = F.rank().over(W.orderBy("score_c")) + (
+        F.count("*").over(W.partitionBy("score_c")) - 1
+    ) / F.lit(2.0)
+    ranked = scored.select("y", r.alias("r"))
+    y = F.col("y")
+    return ranked.agg(
+        F.sum(y).cast("long").alias("n_pos"),
+        F.sum(1 - y).cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.when(y == 1, F.col("r")).otherwise(0.0))
+                - F.sum(y) * (F.sum(y) + 1) / F.lit(2.0)
+            )
+            / (F.sum(y) * F.sum(1 - y).cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "ml_calibration_bins",
+    """
+    WITH scored AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS score_c,
+             o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    binned AS (
+      SELECT y, score_c,
+             NTILE(10) OVER (ORDER BY score_c, o_orderkey) AS bin
+      FROM scored
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CAST(score_c AS DOUBLE)) / 100.0, 6) AS avg_score,
+           ROUND(AVG(CAST(y AS DOUBLE)), 6) AS event_rate
+    FROM binned GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability (calibration) table: score deciles vs observed
+    event rate — the distributed form of a calibration curve.
+    Deterministic NTILE on (exact cents, key); per-bin means only."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    scored = t["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("score_c"),
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    w = W.orderBy("score_c", "o_orderkey")
+    return (
+        scored.select("y", "score_c", F.ntile(10).over(w).alias("bin"))
+        .groupBy(F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("score_c").cast("double")) / 100.0, 6).alias(
+                "avg_score"
+            ),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("event_rate"),
+        )
+    )
+
+
+@query(
+    "stats_abc_analysis",
+    """
+    WITH part_rev AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(rev_c) AS total FROM part_rev),
+    ranked AS (
+      SELECT l_partkey, rev_c,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey) AS cum_c,
+             tot.total
+      FROM part_rev CROSS JOIN tot
+    ),
+    classed AS (
+      SELECT CASE WHEN cum_c * 5 <= total * 4 THEN 'A'
+                  WHEN cum_c * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_c
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(rev_c) / 100.0, 2) AS revenue,
+           ROUND(SUM(CAST(rev_c AS DOUBLE))
+                 / (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS rev_share
+    FROM classed GROUP BY 1
+    """,
+)
+def stats_abc_analysis(spark, sf_dir):
+    """ABC (Pareto-class) inventory analysis: parts ranked by
+    discounted revenue; A = parts inside the first 80% of cumulative
+    revenue, B = next 15%, C = tail. Class boundaries compare SCALED
+    INTEGERS (cum*5 <= total*4 for 0.8, cum*20 <= total*19 for 0.95)
+    so no float share ever decides a class. One aggregate + one
+    window over the |parts|-row rollup — the fact table never sorts."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    part_rev = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100
+            )
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    tot = part_rev.agg(F.sum("rev_c").alias("total"))
+    w = W.orderBy(F.col("rev_c").desc(), F.col("l_partkey"))
+    ranked = part_rev.crossJoin(F.broadcast(tot)).select(
+        "rev_c", F.sum("rev_c").over(w).alias("cum_c"), "total"
+    )
+    abc = (
+        F.when(F.col("cum_c") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum_c") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+    )
+    classed = ranked.select(abc.alias("abc_class"), "rev_c", "total")
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("rev_c") / F.lit(100.0), 2).alias("revenue"),
+        F.round(
+            F.sum(F.col("rev_c").cast("double")) / F.first("total").cast("double"), 6
+        ).alias("rev_share"),
+    )

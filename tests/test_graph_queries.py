@@ -121,6 +121,10 @@ def test_degrees_counts_both_endpoints(spark):
         "ml_feature_hashing",
         "ml_scaler_params",
         "ml_feature_crosses",
+        "ml_classifier_eval",
+        "ml_roc_auc",
+        "ml_calibration_bins",
+        "stats_abc_analysis",
     ],
 )
 def test_wave_queries_execute(spark, name):
@@ -221,3 +225,62 @@ def test_component_sizes_accounting(spark):
         .count()
     )
     assert clustered == n_nodes
+
+
+def test_roc_auc_perfect_and_random_separation(spark):
+    """The rank-sum AUC formula gives 1.0 for perfectly separated
+    scores and 0.5-ish under label-independent scores; ties get
+    average ranks (all-equal scores -> exactly 0.5)."""
+    from pyspark.sql import Window as W
+
+    def auc(rows):
+        df = spark.createDataFrame(rows, "score_c long, y int")
+        r = F.rank().over(W.orderBy("score_c")) + (
+            F.count("*").over(W.partitionBy("score_c")) - 1
+        ) / F.lit(2.0)
+        ranked = df.select("y", r.alias("r"))
+        y = F.col("y")
+        return ranked.agg(
+            F.round(
+                (
+                    F.sum(F.when(y == 1, F.col("r")).otherwise(0.0))
+                    - F.sum(y) * (F.sum(y) + 1) / F.lit(2.0)
+                )
+                / (F.sum(y) * F.sum(1 - y).cast("double")),
+                6,
+            )
+        ).collect()[0][0]
+
+    perfect = [(i, 1 if i >= 50 else 0) for i in range(100)]
+    assert auc(perfect) == 1.0
+    all_tied = [(7, i % 2) for i in range(100)]
+    assert auc(all_tied) == 0.5
+
+
+def test_abc_analysis_partitions_and_order(spark):
+    """Classes partition all parts; A's revenue share <= 0.8 by the
+    integer boundary rule and A parts are fewer than C parts on a
+    Pareto-ish distribution."""
+    import __spark_entry__ as entry
+
+    rows = {
+        r.abc_class: r
+        for r in entry.queries()["stats_abc_analysis"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"A", "B", "C"}
+    assert abs(sum(r.rev_share for r in rows.values()) - 1.0) < 1e-5
+    assert rows["A"].rev_share <= 0.8 + 1e-9
+
+
+def test_classifier_eval_counts_consistent(spark):
+    """Confusion cells partition the orders table."""
+    import __spark_entry__ as entry
+    from data_pipeline_001_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    r = entry.queries()["ml_classifier_eval"](spark, sf).collect()[0]
+    total = load_tables(spark, sf)["orders"].count()
+    assert r.tp + r.fp + r.fn + r.tn == total
+    assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
