@@ -284,3 +284,21 @@ def test_classifier_eval_counts_consistent(spark):
     total = load_tables(spark, sf)["orders"].count()
     assert r.tp + r.fp + r.fn + r.tn == total
     assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+
+
+def test_graph_plans_have_no_cartesian_product(spark):
+    """The triangle wedge/closure joins and every PageRank step must
+    stay equi-joins: a regression to CartesianProduct would turn the
+    Θ(m^1.5)-bounded wedge join into Θ(m²) at scale. (Mann-Kendall's
+    day-pair join is non-equi BY DESIGN — bounded by the calendar,
+    not the corpus — and is deliberately not covered here.)"""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("graph_triangle_stats", "graph_pagerank_top",
+                 "graph_component_sizes", "graph_degree_buckets"):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan, name
