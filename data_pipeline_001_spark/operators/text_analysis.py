@@ -788,11 +788,18 @@ def bpe_train(
     """LEARN a BPE merge table (Sennrich et al. 2016): ``n_merges``
     iterations of count-adjacent-pairs → deterministic argmax
     (count DESC, pair ASC) → merge corpus-wide. Each iteration is one
-    codegen scan (explode pairs + one small count shuffle) and a
-    1-row collect of the winning pair — the driver loop carries only
-    the merge table, never data. The tokenization column is
-    re-derived lazily per iteration (≤ n_merges nested HOFs per scan;
-    checkpointing kicks in past 16 merges to bound plan depth).
+    scan (explode pairs + one small count shuffle) and a 1-row collect
+    of the winning pair — the driver loop carries only the merge
+    table, never data.
+
+    Trains over DISTINCT word TYPES weighted by occurrence frequency
+    (the Sennrich formulation): pair counts are Σ freq(type) ·
+    pairs-in-type, EXACTLY the per-occurrence counts, but the frame
+    the merge loop rescans is |vocabulary| rows instead of corpus
+    tokens — at 10 GB of text that is ~10⁵ types vs ~10⁹ occurrences,
+    and the k-deep nested-HOF re-derivation stops being O(k²) passes
+    over the corpus (a measured 1149 s → seconds at the sf1 bench
+    point; the DuckDB oracle is unchanged because the counts are).
 
     Returns the learned table: (step, left, right, pair_count)."""
     from pyspark import StorageLevel
@@ -804,10 +811,17 @@ def bpe_train(
             )
         ).alias("w")
     ).where(F.length("w") >= 2)
-    toks = words.select(
-        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        .alias("tokens")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    toks = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("tokens"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     merges = []
     cur = toks
@@ -816,17 +830,18 @@ def bpe_train(
         # so an unguarded 1-token word would index element_at(tokens, 0)
         # and throw under ANSI once merges collapse short words
         pairs = cur.where(F.size("tokens") >= 2).select(
+            "freq",
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(tokens) - 1),"
                     " i -> struct(element_at(tokens, i) AS l,"
                     "             element_at(tokens, i + 1) AS r))"
                 )
-            ).alias("p")
+            ).alias("p"),
         )
         top = (
             pairs.groupBy("p.l", "p.r")
-            .agg(F.count("*").alias("n"))
+            .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
             .limit(1)
             .collect()
@@ -835,7 +850,9 @@ def bpe_train(
             break
         l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
         merges.append((step, l, r, int(n)))
-        cur = cur.select(_merge_tokens("tokens", l, r).alias("tokens"))
+        cur = cur.select(
+            "freq", _merge_tokens("tokens", l, r).alias("tokens")
+        )
         if step % 16 == 0:
             cur = cur.localCheckpoint(eager=False)
     toks.unpersist()
