@@ -1135,3 +1135,87 @@ def stats_abc_analysis(spark, sf_dir):
             F.sum(F.col("rev_c").cast("double")) / F.first("total").cast("double"), 6
         ).alias("rev_share"),
     )
+
+
+def _markov_oracle_sql(iterations: int = 6) -> str:
+    """Chained-CTE power iteration for the stationary distribution of
+    the event-type Markov chain (same generated-oracle pattern as
+    `graph_pagerank_top`): transition probabilities are exact integer
+    ratios, every step rounds to 8 decimals, so the trajectory is
+    engine-exact."""
+    head = """
+WITH seq AS (SELECT event_type AS src,
+                    LEAD(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS dst
+             FROM events WHERE user_id IS NOT NULL),
+t AS (SELECT src, dst, COUNT(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst),
+tot AS (SELECT src, SUM(n) AS rt FROM t GROUP BY src),
+trans AS (SELECT t.src, t.dst, t.n / CAST(tot.rt AS DOUBLE) AS p
+          FROM t JOIN tot USING (src)),
+states AS (SELECT src AS state FROM tot),
+nn AS (SELECT COUNT(*) AS n FROM states),
+pi0 AS (SELECT state, ROUND(1.0 / nn.n, 8) AS pi FROM states CROSS JOIN nn)
+"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f"""
+pi{k} AS (
+  SELECT tr.dst AS state, ROUND(SUM(p.pi * tr.p), 8) AS pi
+  FROM trans tr JOIN pi{k - 1} p ON p.state = tr.src
+  GROUP BY tr.dst
+)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT state, ROUND(pi, 6) AS pi FROM pi{iterations}
+"""
+    )
+
+
+@query("stats_markov_stationary", _markov_oracle_sql(6))
+def stats_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the first-order event-type Markov
+    chain (6 synchronous power steps over the exact-integer-ratio
+    transition matrix from `window_event_transitions`): the long-run
+    share of each event type implied by observed transitions — the
+    behavioral equilibrium a session simulator samples from. The
+    matrix is |event types|² cells however large the corpus, so after
+    the one LEAD window + count shuffle, iteration cost is
+    independent of data volume; per-step round-8 makes the trajectory
+    cross-engine exact (the PageRank discipline)."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    counts = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("rt"))
+    trans = counts.join(totals, "src").select(
+        "src", "dst", (F.col("n") / F.col("rt").cast("double")).alias("p")
+    )
+    states = totals.select(F.col("src").alias("state"))
+    # bounded collect: the state count (|event types|) as a literal so
+    # the uniform start rounds identically in both engines
+    n = states.count()
+    pi = states.select(
+        "state", F.round(F.lit(1.0) / F.lit(n), 8).alias("pi")
+    )
+    for _ in range(6):
+        pi = (
+            trans.join(pi, trans["src"] == pi["state"])
+            .groupBy("dst")
+            .agg(F.round(F.sum(F.col("pi") * F.col("p")), 8).alias("pi"))
+            .select(F.col("dst").alias("state"), "pi")
+        )
+    return pi.select("state", F.round("pi", 6).alias("pi"))

