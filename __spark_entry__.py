@@ -109,6 +109,34 @@ _R4_BACKLOG = (
 )
 
 
+#: the 32 registry entries with no GREEN-HASH driver row after round 5:
+#: 23 never sampled in any round (the round-5 graph/ML-prep/trend waves,
+#: pHash, plus ``orders_status_aging`` which ranked 51st in a 50-row
+#: sample) followed by 9 whose latest ledger row is a stale ``no_oracle``
+#: err from rounds 2/4 — they have since graduated to contract oracles
+#: and owe the ledger their first hash-gate run. Never-sampled first,
+#: per the round-5 verdict. Pinned so round-6+ additions cannot displace
+#: them from the driver's ~50-entry prefix sample.
+_R5_BACKLOG = (
+    # -- never sampled in any round (registration order) --
+    "multimodal_phash_neardup", "orders_status_aging",
+    "graph_degree_buckets", "graph_triangle_stats",
+    "graph_pagerank_top", "survival_kaplan_meier",
+    "ml_target_encoding", "ml_kfold_assignment", "ml_quantile_binning",
+    "stats_cusum_changepoint", "stats_crosscorr_lags",
+    "graph_component_sizes", "stats_mann_kendall",
+    "stats_spearman_corr", "stats_runs_test", "ml_feature_hashing",
+    "ml_scaler_params", "ml_feature_crosses", "ml_classifier_eval",
+    "ml_roc_auc", "ml_calibration_bins", "stats_abc_analysis",
+    "stats_markov_stationary",
+    # -- graduated to oracles after their last (rows-only) sample --
+    "embedding_pca", "dedup_minhash_lsh", "dedup_simhash",
+    "similarity_lsh_topk", "similarity_ivf_topk",
+    "dedup_cluster_components_lsh", "dedup_embedding_lsh",
+    "dedup_semantic_clusters", "similarity_pq_topk",
+)
+
+
 def _coverage_order(names, oracles=None) -> list[str]:
     """Queries with no driver CORRECTNESS row from any past round come
     FIRST (in registration order), so a driver that samples a prefix of
@@ -151,19 +179,24 @@ def _coverage_order(names, oracles=None) -> list[str]:
     # graduated/red oracle-backed entries, then round-5+ additions
     backlog = set(_R3_BACKLOG) | set(_R4_BACKLOG)
     r4 = set(_R4_BACKLOG)
+    r5 = {n: i for i, n in enumerate(_R5_BACKLOG)}
 
-    def rank(n: str) -> int:
+    def rank(n: str):
+        # the round-5 pinned backlog precedes everything, in its own
+        # declared order (never-sampled entries first)
+        if n in r5:
+            return (-1, r5[n])
         if n in r4 and n in oracles:
-            return 0
+            return (0, 0)
         if n in oracles and n in seen:
             # sampled before but its hash gate never ran (an err row —
             # a rows-only entry since graduated to a contract oracle,
             # or a since-fixed mismatch): clearing the ledger's red
             # row outranks sampling new additions
-            return 1
+            return (1, 0)
         if n in backlog:
-            return 2
-        return 3 if n in oracles else 4
+            return (2, 0)
+        return (3, 0) if n in oracles else (4, 0)
 
     fronted_block = sorted(
         (n for n in ordered if fronted(n)),

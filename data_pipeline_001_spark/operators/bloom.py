@@ -118,7 +118,18 @@ def _broadcast_bits(spark, payload: bytes):
     import hashlib
 
     sc = spark.sparkContext
-    key = (id(sc), hashlib.md5(payload).hexdigest())
+    # keyed by applicationId, not id(sc): CPython can reuse a dead
+    # context's id, which would hand a probe a destroyed broadcast.
+    # Entries from other (stopped) applications are evicted so the
+    # module-level cache never pins a dead context's payloads alive.
+    app_id = sc.applicationId
+    for k in [k for k in _BC_CACHE if k[0] != app_id]:
+        try:
+            _BC_CACHE[k].destroy()
+        except Exception:
+            pass  # owning context already stopped
+        del _BC_CACHE[k]
+    key = (app_id, hashlib.md5(payload).hexdigest())
     bc = _BC_CACHE.get(key)
     if bc is None:
         bc = _BC_CACHE[key] = sc.broadcast(payload)

@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 from data_pipeline_001_spark.plans.queries import query
 from data_pipeline_001_spark.session import load_tables
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# explicit class: RE2 \s omits U+000B, Java \s includes it (see
+# queries_llm._NORM_SQL)
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
 
 def _norm_tokens():

@@ -164,7 +164,7 @@ pr{k} AS (
         + f"""
 SELECT node, ROUND(pr, 6) AS pagerank
 FROM pr{iterations}
-ORDER BY pr DESC, node ASC LIMIT 20
+ORDER BY pagerank DESC, node ASC LIMIT 20
 """
     )
 

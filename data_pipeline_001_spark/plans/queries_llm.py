@@ -16,7 +16,26 @@ from pyspark.sql import functions as F
 from data_pipeline_001_spark.plans.queries import query
 from data_pipeline_001_spark.session import load_tables
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# whitespace class spelled explicitly: RE2's \s omits U+000B while the
+# Spark side's Java \s includes it — the same cross-engine divergence
+# TOKEN_PATTERN/_BPE_PATTERN fixed (keeps planted dedup-oracle row sets
+# in sync with normalize_text on any input)
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+
+
+def _assert_planted_bound(corpus, id_col: str, offset: int) -> None:
+    """Planted-copy contracts re-insert rows at ``id + offset`` and
+    recover pairs via ``id_b - id_a == offset`` / ``id % offset``.
+    Once real corpus ids reach the offset that arithmetic silently
+    aliases real rows with planted copies, corrupting pair accounting;
+    this one bounded scalar collect (column-pruned max over the id)
+    makes scale growth fail loudly instead."""
+    hi = corpus.agg(F.max(id_col)).first()[0]
+    if hi is not None and hi >= offset:
+        raise ValueError(
+            f"planted-copy offset {offset} must exceed max({id_col})={hi}; "
+            "raise the offset for this corpus scale"
+        )
 
 
 @query(
@@ -240,6 +259,7 @@ def dedup_minhash_q(spark, sf_dir):
     shingleable = (
         F.size(F.split(normalize_text(F.col("text")), r"\s+")) >= 3
     )
+    _assert_planted_bound(docs, "doc_id", 10_000_000)
     orig = docs.where((F.col("doc_id") % 50 == 0) & shingleable)
     copies = orig.select(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
@@ -293,6 +313,7 @@ def dedup_simhash_q(spark, sf_dir):
     shingleable = (
         F.size(F.split(normalize_text(F.col("text")), r"\s+")) >= 3
     )
+    _assert_planted_bound(docs, "doc_id", 10_000_000)
     orig = docs.where((F.col("doc_id") % 50 == 0) & shingleable)
     copies = orig.select(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
@@ -417,6 +438,7 @@ def _ann_planted_contract(topk_fn, e, n_queries=10, **kw):
     contract checks the deterministic guarantee an exact duplicate
     carries through each index structure."""
     base = e.select("vec_id", "embedding")
+    _assert_planted_bound(base, "vec_id", 1_000_000)
     orig = base.where(F.col("vec_id") < n_queries)
     copies = orig.select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
@@ -619,6 +641,7 @@ def dedup_clusters_lsh_q(spark, sf_dir):
     shingleable = (
         F.size(F.split(normalize_text(F.col("text")), r"\s+")) >= 3
     )
+    _assert_planted_bound(docs, "doc_id", 10_000_000)
     orig = docs.where((F.col("doc_id") % 50 == 0) & shingleable)
     copies = orig.select(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
@@ -772,6 +795,7 @@ def dedup_embedding_lsh_q(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
+    _assert_planted_bound(e, "vec_id", 1_000_000)
     orig = e.where(F.col("vec_id") % 50 == 0)
     copies = orig.select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
@@ -893,6 +917,7 @@ def dedup_semantic_q(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding", "label")
+    _assert_planted_bound(e, "vec_id", 1_000_000)
     orig = e.where(F.col("vec_id") % 50 == 0)
     copies = orig.select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
