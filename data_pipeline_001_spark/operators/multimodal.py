@@ -1,12 +1,13 @@
 """Multimodal column plumbing (SURVEY.md §2.13).
 
 Images/audio/video ride through the engine as opaque ``binary``
-columns with typed metadata. Two real dependency-free decoders are
-implemented by pure struct parsing — uncompressed 24-bit BMP (pixel
-channel statistics) and PCM WAV (format/duration/RMS) — dispatched by
-``decode_media``. Formats that need codec libraries (JPEG, MP3,
-video — not in this container) still raise via ``decode_stub``; a
-real deployment swaps that one function.
+columns with typed metadata. Three real dependency-free decoders are
+implemented by pure struct/zlib parsing — uncompressed 24-bit BMP
+(pixel channel statistics), 8-bit truecolor PNG (zlib inflate +
+filter-predictor reversal), and PCM WAV (format/duration/RMS) —
+dispatched by ``decode_media``. Formats that need codec libraries
+(JPEG, MP3, video — not in this container) still raise via
+``decode_stub``; a real deployment swaps that one function.
 
 At 100 TB the pattern matters more than the codec: binary payloads
 stay columnar (parquet binary + page-level compression), metadata
@@ -48,11 +49,11 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def decode_stub(payload: bytes, media_type: str) -> dict:
     """Placeholder for codec-library decoders (PIL / ffmpeg frame
-    sampling). BMP and WAV decode natively via ``decode_media``; this
-    raises for everything else so misuse stays loud."""
+    sampling). BMP, PNG, and WAV decode natively via ``decode_media``;
+    this raises for everything else so misuse stays loud."""
     raise NotImplementedError(
         f"decoding {media_type!r} requires codec libraries not present "
-        "in this environment (BMP/WAV decode natively)"
+        "in this environment (BMP/PNG/WAV decode natively)"
     )
 
 
@@ -110,6 +111,157 @@ def make_wav(doc_id: int) -> bytes:
         + struct.pack("<I", len(data))
         + data
     )
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): pick whichever of left /
+    up / upper-left is closest to a+b-c, ties resolving left→up→UL."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def make_png(doc_id: int, brightness: int = 0) -> bytes:
+    """8-bit truecolor non-interlaced PNG of the SAME closed-form pixel
+    field as ``make_bmp`` (pixel (x,y) = (d%100+x+y, 2d%100+x,
+    3d%100+y), size 4–8 × 3–5), so the analytic channel-mean oracle is
+    shared. Row y is filtered with predictor (doc_id + y) % 5 — across
+    the corpus every PNG filter type (None/Sub/Up/Average/Paeth) is
+    exercised, making a green decode a proof of all five reversals."""
+    w, h = 4 + doc_id % 5, 3 + doc_id % 3
+    br = doc_id % 100 + brightness
+    bg = (2 * doc_id) % 100 + brightness
+    bb = (3 * doc_id) % 100 + brightness
+    rows = [
+        bytes(v for x in range(w) for v in (br + x + y, bg + x, bb + y))
+        for y in range(h)
+    ]
+    raw = bytearray()
+    prior = bytes(3 * w)
+    for y, cur in enumerate(rows):
+        ft = (doc_id + y) % 5
+        raw.append(ft)
+        for i in range(3 * w):
+            left = cur[i - 3] if i >= 3 else 0
+            up = prior[i]
+            ul = prior[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = cur[i]
+            elif ft == 1:
+                v = cur[i] - left
+            elif ft == 2:
+                v = cur[i] - up
+            elif ft == 3:
+                v = cur[i] - (left + up) // 2
+            else:
+                v = cur[i] - _paeth(left, up, ul)
+            raw.append(v & 0xFF)
+        prior = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode an 8-bit truecolor (color type 2) non-interlaced PNG:
+    chunk walk with per-chunk CRC verification, zlib inflate, per-row
+    filter-predictor reversal (None/Sub/Up/Average/Paeth), per-channel
+    pixel means. Pure zlib + struct — no codec library; the subset
+    covers what the deterministic fixtures emit, and anything else
+    (palette, alpha, 16-bit, interlaced) raises loudly."""
+    if bytes(payload[:8]) != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w, h = 8, None, None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = bytes(payload[pos + 4 : pos + 8])
+        data = bytes(payload[pos + 8 : pos + 8 + ln])
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG "
+                    f"(depth={depth}, color_type={ctype}, "
+                    f"interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * w
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"IDAT stream is {len(raw)} bytes, expected {h * (stride + 1)}"
+        )
+    sr = sg = sb = 0
+    prior = bytes(stride)
+    at = 0
+    for _y in range(h):
+        ft = raw[at]
+        line = bytearray(raw[at + 1 : at + 1 + stride])
+        at += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prior[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        for x in range(w):
+            sr += line[3 * x]
+            sg += line[3 * x + 1]
+            sb += line[3 * x + 2]
+        prior = bytes(line)
+    n = w * h
+    return {
+        "width": w,
+        "height": h,
+        "mean_r": sr / n,
+        "mean_g": sg / n,
+        "mean_b": sb / n,
+    }
 
 
 def decode_bmp(payload: bytes) -> dict:
@@ -183,6 +335,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     codec libraries."""
     if media_type == "image/bmp":
         return decode_bmp(payload)
+    if media_type == "image/png":
+        return decode_png(payload)
     if media_type in ("audio/wav", "audio/x-wav"):
         return decode_wav(payload)
     return decode_stub(payload, media_type)

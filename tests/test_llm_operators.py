@@ -197,7 +197,7 @@ def test_multimodal_roundtrip_and_stub(tables, spark):
         assert 0 < f_["compression_ratio"] <= 1.5
         assert len(f_["sha256"]) == 64
     with pytest.raises(NotImplementedError):
-        decode_stub(b"bytes", "image/png")
+        decode_stub(b"bytes", "image/jpeg")
     # sha256 computed in pandas matches the JVM-side column
     jvm = {r["media_id"]: r["sha256"] for r in media.collect()}
     assert all(jvm[f_["media_id"]] == f_["sha256"] for f_ in feats)
@@ -536,6 +536,68 @@ def test_bmp_wav_decode_roundtrip_pure_python():
         decode_bmp(b"PNG whatever")
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxAVI LIST")
+
+
+def test_png_decode_roundtrip_all_filters():
+    """The zlib+filter-predictor PNG decoder recovers the exact
+    closed-form pixel statistics; the fixture's per-row predictor
+    (doc_id + y) % 5 means these ids jointly cover all five PNG
+    filters, so a pass proves every reversal."""
+    import struct
+    import zlib
+
+    from data_pipeline_001_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_png,
+        make_bmp,
+        make_png,
+    )
+
+    covered = set()
+    for d in (0, 1, 2, 3, 4, 7, 41, 999, 123456):
+        img = decode_png(make_png(d))
+        w, h = 4 + d % 5, 3 + d % 3
+        covered.update((d + y) % 5 for y in range(h))
+        assert (img["width"], img["height"]) == (w, h)
+        assert img["mean_r"] == (d % 100) + (w - 1) / 2.0 + (h - 1) / 2.0
+        assert img["mean_g"] == ((2 * d) % 100) + (w - 1) / 2.0
+        assert img["mean_b"] == ((3 * d) % 100) + (h - 1) / 2.0
+        # PNG and BMP fixtures encode the SAME pixel field: decoded
+        # stats must agree exactly across the two container formats
+        bmp = decode_bmp(make_bmp(d))
+        assert {k: img[k] for k in ("width", "height", "mean_r")} == {
+            k: bmp[k] for k in ("width", "height", "mean_r")
+        }
+    assert covered == {0, 1, 2, 3, 4}
+
+    # brightness shift moves every channel mean by exactly the offset
+    base, lit = decode_png(make_png(50)), decode_png(make_png(50, brightness=40))
+    assert lit["mean_r"] == base["mean_r"] + 40
+
+    assert decode_media(make_png(4), "image/png")["width"] == 8
+
+    # corruption stays loud: bad magic, CRC damage, truncation,
+    # unsupported color type
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM not a png")
+    good = bytearray(make_png(7))
+    good[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    with pytest.raises(ValueError):
+        decode_png(make_png(7)[:20])
+    sig = make_png(7)[:8]
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # RGBA
+    bad = (
+        sig
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="color_type=6"):
+        decode_png(bad)
 
 
 def test_decoded_features_distributed(tables, spark):
