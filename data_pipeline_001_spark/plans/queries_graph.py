@@ -130,6 +130,60 @@ def graph_triangle_stats(spark, sf_dir):
     return triangle_stats(_edges(spark, sf_dir))
 
 
+@query(
+    "graph_triangle_approx",
+    f"""
+    WITH {_EDGES_SQL.strip().lstrip()}
+    , kept AS (
+      SELECT src, dst FROM edges
+      WHERE substr(md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)),
+                   1, 2) <= '3f'
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT src AS node FROM kept UNION ALL SELECT dst FROM kept
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (ds.degree, e.src) < (dd.degree, e.dst)
+                  THEN e.src ELSE e.dst END AS u,
+             CASE WHEN (ds.degree, e.src) < (dd.degree, e.dst)
+                  THEN e.dst ELSE e.src END AS v
+      FROM kept e
+      JOIN deg ds ON ds.node = e.src
+      JOIN deg dd ON dd.node = e.dst
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n
+      FROM (SELECT w1.v AS v1, w2.v AS v2
+            FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u
+            WHERE w1.v < w2.v) w
+      JOIN kept c ON c.src = w.v1 AND c.dst = w.v2
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges_full,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_edges_kept,
+           0.25 AS sample_p,
+           CAST(tri.n * 64 AS BIGINT) AS est_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_approx(spark, sf_dir):
+    """DOULION triangle estimate (round-5 verdict item 6): the exact
+    form is the honest Θ(m^1.5) wedge join (107 s at sf1); at 100 TB
+    the answer is sampling. Each edge survives a deterministic
+    md5-prefix coin with p = 1/4, triangles are counted exactly on
+    the sparsified graph and scaled by 1/p³ = 64 (unbiased,
+    Tsourakakis et al. KDD'09) — the surviving wedge join is ~p^1.5 =
+    1/8 of the exact cost, and p dials accuracy vs cost. Because the
+    coin is content-addressed (not RNG), the whole estimate is
+    bit-reproducible and the oracle twin runs the IDENTICAL pipeline
+    in SQL — an exact hash gate, while the ±ε accuracy contract
+    against the true count is pinned by the planted-graph pytest."""
+    from data_pipeline_001_spark.operators.graph import triangle_estimate
+
+    return triangle_estimate(_edges(spark, sf_dir), keep_buckets=64)
+
+
 def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE power iteration, one CTE per step, each step
     rounded to 8 decimals — the identical arithmetic the Spark

@@ -54,6 +54,32 @@ def test_triangle_stats_counts_planted_cliques(spark):
     assert abs(row.global_clustering - 3 * 4 / 16) < 1e-6
 
 
+def test_triangle_estimate_accuracy_and_degeneration(spark):
+    """The DOULION estimator's ±ε contract on a planted clique: K40
+    carries C(40,3) = 9880 triangles; the deterministic md5 coin at
+    p = 1/4 must estimate within 25% (the estimate is bit-stable, so
+    this is a fixed regression pin, not a flaky probabilistic bound).
+    At keep_buckets = 256 the coin keeps everything and the estimator
+    must DEGENERATE TO THE EXACT COUNT — scale factor 1."""
+    from data_pipeline_001_spark.operators.graph import triangle_estimate
+
+    k40 = [(a, b) for a in range(1, 41) for b in range(a + 1, 41)]
+    edges = _edges_df(spark, k40)
+    true_tri = 40 * 39 * 38 // 6
+    row = triangle_estimate(edges, keep_buckets=64).collect()[0]
+    assert row.n_edges_full == len(k40)
+    assert row.sample_p == 0.25
+    assert 0 < row.n_edges_kept < len(k40)
+    assert abs(row.est_triangles - true_tri) / true_tri < 0.25
+
+    exact = triangle_estimate(edges, keep_buckets=256).collect()[0]
+    assert exact.n_edges_kept == len(k40)
+    assert exact.est_triangles == true_tri
+
+    with pytest.raises(ValueError, match="divide 256"):
+        triangle_estimate(edges, keep_buckets=48)
+
+
 def test_triangle_orientation_handles_hub(spark):
     """A star (hub + leaves) has zero triangles regardless of hub
     degree; closing one leaf pair adds exactly one."""
@@ -296,8 +322,9 @@ def test_graph_plans_have_no_cartesian_product(spark):
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    for name in ("graph_triangle_stats", "graph_pagerank_top",
-                 "graph_component_sizes", "graph_degree_buckets"):
+    for name in ("graph_triangle_stats", "graph_triangle_approx",
+                 "graph_pagerank_top", "graph_component_sizes",
+                 "graph_degree_buckets"):
         df = qs[name](spark, "/root/testdata/sf0.001")
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
