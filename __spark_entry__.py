@@ -36,6 +36,7 @@ def _registry():
     from data_pipeline_001_spark.plans import queries_mlprep  # noqa: F401
     from data_pipeline_001_spark.plans import queries_graph  # noqa: F401
     from data_pipeline_001_spark.plans import queries_er  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_mleval  # noqa: F401
 
     return base.REGISTRY, base.ORACLES
 
