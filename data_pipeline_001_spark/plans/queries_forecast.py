@@ -1,0 +1,392 @@
+"""Round-6 wave 3: forecasting, seasonal decomposition, rank
+correlation, and the l-diversity privacy audit.
+
+Four surfaces rounding out the time-series and governance families
+(SURVEY.md §2.13; nearest reference surface is the staleness /
+scaling-curve heuristics in `pipeline_logic/`, which extrapolate
+pipeline lag but never model the series itself):
+
+* ``time_holt_forecast`` — Holt double-exponential smoothing (level +
+  trend) over the monthly revenue series with 1..3-step-ahead
+  forecasts. A genuinely sequential recursion: Spark folds it with
+  ``F.aggregate`` over the bounded sorted series; the oracle is a
+  DuckDB ``WITH RECURSIVE`` running the *identical* per-step rounded
+  arithmetic.
+* ``time_seasonal_decompose`` — classical additive decomposition of
+  daily revenue: centered 7-day moving-average trend, day-of-week
+  seasonal indices from the detrended residual.
+* ``stats_kendall_tau`` — Kendall's tau-b between daily revenue and
+  daily order count, by exact integer pair classification over the
+  bounded daily spine (the established bounded-quadratic-twin
+  pattern).
+* ``governance_l_diversity`` — distinct-value and entropy l-diversity
+  of the sensitive attribute within each quasi-identifier group,
+  extending the k-anonymity report (Machanavajjhala et al. 2007,
+  public).
+
+NOTE: this module must stay LAST in ``__spark_entry__._registry``'s
+import order — new registry entries queue behind the pinned coverage
+backlog so the driver's prefix sample converges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_001_spark.plans.queries import query
+from data_pipeline_001_spark.session import load_tables
+
+# ---------------------------------------------------------------------
+# Holt double-exponential smoothing
+# ---------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+# Monthly revenue in exact dollars (integer-cents sum divided once):
+# ~84 rows at ANY scale factor — the TPC-H date span is fixed, so the
+# sequential fold is a constant-size problem.
+_HOLT_ORACLE = f"""
+WITH RECURSIVE monthly AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY m) AS t, x FROM (
+    SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS x
+    FROM orders GROUP BY 1
+  )
+),
+holt AS (
+  -- anchor types drive the recursion: both states must be DOUBLE or
+  -- DuckDB coerces every step back to the 0.0 literal's DECIMAL(2,1)
+  SELECT t, x AS l, CAST(0.0 AS DOUBLE) AS b FROM monthly WHERE t = 1
+  UNION ALL
+  SELECT m.t,
+         ROUND({_HOLT_ALPHA} * m.x
+               + {1 - _HOLT_ALPHA} * (h.l + h.b), 6),
+         ROUND({_HOLT_BETA}
+               * (ROUND({_HOLT_ALPHA} * m.x
+                        + {1 - _HOLT_ALPHA} * (h.l + h.b), 6) - h.l)
+               + {1 - _HOLT_BETA} * h.b, 6)
+  FROM holt h JOIN monthly m ON m.t = h.t + 1
+),
+fin AS (SELECT t, l, b FROM holt ORDER BY t DESC LIMIT 1)
+SELECT CAST(s.h AS INT) AS h,
+       ROUND(fin.l + s.h * fin.b, 4) AS forecast,
+       ROUND(fin.l, 4) AS level,
+       ROUND(fin.b, 4) AS trend,
+       CAST(fin.t AS BIGINT) AS n_months
+FROM fin, range(1, 4) s(h)
+ORDER BY h
+"""
+
+
+@query("time_holt_forecast", _HOLT_ORACLE)
+def time_holt_forecast(spark, sf_dir):
+    """Holt linear-trend smoothing (alpha=0.3, beta=0.1, l1=x1, b1=0)
+    over the monthly revenue series, with 1/2/3-month-ahead forecasts
+    f_h = l_N + h*b_N.
+
+    Unlike EWMA (whose recursion has the scaled-cumsum closed form),
+    Holt's two coupled states have no windowed closed form — this is
+    the engine's honest sequential-fold surface. Spark runs it as
+    ``F.aggregate`` over the sorted monthly array: the series is
+    bounded (~84 rows at any scale factor — aggregating 100 TB down
+    to it is the distributed part), so the fold is a constant-size
+    expression, never a driver loop. The oracle is a DuckDB
+    ``WITH RECURSIVE`` executing the same arithmetic. Determinism:
+    each step ROUNDs both states to 6 decimals, so float error cannot
+    compound across engines — the same discipline PageRank's
+    inter-round rounding uses."""
+    t = load_tables(spark, sf_dir)
+    monthly = (
+        t["orders"]
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("x")
+        )
+    )
+    series = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("m", "x"))).alias("s")
+    )
+    a, b1 = _HOLT_ALPHA, _HOLT_BETA
+    folded = series.select(
+        F.size("s").alias("n_months"),
+        F.aggregate(
+            F.slice(F.col("s"), 2, F.size("s") - 1),
+            F.struct(
+                F.element_at(F.col("s"), 1).x.alias("l"),
+                F.lit(0.0).alias("b"),
+            ),
+            lambda acc, e: F.struct(
+                F.round(
+                    F.lit(a) * e.x + F.lit(1 - a) * (acc.l + acc.b), 6
+                ).alias("l"),
+                F.round(
+                    F.lit(b1)
+                    * (
+                        F.round(
+                            F.lit(a) * e.x
+                            + F.lit(1 - a) * (acc.l + acc.b),
+                            6,
+                        )
+                        - acc.l
+                    )
+                    + F.lit(1 - b1) * acc.b,
+                    6,
+                ).alias("b"),
+            ),
+        ).alias("st"),
+    )
+    return (
+        folded.select(
+            "n_months",
+            F.col("st.l").alias("l"),
+            F.col("st.b").alias("b"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("h"),
+        )
+        .select(
+            F.col("h").cast("int").alias("h"),
+            F.round(F.col("l") + F.col("h") * F.col("b"), 4).alias(
+                "forecast"
+            ),
+            F.round("l", 4).alias("level"),
+            F.round("b", 4).alias("trend"),
+            F.col("n_months").cast("long").alias("n_months"),
+        )
+        .orderBy("h")
+    )
+
+
+# ---------------------------------------------------------------------
+# Classical additive seasonal decomposition
+# ---------------------------------------------------------------------
+
+
+@query(
+    "time_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    trended AS (
+      SELECT day, rev_c,
+             SUM(rev_c) OVER w AS s7,
+             COUNT(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT CAST(EXTRACT(dow FROM day) AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(SUM(rev_c) / (100.0 * COUNT(*)), 4) AS mean_revenue,
+           ROUND(AVG(rev_c / 100.0 - s7 / (100.0 * c7)), 4) AS seasonal
+    FROM trended WHERE c7 = 7
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def time_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of daily revenue: trend =
+    centered 7-day moving average (ROWS frame on the day-ordered
+    spine — a ROWS frame, not a date-RANGE one, so both engines
+    average the same 7 physical rows even where calendar days are
+    missing), seasonal index = mean detrended residual per
+    day-of-week, edges (partial windows) excluded. The trend is an
+    exact BIGINT sum divided once; the residual mean is the only
+    float summation, bounded by the ~350-row per-dow spine, far
+    inside the 4-decimal round. dow is 0=Sunday..6 on both engines
+    (Spark's 1-based dayofweek shifted)."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("rev_c")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "rev_c",
+        F.sum("rev_c").over(w).alias("s7"),
+        F.count("*").over(w).alias("c7"),
+    ).where(F.col("c7") == 7)
+    return (
+        trended.groupBy(
+            (F.dayofweek("day") - 1).cast("int").alias("dow")
+        )
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.sum("rev_c") / (100.0 * F.count("*")), 4).alias(
+                "mean_revenue"
+            ),
+            F.round(
+                F.avg(
+                    F.col("rev_c") / 100.0
+                    - F.col("s7") / (100.0 * F.col("c7"))
+                ),
+                4,
+            ).alias("seasonal"),
+        )
+        .select(
+            "dow",
+            F.col("n_days").cast("long").alias("n_days"),
+            "mean_revenue",
+            "seasonal",
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------
+# Kendall's tau-b (bounded quadratic twin)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "stats_kendall_tau",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rc,
+             COUNT(*) AS oc
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT SUM(CASE WHEN (a.rc - b.rc) * (a.oc - b.oc) > 0
+                      THEN 1 ELSE 0 END) AS nc,
+             SUM(CASE WHEN (a.rc - b.rc) * (a.oc - b.oc) < 0
+                      THEN 1 ELSE 0 END) AS nd,
+             SUM(CASE WHEN a.rc = b.rc THEN 1 ELSE 0 END) AS tx,
+             SUM(CASE WHEN a.oc = b.oc THEN 1 ELSE 0 END) AS ty,
+             COUNT(*) AS n0
+      FROM daily a JOIN daily b ON a.day < b.day
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_pairs,
+           CAST(nc AS BIGINT) AS concordant,
+           CAST(nd AS BIGINT) AS discordant,
+           ROUND((nc - nd)
+                 / SQRT((n0 - tx) * CAST(n0 - ty AS DOUBLE)), 6)
+             AS tau_b
+    FROM pairs
+    """,
+)
+def stats_kendall_tau(spark, sf_dir):
+    """Kendall's tau-b rank correlation between daily revenue and
+    daily order count, joining Spearman in the trend family with the
+    estimator whose pair-classification form is EXACT: every pair of
+    days is concordant/discordant/tied by integer comparison, the
+    single float op is the final sqrt-division. The quadratic pair
+    join runs on the bounded daily spine (~2,400 rows at any scale
+    factor — 2.9M pairs), the established bounded-quadratic-twin
+    pattern: the 100 TB input reduces to the spine FIRST, so the
+    O(n^2) never touches raw data. Ties are handled per tau-b
+    (pair-counted, equivalent to the per-group formula)."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("rc"),
+            F.count("*").alias("oc"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (F.col("a.rc") - F.col("b.rc")) * (F.col("a.oc") - F.col("b.oc"))
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).alias("nd"),
+        F.sum(
+            F.when(F.col("a.rc") == F.col("b.rc"), 1).otherwise(0)
+        ).alias("tx"),
+        F.sum(
+            F.when(F.col("a.oc") == F.col("b.oc"), 1).otherwise(0)
+        ).alias("ty"),
+        F.count("*").alias("n0"),
+    )
+    return pairs.select(
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("nc").cast("long").alias("concordant"),
+        F.col("nd").cast("long").alias("discordant"),
+        F.round(
+            (F.col("nc") - F.col("nd"))
+            / F.sqrt(
+                (F.col("n0") - F.col("tx"))
+                * (F.col("n0") - F.col("ty")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------
+# l-diversity privacy audit
+# ---------------------------------------------------------------------
+
+_L_DIVERSITY = 3
+
+
+@query(
+    "governance_l_diversity",
+    f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+             user_id % 100 AS sensitive,
+             COUNT(*) AS n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    per AS (
+      SELECT event_type, hour_of_day, n,
+             SUM(n) OVER (PARTITION BY event_type, hour_of_day) AS tn
+      FROM g
+    )
+    SELECT event_type, hour_of_day,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(CASE WHEN COUNT(*) < {_L_DIVERSITY} THEN 1 ELSE 0 END
+                AS INT) AS below_l,
+           ROUND(-SUM((n / CAST(tn AS DOUBLE))
+                      * LN(n / CAST(tn AS DOUBLE))), 6) AS entropy
+    FROM per GROUP BY event_type, hour_of_day
+    """,
+)
+def governance_l_diversity(spark, sf_dir):
+    """l-diversity audit of the (event_type, hour-of-day)
+    quasi-identifier groups with the user bucket as the sensitive
+    attribute: distinct-value l, a below-l flag, and entropy
+    l-diversity (Machanavajjhala et al. 2007, public) — the
+    attribute-disclosure check that k-anonymity
+    (``governance_k_anonymity``) alone misses: a large group whose
+    sensitive values are all identical is k-anonymous yet fully
+    disclosive. Two narrow aggregates; the entropy sum spans at most
+    100 buckets per group, far inside the 6-decimal round."""
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .groupBy(
+            "event_type",
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            (F.col("user_id") % 100).alias("sensitive"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wg = Window.partitionBy("event_type", "hour_of_day")
+    p = F.col("n") / F.sum("n").over(wg).cast("double")
+    per = g.select(
+        "event_type", "hour_of_day", "n", (p * F.log(p)).alias("plogp")
+    )
+    return per.groupBy("event_type", "hour_of_day").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("l_distinct"),
+        (F.count("*") < _L_DIVERSITY).cast("int").alias("below_l"),
+        F.round(-F.sum("plogp"), 6).alias("entropy"),
+    )
