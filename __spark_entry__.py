@@ -38,6 +38,7 @@ def _registry():
     from data_pipeline_001_spark.plans import queries_er  # noqa: F401
     from data_pipeline_001_spark.plans import queries_mleval  # noqa: F401
     from data_pipeline_001_spark.plans import queries_forecast  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_geo  # noqa: F401
 
     return base.REGISTRY, base.ORACLES
 
