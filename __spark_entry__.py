@@ -39,6 +39,7 @@ def _registry():
     from data_pipeline_001_spark.plans import queries_mleval  # noqa: F401
     from data_pipeline_001_spark.plans import queries_forecast  # noqa: F401
     from data_pipeline_001_spark.plans import queries_geo  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_mining  # noqa: F401
 
     return base.REGISTRY, base.ORACLES
 

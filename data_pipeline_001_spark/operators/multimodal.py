@@ -849,3 +849,88 @@ def spectral_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, SPECTRUM_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Video: multi-frame container + stride frame sampling (round-6)
+# ---------------------------------------------------------------------
+
+MBMP_MAGIC = b"MBMP"
+
+
+def make_mbmp(doc_id: int) -> bytes:
+    """Deterministic multi-frame video fixture: ``MBMP`` magic +
+    uint32 frame count + per-frame (uint32 size, BMP payload). Frame f
+    is ``make_bmp(doc_id, brightness=(f*11) % 50)`` — a slow exposure
+    ramp, so every sampled frame's channel means have the same closed
+    form the BMP decode oracle uses, shifted by the frame's
+    brightness. Frame count is 6 + doc_id % 5."""
+    n = 6 + doc_id % 5
+    out = bytearray(MBMP_MAGIC)
+    out += struct.pack("<I", n)
+    for f in range(n):
+        frame = make_bmp(doc_id, brightness=(f * 11) % 50)
+        out += struct.pack("<I", len(frame))
+        out += frame
+    return bytes(out)
+
+
+def mbmp_frame_features(payload: bytes, stride: int = 3) -> list[dict]:
+    """Parse the MBMP container and decode every ``stride``-th frame
+    (the FRAME-SAMPLE verb for video: decoding every frame of a 100 TB
+    video corpus is pointless and the sampled subset is the standard
+    input to dedup/quality models). Returns one dict per sampled
+    frame: frame index, dimensions, channel means."""
+    if payload[:4] != MBMP_MAGIC:
+        raise ValueError("not an MBMP payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    pos = 8
+    out = []
+    for f in range(n):
+        (size,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if f % stride == 0:
+            d = decode_bmp(payload[pos:pos + size])
+            out.append(
+                {
+                    "n_frames": n,
+                    "frame_idx": f,
+                    "width": d["width"],
+                    "height": d["height"],
+                    "mean_r": d["mean_r"],
+                    "mean_g": d["mean_g"],
+                    "mean_b": d["mean_b"],
+                }
+            )
+        pos += size
+    return out
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, n_frames int, frame_idx int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def video_frame_features(docs: DataFrame, stride: int = 3) -> DataFrame:
+    """Distributed video frame sampling: build the deterministic MBMP
+    payload per document and emit one row per sampled frame, all
+    inside ``mapInPandas`` Arrow batches (payloads never cross the
+    shuffle; output rows scale with sampled frames, not frames).
+    Same scale posture as ``decode_features``: decode parallelism =
+    input partitions, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "n_frames", "frame_idx", "width", "height",
+            "mean_r", "mean_g", "mean_b",
+        ]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                for row in mbmp_frame_features(make_mbmp(did), stride):
+                    out.append({"media_id": did, **row})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(run, VIDEO_FRAME_SCHEMA)
