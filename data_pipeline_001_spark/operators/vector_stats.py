@@ -246,3 +246,60 @@ def quantization_calibration(
             "clip_frac",
         )
     )
+
+
+def mahalanobis_distances(
+    df: DataFrame,
+    fit_df: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ridge: float = 1e-6,
+) -> DataFrame:
+    """(id, d2) — squared Mahalanobis distance of every vector from
+    the corpus distribution: d² = (x-μ)ᵀ Σ⁻¹ (x-μ).
+
+    The fit is bounded by embedding dim, never corpus size: μ is d
+    numbers, Σ the d² covariance rows ``covariance_matrix`` already
+    tree-aggregates, and the ridge-regularized inverse + Cholesky
+    whitener are a driver-side d×d computation (the ``pca_project``
+    eig precedent). Scoring is one vectorized NumPy matmul per Arrow
+    batch in ``mapInPandas`` — no shuffle, parallelism = input
+    partitions. ``fit_df`` lets callers fit on a clean corpus and
+    score a contaminated one (the standard outlier-detection split).
+    """
+    import numpy as np
+    import pandas as pd
+
+    fit = fit_df if fit_df is not None else df
+    rows = covariance_matrix(fit, vec_col).collect()
+    d = max(r["dim_i"] for r in rows) + 1
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["dim_i"], r["dim_j"]] = r["cov"]
+    C = (C + C.T) / 2.0
+    mu_rows = (
+        fit.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mu_rows:
+        mu[r["i"]] = r["m"]
+    inv = np.linalg.inv(C + ridge * np.eye(d))
+    # whitener: d2 = ||Wᵀ(x-μ)||² with W the Cholesky factor of Σ⁻¹
+    W = np.linalg.cholesky(inv)
+
+    def score(batches):
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Z = (X - mu) @ W
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "d2": (Z * Z).sum(axis=1)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, f"{id_col} long, d2 double"
+    )

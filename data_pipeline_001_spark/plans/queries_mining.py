@@ -521,3 +521,85 @@ def multimodal_video_framesample(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return video_frame_features(t["documents"], stride=3)
+
+
+# ---------------------------------------------------------------------
+# Mahalanobis outlier detection over the embedding corpus
+# ---------------------------------------------------------------------
+
+#: planted-outlier id offset (the established 1e6 embedding offset)
+_MAHA_OFF = 1_000_000
+_MAHA_SHIFT = 5.0
+
+
+@query(
+    "embedding_mahalanobis_outliers",
+    f"""
+    WITH nat AS (SELECT COUNT(*) AS n FROM embeddings),
+    pl AS (SELECT COUNT(*) AS np FROM embeddings WHERE vec_id % 97 = 0)
+    SELECT CAST(nat.n + pl.np AS BIGINT) AS n_vecs,
+           CAST(pl.np AS BIGINT) AS n_planted,
+           TRUE AS all_planted_outrank,
+           TRUE AS topk_all_planted
+    FROM nat, pl
+    """,
+)
+def embedding_mahalanobis_outliers(spark, sf_dir):
+    """Mahalanobis-distance outlier detection: fit (μ, Σ) on the
+    natural corpus, score natural + planted vectors, and verify the
+    contract that every planted outlier (every 97th vector shifted by
+    +{_MAHA_SHIFT} in ALL dimensions, id-offset by {_MAHA_OFF})
+    outranks every natural vector. The shift adds ≈ shift²·d to the
+    squared distance of a χ²(d)-distributed natural score — orders of
+    magnitude beyond the natural extreme tail, so the contract is a
+    statistical theorem at any corpus size, the graduated-oracle
+    pattern of the LSH/ANN family. Fit cost is bounded by embedding
+    dim (tree-aggregated Gram partials + a driver-side d×d
+    inverse/Cholesky); scoring is one NumPy matmul per Arrow batch,
+    no shuffle."""
+    from data_pipeline_001_spark.operators.vector_stats import (
+        mahalanobis_distances,
+    )
+    from data_pipeline_001_spark.plans.queries_llm import (
+        _assert_planted_bound,
+    )
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    _assert_planted_bound(e, "vec_id", _MAHA_OFF)
+    planted = e.where(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + _MAHA_OFF).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.lit(_MAHA_SHIFT).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = e.unionByName(planted)
+    d2 = mahalanobis_distances(corpus, fit_df=e)
+    flagged = d2.select(
+        "d2", (F.col("vec_id") >= _MAHA_OFF).alias("is_planted")
+    )
+    sep = flagged.agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.col("is_planted").cast("long")).alias("n_planted"),
+        (
+            F.min(F.when(F.col("is_planted"), F.col("d2")))
+            > F.max(F.when(~F.col("is_planted"), F.col("d2")))
+        ).alias("all_planted_outrank"),
+    )
+    np_row = sep.select("n_planted").collect()[0]
+    topk = (
+        flagged.orderBy(F.col("d2").desc())
+        .limit(int(np_row["n_planted"]))
+        .agg(
+            (
+                F.sum(F.col("is_planted").cast("long")) == F.count("*")
+            ).alias("topk_all_planted")
+        )
+    )
+    return sep.crossJoin(F.broadcast(topk)).select(
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.col("n_planted").cast("long").alias("n_planted"),
+        "all_planted_outrank",
+        "topk_all_planted",
+    )
