@@ -390,3 +390,161 @@ def governance_l_diversity(spark, sf_dir):
         (F.count("*") < _L_DIVERSITY).cast("int").alias("below_l"),
         F.round(-F.sum("plogp"), 6).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------
+# Holt-Winters triple exponential smoothing (additive, period 7)
+# ---------------------------------------------------------------------
+
+_HW_ALPHA = 0.3
+_HW_BETA = 0.05
+_HW_GAMMA = 0.2
+_HW_PERIOD = 7
+
+
+def _hw_oracle() -> str:
+    a, b, g, p = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_PERIOD
+    xs = [f"(SELECT x FROM daily WHERE t = {i})" for i in range(1, p + 1)]
+    l0 = f"ROUND(({' + '.join(xs)}) / {p}.0, 6)"
+    s0 = ", ".join(f"ROUND({x} - l, 6)" for x in xs)
+    # the new level appears in both the trend and seasonal updates —
+    # spelled out identically so every step is the same arithmetic
+    lnew = f"ROUND({a} * (m.x - r.s[1]) + {1 - a} * (r.l + r.b), 6)"
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, x FROM (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS x
+        FROM orders GROUP BY 1
+      )
+    ),
+    init AS (
+      SELECT {p} AS t, l, CAST(0.0 AS DOUBLE) AS b, [{s0}] AS s
+      FROM (SELECT {l0} AS l)
+    ),
+    rec AS (
+      SELECT t, l, b, s FROM init
+      UNION ALL
+      SELECT m.t,
+             {lnew} AS l,
+             ROUND({b} * ({lnew} - r.l) + {1 - b} * r.b, 6) AS b,
+             r.s[2:{p}] ||
+               [ROUND({g} * (m.x - {lnew}) + {1 - g} * r.s[1], 6)] AS s
+      FROM rec r JOIN daily m ON m.t = r.t + 1
+    ),
+    fin AS (SELECT t, l, b, s FROM rec ORDER BY t DESC LIMIT 1)
+    SELECT CAST(u.h AS INT) AS h,
+           ROUND(fin.l + u.h * fin.b + fin.s[CAST(u.h AS INT)], 4)
+             AS forecast,
+           ROUND(fin.l, 4) AS level,
+           ROUND(fin.b, 4) AS trend,
+           ROUND(fin.s[CAST(u.h AS INT)], 4) AS seasonal,
+           CAST(fin.t AS BIGINT) AS n_days
+    FROM fin, range(1, {p + 1}) u(h)
+    ORDER BY h
+    """
+
+
+@query("time_holt_winters", _hw_oracle())
+def time_holt_winters(spark, sf_dir):
+    """Holt-Winters additive triple smoothing over daily revenue
+    (alpha=0.3, beta=0.05, gamma=0.2, weekly period): level + trend +
+    a 7-slot seasonal state, with 1..7-day-ahead forecasts
+    f_h = l + h*b + s_h. Completes the forecasting ladder (EWMA →
+    Holt → Holt-Winters).
+
+    Like Holt, the three coupled recursions have no windowed closed
+    form; Spark folds them with ``F.aggregate`` over the sorted daily
+    array — the seasonal state rides in the accumulator as an array
+    that rotates one slot per step (consume head, append updated
+    tail). The series is calendar-bounded (~2,400 rows at ANY scale
+    factor), so the fold is constant-size; reducing 100 TB to the
+    spine is the distributed part. The oracle is a 2,400-step DuckDB
+    recursive CTE running the identical per-step-rounded arithmetic
+    (round-6 both states + seasonal each step — error cannot
+    compound). Seasonality is indexed by ROW position mod 7, which
+    equals weekday only on a dense spine — true at these scales and
+    in any production corpus; documented, not assumed."""
+    t = load_tables(spark, sf_dir)
+    a, b1, g, p = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_PERIOD
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("x")
+        )
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("arr")
+    )
+    arr = F.col("arr")
+    es = [F.element_at(arr, i).x for i in range(1, p + 1)]
+    total = es[0]
+    for e in es[1:]:
+        total = total + e
+    l0 = F.round(total / float(p), 6)
+    s0 = F.array(*[F.round(e - l0, 6) for e in es])
+
+    def step(acc, e):
+        lnew = F.round(
+            F.lit(a) * (e.x - F.element_at(acc.s, 1))
+            + F.lit(1 - a) * (acc.l + acc.b),
+            6,
+        )
+        return F.struct(
+            lnew.alias("l"),
+            F.round(
+                F.lit(b1) * (lnew - acc.l) + F.lit(1 - b1) * acc.b, 6
+            ).alias("b"),
+            F.concat(
+                F.slice(acc.s, 2, p - 1),
+                F.array(
+                    F.round(
+                        F.lit(g) * (e.x - lnew)
+                        + F.lit(1 - g) * F.element_at(acc.s, 1),
+                        6,
+                    )
+                ),
+            ).alias("s"),
+        )
+
+    folded = series.select(
+        F.size(arr).alias("n_days"),
+        F.aggregate(
+            F.slice(arr, p + 1, F.size(arr) - p),
+            F.struct(l0.alias("l"), F.lit(0.0).alias("b"), s0.alias("s")),
+            step,
+        ).alias("st"),
+    )
+    return (
+        folded.select(
+            "n_days",
+            F.col("st.l").alias("l"),
+            F.col("st.b").alias("b"),
+            F.col("st.s").alias("s"),
+            F.explode(F.array(*[F.lit(i) for i in range(1, p + 1)])).alias(
+                "h"
+            ),
+        )
+        .select(
+            F.col("h").cast("int").alias("h"),
+            F.round(
+                F.col("l")
+                + F.col("h") * F.col("b")
+                + F.element_at(F.col("s"), F.col("h")),
+                4,
+            ).alias("forecast"),
+            F.round("l", 4).alias("level"),
+            F.round("b", 4).alias("trend"),
+            F.round(F.element_at(F.col("s"), F.col("h")), 4).alias(
+                "seasonal"
+            ),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+        .orderBy("h")
+    )

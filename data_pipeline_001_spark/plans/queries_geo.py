@@ -291,3 +291,136 @@ def events_attribution_touch(spark, sf_dir):
         F.count("*").cast("long").alias("n_conversions"),
         F.round(F.sum("value_c") / 100.0, 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------
+# Nearest as-of join with tolerance
+# ---------------------------------------------------------------------
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "join_asof_nearest",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    marked AS (
+      SELECT user_id, event_type, event_id, us,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN us END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS prev_us,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS prev_id,
+             FIRST_VALUE(CASE WHEN event_type = 'click' THEN us END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_us,
+             FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_id
+      FROM seq
+    ),
+    chosen AS (
+      SELECT event_id AS purchase_id, user_id,
+             CASE WHEN prev_us IS NOT NULL
+                       AND (next_us IS NULL
+                            OR us - prev_us <= next_us - us)
+                  THEN prev_id ELSE next_id END AS click_id,
+             CASE WHEN prev_us IS NOT NULL
+                       AND (next_us IS NULL
+                            OR us - prev_us <= next_us - us)
+                  THEN prev_us - us ELSE next_us - us END AS gap_us
+      FROM marked WHERE event_type = 'purchase'
+    )
+    SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM chosen
+    WHERE click_id IS NOT NULL AND ABS(gap_us) <= {_ASOF_TOL_US}
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join with tolerance (the pandas ``merge_asof
+    direction='nearest'`` semantics, distributed): each purchase
+    matches its temporally NEAREST click by the same user within ±1
+    hour — backward wins exact ties. Completes the as-of family
+    (``join_asof_events_spine`` is backward-only).
+
+    Shape: union both streams, one user-partitioned ordered window
+    computing last-click-before and first-click-after via
+    IGNORE NULLS window frames, then a constant-width comparison —
+    never a range join, never quadratic, and the state stays inside
+    the user's partition (the sessionizer's scale posture). All
+    arithmetic is exact integer microseconds; the purchase row itself
+    can never match (only 'click' rows populate the frames). A click
+    at the exact purchase timestamp counts as backward (gap 0)."""
+    t = load_tables(spark, sf_dir)
+    seq = (
+        t["events"]
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    click_us = F.when(F.col("event_type") == "click", F.col("us"))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    marked = seq.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "us",
+        F.last(click_us, ignorenulls=True).over(wb).alias("prev_us"),
+        F.last(click_id, ignorenulls=True).over(wb).alias("prev_id"),
+        F.first(click_us, ignorenulls=True).over(wf).alias("next_us"),
+        F.first(click_id, ignorenulls=True).over(wf).alias("next_id"),
+    )
+    take_prev = F.col("prev_us").isNotNull() & (
+        F.col("next_us").isNull()
+        | (F.col("us") - F.col("prev_us") <= F.col("next_us") - F.col("us"))
+    )
+    chosen = marked.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(take_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("click_id"),
+        F.when(take_prev, F.col("prev_us") - F.col("us"))
+        .otherwise(F.col("next_us") - F.col("us"))
+        .alias("gap_us"),
+    )
+    return chosen.where(
+        F.col("click_id").isNotNull()
+        & (F.abs(F.col("gap_us")) <= _ASOF_TOL_US)
+    ).select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("gap_us").cast("long").alias("gap_us"),
+    )
