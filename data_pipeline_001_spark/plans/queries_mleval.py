@@ -213,12 +213,24 @@ edges AS (
 #: so the contract holds whether or not the cap binds.
 _LP_DEG_CAP = 500
 
+#: edges below this co-purchase weight are noise for link prediction:
+#: the single-co-occurrence graph densifies linearly with corpus size
+#: (measured: 1.48e9 wedges at sf1, max degree 222 — the 500 hub cap
+#: never binds because density, not hubs, is what explodes), while the
+#: repeat-co-purchase backbone stays signal-bounded (~14k wedges at
+#: BOTH sf0.01 and sf1). Same densification guard
+#: ``graph_component_sizes`` uses.
+_LP_MIN_WEIGHT = 2
+
 _LP_ORACLE = f"""
 WITH {_EDGES_SQL.strip()}
-, adj AS (
-  SELECT src AS z, dst AS nb FROM edges
+, backbone AS (
+  SELECT src, dst FROM edges WHERE weight >= {_LP_MIN_WEIGHT}
+),
+adj AS (
+  SELECT src AS z, dst AS nb FROM backbone
   UNION ALL
-  SELECT dst AS z, src AS nb FROM edges
+  SELECT dst AS z, src AS nb FROM backbone
 ),
 deg AS (SELECT z AS node, COUNT(*) AS degree FROM adj GROUP BY 1),
 pairs AS (
@@ -258,12 +270,17 @@ def graph_link_prediction(spark, sf_dir):
     the highest neighborhood overlap): common-neighbor count, Jaccard
     coefficient, and Adamic-Adar score.
 
-    Shape: symmetrize edges, enumerate wedges by joining the adjacency
-    list with itself on the center, anti-join existing edges, score.
-    The wedge join is the honest Sum(deg_z^2) cost of common-neighbor
-    counting; the scale guard is the center-degree cap (hubs are
-    signal-free here — see ``_LP_DEG_CAP``), the same hub discipline
-    the triangle query gets from degree orientation. Ordering is
+    Shape: restrict to the repeat-co-purchase backbone (weight >= 2 —
+    see ``_LP_MIN_WEIGHT``: the single-co-occurrence graph densifies
+    with corpus size, 1.48e9 wedges at sf1, while the backbone's wedge
+    count is signal-bounded, ~14k at both sf0.01 and sf1), symmetrize,
+    enumerate wedges by joining the adjacency list with itself on the
+    center, anti-join ALL existing edges (strict "never co-purchased"),
+    score. The wedge join is the honest Sum(deg_z^2) cost of
+    common-neighbor counting; the residual scale guard is the
+    center-degree cap (hubs are signal-free here — see
+    ``_LP_DEG_CAP``), the same hub discipline the triangle query gets
+    from degree orientation. Ordering is
     deterministic end to end: ``jac`` is one IEEE division of exact
     integers (bit-identical across engines) and ties break on the
     exact (cn, u, v) — both engines cut the same top-20 set.
@@ -272,8 +289,13 @@ def graph_link_prediction(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     edges = copurchase_edges(t["lineitem"])
-    adj = edges.select(F.col("src").alias("z"), F.col("dst").alias("nb")).unionAll(
-        edges.select(F.col("dst").alias("z"), F.col("src").alias("nb"))
+    backbone = edges.where(F.col("weight") >= _LP_MIN_WEIGHT).select(
+        "src", "dst"
+    )
+    adj = backbone.select(
+        F.col("src").alias("z"), F.col("dst").alias("nb")
+    ).unionAll(
+        backbone.select(F.col("dst").alias("z"), F.col("src").alias("nb"))
     )
     deg = adj.groupBy(F.col("z").alias("node")).agg(
         F.count("*").alias("degree")
