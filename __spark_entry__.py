@@ -144,6 +144,26 @@ _R5_BACKLOG = (
 )
 
 
+#: the 24 round-6 additions (waves 1-7), all oracle-backed, none yet
+#: sampled by the driver. Pinned in registration order right behind
+#: _R5_BACKLOG so the round-6 driver sample (~50 rows) covers the 32
+#: round-5 leftovers first, then as many of these as fit; the
+#: remainder stays fronted for round 7 ahead of any round-7 adds.
+_R6_BACKLOG = (
+    "multimodal_png_features", "graph_triangle_approx",
+    "er_customer_entities", "ml_ndcg_ranking",
+    "multimodal_wav_spectrum", "stats_theil_sen",
+    "stats_bootstrap_ci", "graph_link_prediction",
+    "ml_cumulative_gains", "ml_average_precision", "ml_ks_separation",
+    "time_holt_forecast", "time_seasonal_decompose",
+    "stats_kendall_tau", "governance_l_diversity", "time_holt_winters",
+    "geo_haversine_pairs", "events_attribution_touch",
+    "join_asof_nearest", "itemset_association_rules",
+    "er_fellegi_sunter", "text_keyword_rake",
+    "multimodal_video_framesample", "embedding_mahalanobis_outliers",
+)
+
+
 def _coverage_order(names, oracles=None) -> list[str]:
     """Queries with no driver CORRECTNESS row from any past round come
     FIRST (in registration order), so a driver that samples a prefix of
@@ -187,12 +207,16 @@ def _coverage_order(names, oracles=None) -> list[str]:
     backlog = set(_R3_BACKLOG) | set(_R4_BACKLOG)
     r4 = set(_R4_BACKLOG)
     r5 = {n: i for i, n in enumerate(_R5_BACKLOG)}
+    r6 = {n: i for i, n in enumerate(_R6_BACKLOG)}
 
     def rank(n: str):
         # the round-5 pinned backlog precedes everything, in its own
-        # declared order (never-sampled entries first)
+        # declared order (never-sampled entries first); the round-6
+        # pin queues immediately behind it
         if n in r5:
-            return (-1, r5[n])
+            return (-2, r5[n])
+        if n in r6:
+            return (-1, r6[n])
         if n in r4 and n in oracles:
             return (0, 0)
         if n in oracles and n in seen:
