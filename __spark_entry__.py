@@ -40,6 +40,7 @@ def _registry():
     from data_pipeline_001_spark.plans import queries_forecast  # noqa: F401
     from data_pipeline_001_spark.plans import queries_geo  # noqa: F401
     from data_pipeline_001_spark.plans import queries_mining  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_spc  # noqa: F401
     # (time_holt_winters / join_asof_nearest live in queries_forecast /
     # queries_geo, already imported above)
 

@@ -1,0 +1,67 @@
+"""Round-6 wave 8: XmR control chart and Hampel filter. Cross-engine
+parity lives in the oracle gate; these pin the invariants on planted
+series."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_xmr_limits_bracket_mean(spark):
+    from data_pipeline_001_spark.plans.queries_spc import quality_spc_xmr
+
+    row = quality_spc_xmr(spark, SF).collect()[0]
+    assert row.lcl < row.xbar < row.ucl
+    assert row.mrbar > 0
+    assert row.ucl - row.xbar == pytest.approx(
+        row.xbar - row.lcl, abs=2e-4
+    )
+    # out-of-control points are the exception, not the rule
+    assert row.n_above_ucl + row.n_below_lcl < row.n_days * 0.1
+
+
+def test_hampel_flags_planted_spike(spark):
+    """A flat series with one 10x spike must flag exactly the spike
+    (MAD=0 there, so any deviation trips the scaled-integer test —
+    with strict >, a zero deviation never does)."""
+    from data_pipeline_001_spark.plans import queries_spc as S
+    import data_pipeline_001_spark.session as sess
+    import datetime as dt
+
+    base = dt.datetime(1995, 1, 1)
+    rows = []
+    oid = 0
+    for i in range(21):
+        # two orders a day, constant 50.00 except day 10's 5000.00
+        for price in (25.0, 25.0) if i != 10 else (2500.0, 2500.0):
+            rows.append((oid, 1, "F", price, base + dt.timedelta(days=i),
+                         "1-URGENT"))
+            oid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    orig = sess.load_tables
+    try:
+        S.load_tables = lambda s, d: {"orders": df}
+        got = S.time_hampel_filter(spark, "x").collect()
+    finally:
+        S.load_tables = orig
+    assert [r.day for r in got] == ["1995-01-11"]
+    assert got[0].revenue == 5000.0
+    assert got[0].rolling_median == 50.0
+    assert got[0].rolling_mad == 0.0
+
+
+def test_hampel_real_data_flags_are_extreme(spark):
+    from data_pipeline_001_spark.plans.queries_spc import (
+        time_hampel_filter,
+    )
+
+    rows = time_hampel_filter(spark, SF).collect()
+    for r in rows:
+        # every flagged day genuinely violates the 3-sigma-equivalent
+        assert abs(r.revenue - r.rolling_median) > 3 * 1.4826 * r.rolling_mad - 0.02
