@@ -424,3 +424,261 @@ def join_asof_nearest(spark, sf_dir):
         F.col("click_id").cast("long").alias("click_id"),
         F.col("gap_us").cast("long").alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------
+# Markov removal-effect attribution
+# ---------------------------------------------------------------------
+
+_MK_CHANNELS = ("click", "error", "signup", "view")
+_MK_STEPS = 12
+
+
+def _mk_head_sql() -> str:
+    """Journey-transition CTEs shared by the full chain and every
+    removal variant: start -> first touch, touch -> touch,
+    last touch -> conv/null, start -> conv for touchless purchases;
+    absorbing self-loops appended."""
+    return """
+seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j
+  FROM events WHERE user_id IS NOT NULL
+),
+jmeta AS (
+  SELECT user_id, j,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM seq GROUP BY user_id, j
+),
+touches AS (
+  SELECT user_id, j, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, j
+                            ORDER BY ts, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY user_id, j) AS nt,
+         LEAD(event_type) OVER (PARTITION BY user_id, j
+                                ORDER BY ts, event_id) AS nxt
+  FROM seq WHERE event_type <> 'purchase'
+),
+raw_edges AS (
+  SELECT 'start' AS src, event_type AS dst FROM touches WHERE r = 1
+  UNION ALL
+  SELECT event_type, nxt FROM touches WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT t.event_type,
+         CASE WHEN m.conv = 1 THEN 'conv' ELSE 'null' END
+  FROM touches t
+  JOIN jmeta m ON m.user_id = t.user_id AND m.j = t.j
+  WHERE t.r = t.nt
+  UNION ALL
+  SELECT 'start', 'conv' FROM jmeta m
+  WHERE m.conv = 1 AND NOT EXISTS (
+    SELECT 1 FROM touches t WHERE t.user_id = m.user_id AND t.j = m.j)
+),
+tcnt AS (SELECT src, dst, COUNT(*) AS n FROM raw_edges GROUP BY 1, 2),
+tot AS (SELECT src, SUM(n) AS rt FROM tcnt GROUP BY 1),
+trans_full AS (
+  SELECT src, dst, n / CAST(rt AS DOUBLE) AS p
+  FROM tcnt JOIN tot USING (src)
+  UNION ALL SELECT 'conv', 'conv', CAST(1.0 AS DOUBLE)
+  UNION ALL SELECT 'null', 'null', CAST(1.0 AS DOUBLE)
+)
+"""
+
+
+def _mk_oracle() -> str:
+    parts = [_mk_head_sql().strip()]
+    chains = [("full", None)] + [(c, c) for c in _MK_CHANNELS]
+    for tag, removed in chains:
+        if removed is not None:
+            parts.append(f"""
+trans_{tag} AS (
+  SELECT src,
+         CASE WHEN dst = '{removed}' THEN 'null' ELSE dst END AS dst,
+         SUM(p) AS p
+  FROM trans_full WHERE src <> '{removed}' GROUP BY 1, 2
+)""")
+        parts.append(
+            f"p_{tag}_0 AS (SELECT 'start' AS state, "
+            f"CAST(1.0 AS DOUBLE) AS pi)"
+        )
+        for k in range(1, _MK_STEPS + 1):
+            parts.append(f"""
+p_{tag}_{k} AS (
+  SELECT tr.dst AS state, ROUND(SUM(p.pi * tr.p), 8) AS pi
+  FROM trans_{tag} tr JOIN p_{tag}_{k - 1} p ON p.state = tr.src
+  GROUP BY tr.dst
+)""")
+    res_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, "
+        f"(SELECT pi FROM p_full_{_MK_STEPS} WHERE state = 'conv') AS pf, "
+        f"COALESCE((SELECT pi FROM p_{c}_{_MK_STEPS} "
+        f"WHERE state = 'conv'), 0.0) AS pc"
+        for c in _MK_CHANNELS
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+res AS ({res_rows}),
+scaled AS (
+  SELECT channel, pf,
+         CAST(ROUND(1000000 * (1 - pc / pf)) AS BIGINT) AS re_s
+  FROM res
+)
+SELECT channel,
+       ROUND(re_s / 1000000.0, 6) AS removal_effect,
+       ROUND(re_s / CAST(SUM(re_s) OVER () AS DOUBLE), 6)
+         AS attribution_share,
+       ROUND(pf, 6) AS p_conversion
+FROM scaled ORDER BY channel
+"""
+    )
+
+
+@query("events_markov_attribution", _mk_oracle())
+def events_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al. 2014, public):
+    model journeys as a first-order chain over touch types with
+    absorbing 'conv'/'null' states, estimate the 12-step
+    conversion probability from 'start', and credit each channel by
+    how much conversion drops when that channel's inbound transitions
+    are redirected to 'null' — the data-driven alternative to the
+    first/last-touch heuristics of ``events_attribution_touch``.
+
+    Scale shape: ONE window pass builds journey transitions; after
+    the (src, dst) count shuffle the chain is a <=8x8 matrix however
+    large the corpus, and each of the 5 chains x 12 power
+    steps is a bounded join+aggregate with per-step round-8 (the
+    PageRank/Markov-stationary discipline). Removal effects are
+    integer-scaled before normalization so the shares come from one
+    exact integer sum, not an order-dependent float sum."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).over(w),
+                F.lit(0),
+            ).alias("j"),
+        )
+    )
+    jmeta = seq.groupBy("user_id", "j").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    wj = Window.partitionBy("user_id", "j").orderBy("ts", "event_id")
+    touches = seq.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        "j",
+        "event_type",
+        F.row_number().over(wj).alias("r"),
+        F.count("*").over(Window.partitionBy("user_id", "j")).alias("nt"),
+        F.lead("event_type").over(wj).alias("nxt"),
+    )
+    first_edges = touches.where(F.col("r") == 1).select(
+        F.lit("start").alias("src"), F.col("event_type").alias("dst")
+    )
+    mid_edges = touches.where(F.col("nxt").isNotNull()).select(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    )
+    last_edges = (
+        touches.where(F.col("r") == F.col("nt"))
+        .join(jmeta, ["user_id", "j"])
+        .select(
+            F.col("event_type").alias("src"),
+            F.when(F.col("conv") == 1, F.lit("conv"))
+            .otherwise(F.lit("null"))
+            .alias("dst"),
+        )
+    )
+    touchless = (
+        jmeta.where(F.col("conv") == 1)
+        .join(
+            touches.select("user_id", "j").distinct(),
+            ["user_id", "j"],
+            "left_anti",
+        )
+        .select(F.lit("start").alias("src"), F.lit("conv").alias("dst"))
+    )
+    raw = first_edges.unionAll(mid_edges).unionAll(last_edges).unionAll(
+        touchless
+    )
+    tcnt = raw.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = tcnt.groupBy("src").agg(F.sum("n").alias("rt"))
+    absorb = spark.createDataFrame(
+        [("conv", "conv", 1.0), ("null", "null", 1.0)],
+        "src string, dst string, p double",
+    )
+    trans_full = (
+        tcnt.join(tot, "src")
+        .select("src", "dst", (F.col("n") / F.col("rt").cast("double")).alias("p"))
+        .unionByName(absorb)
+    )
+
+    def absorbed_conv(trans):
+        pi = spark.createDataFrame(
+            [("start", 1.0)], "state string, pi double"
+        )
+        for _ in range(_MK_STEPS):
+            pi = (
+                trans.join(pi, trans["src"] == pi["state"])
+                .groupBy("dst")
+                .agg(F.round(F.sum(F.col("pi") * trans["p"]), 8).alias("pi"))
+                .select(F.col("dst").alias("state"), "pi")
+            )
+        return pi.where(F.col("state") == "conv").select(
+            F.coalesce(F.first("pi"), F.lit(0.0)).alias("pc")
+        )
+
+    pf = absorbed_conv(trans_full).select(F.col("pc").alias("pf"))
+    rows = None
+    for c in _MK_CHANNELS:
+        tr_c = (
+            trans_full.where(F.col("src") != c)
+            .select(
+                "src",
+                F.when(F.col("dst") == c, F.lit("null"))
+                .otherwise(F.col("dst"))
+                .alias("dst"),
+                "p",
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("p").alias("p"))
+        )
+        row = (
+            absorbed_conv(tr_c)
+            .crossJoin(F.broadcast(pf))
+            .select(
+                F.lit(c).alias("channel"),
+                F.round(
+                    1000000 * (1 - F.col("pc") / F.col("pf"))
+                ).cast("long").alias("re_s"),
+                F.col("pf"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.select(
+        "channel",
+        F.round(F.col("re_s") / 1000000.0, 6).alias("removal_effect"),
+        F.round(
+            F.col("re_s")
+            / F.sum("re_s").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("attribution_share"),
+        F.round("pf", 6).alias("p_conversion"),
+    ).orderBy("channel")

@@ -65,3 +65,20 @@ def test_hampel_real_data_flags_are_extreme(spark):
     for r in rows:
         # every flagged day genuinely violates the 3-sigma-equivalent
         assert abs(r.revenue - r.rolling_median) > 3 * 1.4826 * r.rolling_mad - 0.02
+
+
+def test_markov_attribution_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_geo import (
+        events_markov_attribution,
+    )
+
+    rows = events_markov_attribution(spark, SF).collect()
+    assert [r.channel for r in rows] == ["click", "error", "signup", "view"]
+    shares = [r.attribution_share for r in rows]
+    assert sum(shares) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        # removing inbound edges can only reduce absorption into conv
+        assert 0.0 <= r.removal_effect <= 1.0
+        assert 0.0 < r.p_conversion <= 1.0
+    # the conversion probability is the same chain for every row
+    assert len({r.p_conversion for r in rows}) == 1
