@@ -82,3 +82,60 @@ def test_markov_attribution_invariants(spark):
         assert 0.0 < r.p_conversion <= 1.0
     # the conversion probability is the same chain for every row
     assert len({r.p_conversion for r in rows}) == 1
+
+
+def test_lag_features_consistency(spark):
+    from data_pipeline_001_spark.plans.queries_spc import ml_lag_features
+
+    rows = sorted(ml_lag_features(spark, SF).collect(), key=lambda r: r.day)
+    assert rows
+    by_day = {r.day: r for r in rows}
+    for r in rows:
+        assert r.rolling_min_7d <= r.rolling_mean_7d <= r.rolling_max_7d
+        assert r.rolling_min_7d <= r.y <= r.rolling_max_7d
+    # lag_1d of day t equals y of the previous feature row when both
+    # feature rows exist and the days are calendar-adjacent
+    import datetime as dt
+
+    for r in rows:
+        prev_day = (
+            dt.date.fromisoformat(r.day) - dt.timedelta(days=1)
+        ).isoformat()
+        if prev_day in by_day:
+            assert r.lag_1d == by_day[prev_day].y
+
+
+def test_lagged_regression_matches_numpy(spark):
+    import numpy as np
+
+    from data_pipeline_001_spark.plans.queries_spc import (
+        stats_lagged_regression,
+    )
+    from data_pipeline_001_spark.session import load_tables
+    from pyspark.sql import functions as FF
+
+    row = stats_lagged_regression(spark, SF).collect()[0]
+    daily = (
+        load_tables(spark, SF)["orders"]
+        .groupBy(FF.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            FF.sum(FF.round(FF.col("o_totalprice") * 100).cast("long"))
+            .alias("rev_c"),
+            FF.count("*").alias("oc"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    y = np.array([r.rev_c for r in daily[1:]], dtype=np.float64)
+    x1 = np.array([r.rev_c for r in daily[:-1]], dtype=np.float64)
+    x2 = np.array([r.oc for r in daily[:-1]], dtype=np.float64)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert row.beta_lag_revenue == pytest.approx(beta[1], abs=1e-4)
+    assert row.beta_lag_orders == pytest.approx(beta[2], rel=1e-3, abs=1.0)
+    assert row.intercept_dollars == pytest.approx(beta[0] / 100.0, rel=1e-3)
+    assert row.r_squared == pytest.approx(1 - ss_res / ss_tot, abs=1e-4)
+    assert row.n_days == len(y)
