@@ -548,3 +548,117 @@ def time_holt_winters(spark, sf_dir):
         )
         .orderBy("h")
     )
+
+
+# ---------------------------------------------------------------------
+# Rolling one-step forecast backtest
+# ---------------------------------------------------------------------
+
+_BT_HOLDOUT = 28
+
+
+@query(
+    "forecast_backtest",
+    f"""
+    WITH daily AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, rev_c,
+             COUNT(*) OVER () AS nn
+      FROM (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY 1
+      )
+    ),
+    preds AS (
+      SELECT t, rev_c, nn,
+             LAG(rev_c, 1) OVER (ORDER BY t) AS p_naive,
+             LAG(rev_c, 7) OVER (ORDER BY t) AS p_seasonal,
+             LAG(rev_c, 1) OVER (ORDER BY t)
+               + CAST(ROUND((LAG(rev_c, 1) OVER (ORDER BY t)
+                             - FIRST_VALUE(rev_c) OVER (ORDER BY t))
+                            / CAST(t - 2 AS DOUBLE)) AS BIGINT) AS p_drift
+      FROM daily
+    ),
+    holdout AS (
+      SELECT * FROM preds WHERE t > nn - {_BT_HOLDOUT}
+    ),
+    long AS (
+      SELECT 'drift' AS method, rev_c, p_drift AS p FROM holdout
+      UNION ALL
+      SELECT 'naive', rev_c, p_naive FROM holdout
+      UNION ALL
+      SELECT 'seasonal_naive', rev_c, p_seasonal FROM holdout
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_holdout,
+           ROUND(SUM(ABS(rev_c - p)) / (100.0 * COUNT(*)), 4)
+             AS mae_dollars,
+           ROUND(100.0 * AVG(ABS(rev_c - p) / CAST(rev_c AS DOUBLE)), 6)
+             AS mape_pct
+    FROM long GROUP BY method ORDER BY method
+    """,
+)
+def forecast_backtest(spark, sf_dir):
+    """Rolling one-step backtest of three baseline forecasters over
+    the last 28-day holdout of the daily revenue series: naive
+    (yesterday), seasonal naive (same weekday last week), and drift
+    (yesterday + average historical slope, integer-rounded). MAE is
+    an exact integer-cents sum divided once; MAPE averages 28
+    bounded per-row ratios. This is the model-evaluation loop the
+    forecasting family (EWMA/Holt/Holt-Winters) plugs into — before
+    trusting a smoother at 100 TB you beat these baselines on a
+    holdout, and the baselines themselves are pure window expressions
+    over the calendar-bounded spine."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("rev_c")
+        )
+    )
+    w = Window.orderBy("day")
+    spine = daily.select(
+        F.row_number().over(w).alias("t"),
+        "rev_c",
+        F.count("*").over(Window.partitionBy()).alias("nn"),
+        F.lag("rev_c", 1).over(w).alias("p_naive"),
+        F.lag("rev_c", 7).over(w).alias("p_seasonal"),
+        (
+            F.lag("rev_c", 1).over(w)
+            + F.round(
+                (F.lag("rev_c", 1).over(w) - F.first("rev_c").over(w))
+                / (F.col("t") - 2).cast("double")
+            ).cast("long")
+        ).alias("p_drift"),
+    )
+    holdout = spine.where(F.col("t") > F.col("nn") - _BT_HOLDOUT)
+    parts = []
+    for method, col in (
+        ("drift", "p_drift"),
+        ("naive", "p_naive"),
+        ("seasonal_naive", "p_seasonal"),
+    ):
+        parts.append(
+            holdout.select(
+                F.lit(method).alias("method"),
+                "rev_c",
+                F.col(col).alias("p"),
+            )
+        )
+    longf = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    err = F.abs(F.col("rev_c") - F.col("p"))
+    return (
+        longf.groupBy("method")
+        .agg(
+            F.count("*").cast("long").alias("n_holdout"),
+            F.round(F.sum(err) / (100.0 * F.count("*")), 4).alias(
+                "mae_dollars"
+            ),
+            F.round(
+                100.0 * F.avg(err / F.col("rev_c").cast("double")), 6
+            ).alias("mape_pct"),
+        )
+        .orderBy("method")
+    )

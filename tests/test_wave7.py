@@ -125,3 +125,18 @@ def test_asof_nearest_real_data_invariants(spark):
     for r in rows:
         assert abs(r.gap_us) <= 3_600_000_000
         assert r.click_id != r.purchase_id
+
+
+def test_forecast_backtest_invariants(spark):
+    from data_pipeline_001_spark.plans.queries_forecast import (
+        forecast_backtest,
+    )
+
+    rows = {r.method: r for r in forecast_backtest(spark, SF).collect()}
+    assert set(rows) == {"drift", "naive", "seasonal_naive"}
+    for r in rows.values():
+        assert r.n_holdout == 28
+        assert r.mae_dollars >= 0.0
+        assert 0.0 <= r.mape_pct < 1000.0
+    # drift differs from naive only by the slope correction term
+    assert rows["drift"].mae_dollars != rows["seasonal_naive"].mae_dollars
