@@ -416,3 +416,95 @@ def stats_lagged_regression(spark, sf_dir):
         F.round(F.col("b0") / 100.0, 4).alias("intercept_dollars"),
         F.round(1.0 - sse / sst, 6).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------
+# DAU / WAU / MAU engagement metrics
+# ---------------------------------------------------------------------
+
+
+@query(
+    "events_dau_wau_mau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    spine AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+    ),
+    wau AS (
+      SELECT s.day, COUNT(DISTINCT u.user_id) AS wau
+      FROM spine s JOIN ud u
+        ON u.day <= s.day AND u.day >= s.day - INTERVAL 6 DAY
+      GROUP BY s.day
+    ),
+    mau AS (
+      SELECT s.day, COUNT(DISTINCT u.user_id) AS mau
+      FROM spine s JOIN ud u
+        ON u.day <= s.day AND u.day >= s.day - INTERVAL 27 DAY
+      GROUP BY s.day
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(m.mau AS BIGINT) AS mau,
+           ROUND(d.dau / CAST(m.mau AS DOUBLE), 6) AS stickiness
+    FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
+    ORDER BY day
+    """,
+)
+def events_dau_wau_mau(spark, sf_dir):
+    """Daily / weekly / monthly active users and the DAU/MAU
+    stickiness ratio — the canonical product-engagement rollup.
+
+    Scale shape: reduce the event log ONCE to distinct (user, day)
+    pairs (the only shuffle that touches raw volume), then EXPLODE
+    each pair to the trailing windows it serves (7 rows for WAU, 28
+    for MAU — constant fan-out, linear in active pairs, never a
+    range join against the raw log) and count distinct per day. The
+    oracle expresses the same trailing windows as a bounded
+    spine-range join, fine at gate scale. All counts exact; the one
+    float is the final stickiness division."""
+    t = load_tables(spark, sf_dir)
+    ud = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    spine = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+
+    def trailing(n: int, name: str):
+        fan = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), n - 1)
+                )
+            ).alias("day"),
+        )
+        return (
+            fan.join(spine, "day")  # only days that exist in the log
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    wau = trailing(7, "wau")
+    mau = trailing(28, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.round(
+                F.col("dau") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -139,3 +139,50 @@ def test_lagged_regression_matches_numpy(spark):
     assert row.intercept_dollars == pytest.approx(beta[0] / 100.0, rel=1e-3)
     assert row.r_squared == pytest.approx(1 - ss_res / ss_tot, abs=1e-4)
     assert row.n_days == len(y)
+
+
+def test_dau_wau_mau_monotone_and_planted(spark):
+    from data_pipeline_001_spark.plans import queries_spc as S
+    import data_pipeline_001_spark.session as sess
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1 active every day for 10 days; user 2 only on day 0;
+    # user 3 on days 0 and 9
+    rows = []
+    eid = 0
+    for d in range(10):
+        active = [1] + ([2] if d == 0 else []) + ([3] if d in (0, 9) else [])
+        for u in active:
+            rows.append((eid, base + dt.timedelta(days=d), u, "view", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    orig = sess.load_tables
+    try:
+        S.load_tables = lambda s, d: {"events": df}
+        got = {r.day: r for r in S.events_dau_wau_mau(spark, "x").collect()}
+    finally:
+        S.load_tables = orig
+    assert got["2024-01-01"].dau == 3
+    assert got["2024-01-02"].dau == 1
+    # users 2 and 3 stay in the trailing-7 window through day 7
+    assert got["2024-01-07"].wau == 3
+    assert got["2024-01-08"].wau == 1
+    # MAU covers the whole span; day 10 sees all three users
+    assert got["2024-01-10"].mau == 3
+    assert got["2024-01-10"].dau == 2  # users 1 and 3
+    for r in got.values():
+        assert r.dau <= r.wau <= r.mau
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_dau_wau_mau_real_data_ordering(spark):
+    from data_pipeline_001_spark.plans.queries_spc import events_dau_wau_mau
+
+    rows = events_dau_wau_mau(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau <= r.mau
