@@ -145,7 +145,7 @@ _R5_BACKLOG = (
 )
 
 
-#: the 31 round-6 additions (waves 1-10), all oracle-backed, none yet
+#: the 33 round-6 additions (waves 1-10), all oracle-backed, none yet
 #: sampled by the driver. Pinned in registration order right behind
 #: _R5_BACKLOG so the round-6 driver sample (~50 rows) covers the 32
 #: round-5 leftovers first, then as many of these as fit; the
@@ -164,7 +164,8 @@ _R6_BACKLOG = (
     "multimodal_video_framesample", "embedding_mahalanobis_outliers",
     "quality_spc_xmr", "time_hampel_filter", "events_markov_attribution",
     "ml_lag_features", "stats_lagged_regression", "forecast_backtest",
-    "events_dau_wau_mau",
+    "events_dau_wau_mau", "events_power_user_curve",
+    "text_collocations_llr",
 )
 
 

@@ -508,3 +508,191 @@ def events_dau_wau_mau(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------
+# Power-user curve (L28 histogram)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "events_power_user_curve",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    per_user AS (
+      SELECT user_id, COUNT(*) AS active_days FROM ud GROUP BY user_id
+    ),
+    tot AS (SELECT COUNT(*) AS n_users FROM per_user)
+    SELECT CAST(active_days AS INT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(COUNT(*) / CAST(t.n_users AS DOUBLE), 6) AS user_share
+    FROM per_user, tot t
+    GROUP BY active_days, t.n_users
+    ORDER BY active_days
+    """,
+)
+def events_power_user_curve(spark, sf_dir):
+    """Power-user curve: the histogram of active-days-per-user over
+    the observed window (the growth-accounting "L28/LN" chart — a
+    smile-shaped curve signals a habit product, a monotone decay
+    signals drive-by usage). One distinct (user, day) reduction, one
+    per-user count, one bounded histogram; exact counts with a single
+    share division against the broadcast user total."""
+    t = load_tables(spark, sf_dir)
+    ud = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    per_user = ud.groupBy("user_id").agg(F.count("*").alias("active_days"))
+    tot = per_user.agg(F.count("*").alias("n_users"))
+    return (
+        per_user.groupBy(F.col("active_days").cast("int").alias("active_days"))
+        .agg(F.count("*").alias("n_users_bucket"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "active_days",
+            F.col("n_users_bucket").cast("long").alias("n_users"),
+            F.round(
+                F.col("n_users_bucket") / F.col("n_users").cast("double"),
+                6,
+            ).alias("user_share"),
+        )
+        .orderBy("active_days")
+    )
+
+
+# ---------------------------------------------------------------------
+# Log-likelihood-ratio collocations (Dunning 1993)
+# ---------------------------------------------------------------------
+
+_LLR_MIN_COUNT = 3
+_LLR_TOPK = 15
+
+_LLR_CELL = (
+    "CASE WHEN {k} > 0 THEN {k} * LN({k} * CAST(n AS DOUBLE)"
+    " / ({r} * CAST({c} AS DOUBLE))) ELSE 0 END"
+)
+
+_LLR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(tk, 1) AS INT) AS pos,
+         unnest(tk) AS tok
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+') AS tk
+        FROM documents)
+), bi AS (
+  SELECT tok AS w1,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+), bic AS (
+  SELECT w1, w2, COUNT(*) AS k11
+  FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2
+), m1 AS (SELECT w1, SUM(k11) AS c1 FROM bic GROUP BY 1),
+m2 AS (SELECT w2, SUM(k11) AS c2 FROM bic GROUP BY 1),
+tot AS (SELECT SUM(k11) AS n FROM bic),
+cells AS (
+  SELECT b.w1, b.w2, b.k11,
+         m1.c1 - b.k11 AS k12,
+         m2.c2 - b.k11 AS k21,
+         t.n - m1.c1 - m2.c2 + b.k11 AS k22,
+         m1.c1, m2.c2, t.n
+  FROM bic b JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot t
+  WHERE b.k11 >= {_LLR_MIN_COUNT}
+),
+scored AS (
+  SELECT w1, w2, k11,
+         2.0 * ({_LLR_CELL.format(k='k11', r='c1', c='c2')}
+              + {_LLR_CELL.format(k='k12', r='c1', c='(n - c2)')}
+              + {_LLR_CELL.format(k='k21', r='(n - c1)', c='c2')}
+              + {_LLR_CELL.format(k='k22', r='(n - c1)', c='(n - c2)')})
+           AS llr
+  FROM cells
+)
+SELECT w1, w2, CAST(k11 AS BIGINT) AS n_cooccur,
+       ROUND(llr, 4) AS llr
+FROM scored
+ORDER BY ROUND(llr, 4) DESC, w1, w2
+LIMIT {_LLR_TOPK}
+"""
+
+
+@query("text_collocations_llr", _LLR_ORACLE)
+def text_collocations_llr(spark, sf_dir):
+    """Log-likelihood-ratio collocations (Dunning 1993, public): the
+    robust sibling of PMI — PMI explodes for rare pairs, LLR weighs
+    the full 2x2 contingency table (k11..k22 from exact bigram
+    margins), so the top collocations are the statistically
+    surprising FREQUENT pairs. Counts and margins are exact integers;
+    the four ln cells are evaluated once per surviving pair (>=3
+    co-occurrences) and the ranking cuts on the 4-decimal-rounded
+    score with lexicographic tiebreaks, so both engines select the
+    same top-{{k}} despite last-ulp ln differences. Same one-LEAD
+    bigram shuffle as the PMI query; the contingency join touches
+    only the bounded surviving-pair table."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("k11"))
+    m1 = bic.groupBy("w1").agg(F.sum("k11").alias("c1"))
+    m2 = bic.groupBy("w2").agg(F.sum("k11").alias("c2"))
+    tot = bic.agg(F.sum("k11").alias("n"))
+    cells = (
+        bic.where(F.col("k11") >= _LLR_MIN_COUNT)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("c1") - F.col("k11")).alias("k12"),
+            (F.col("c2") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("c1") - F.col("c2") + F.col("k11")).alias(
+                "k22"
+            ),
+            "c1",
+            "c2",
+            "n",
+        )
+    )
+
+    def cell(k, r, c):
+        return F.when(
+            k > 0, k * F.log(k * F.col("n").cast("double") / (r * c.cast("double")))
+        ).otherwise(0.0)
+
+    llr = 2.0 * (
+        cell(F.col("k11"), F.col("c1"), F.col("c2"))
+        + cell(F.col("k12"), F.col("c1"), F.col("n") - F.col("c2"))
+        + cell(F.col("k21"), F.col("n") - F.col("c1"), F.col("c2"))
+        + cell(
+            F.col("k22"), F.col("n") - F.col("c1"), F.col("n") - F.col("c2")
+        )
+    )
+    scored = cells.select(
+        "w1", "w2", "k11", F.round(llr, 4).alias("llr")
+    )
+    return (
+        scored.orderBy(F.col("llr").desc(), F.col("w1"), F.col("w2"))
+        .limit(_LLR_TOPK)
+        .select(
+            "w1",
+            "w2",
+            F.col("k11").cast("long").alias("n_cooccur"),
+            "llr",
+        )
+    )

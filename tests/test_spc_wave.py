@@ -186,3 +186,37 @@ def test_dau_wau_mau_real_data_ordering(spark):
     assert rows
     for r in rows:
         assert r.dau <= r.wau <= r.mau
+
+
+def test_power_user_curve_accounts_all_users(spark):
+    from data_pipeline_001_spark.plans.queries_spc import (
+        events_power_user_curve,
+    )
+    from data_pipeline_001_spark.session import load_tables
+
+    rows = events_power_user_curve(spark, SF).collect()
+    n_users = (
+        load_tables(spark, SF)["events"]
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    assert sum(r.user_share for r in rows) == pytest.approx(1.0, abs=1e-3)
+    days = [r.active_days for r in rows]
+    assert days == sorted(days) and days[0] >= 1
+
+
+def test_llr_collocations_prefer_frequent_surprise(spark):
+    from data_pipeline_001_spark.plans.queries_spc import (
+        text_collocations_llr,
+    )
+
+    rows = text_collocations_llr(spark, SF).collect()
+    assert 0 < len(rows) <= 15
+    llrs = [r.llr for r in rows]
+    assert llrs == sorted(llrs, reverse=True)
+    for r in rows:
+        assert r.n_cooccur >= 3
+        assert r.llr >= 0.0
