@@ -790,6 +790,8 @@ def _wav_pcm(payload: bytes):
         if cid == b"data":
             data = payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("no data chunk")
     n = len(data) // 2
     return meta["sample_rate"], struct.unpack(f"<{n}h", data[: n * 2])
 

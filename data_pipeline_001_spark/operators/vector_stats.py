@@ -272,6 +272,11 @@ def mahalanobis_distances(
 
     fit = fit_df if fit_df is not None else df
     rows = covariance_matrix(fit, vec_col).collect()
+    if not rows:
+        raise ValueError(
+            "mahalanobis_distances: fit frame is empty — cannot "
+            "estimate a covariance from zero vectors"
+        )
     d = max(r["dim_i"] for r in rows) + 1
     C = np.zeros((d, d))
     for r in rows:
@@ -286,9 +291,17 @@ def mahalanobis_distances(
     mu = np.zeros(d)
     for r in mu_rows:
         mu[r["i"]] = r["m"]
-    inv = np.linalg.inv(C + ridge * np.eye(d))
-    # whitener: d2 = ||Wᵀ(x-μ)||² with W the Cholesky factor of Σ⁻¹
-    W = np.linalg.cholesky(inv)
+    # Eigendecompose instead of inv+cholesky: the collected covariance
+    # is rounded to 6 decimals upstream, which perturbs eigenvalues by
+    # up to ~d*5e-7 — enough to push a near-singular fit below a fixed
+    # 1e-6 ridge and make np.linalg.cholesky raise. Clamping the
+    # spectrum at a magnitude-scaled floor is robust to both rounding
+    # and genuinely degenerate (rank-deficient) fit corpora.
+    evals, evecs = np.linalg.eigh(C)
+    floor = max(ridge, ridge * d * (np.trace(C) / d if d else 1.0))
+    evals = np.maximum(evals, floor)
+    # whitener: d2 = ||Wᵀ(x-μ)||² with W·Wᵀ = Σ⁻¹ (W = V·Λ^{-1/2})
+    W = evecs / np.sqrt(evals)
 
     def score(batches):
         for pdf in batches:

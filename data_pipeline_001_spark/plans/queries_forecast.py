@@ -573,10 +573,12 @@ _BT_HOLDOUT = 28
       SELECT t, rev_c, nn,
              LAG(rev_c, 1) OVER (ORDER BY t) AS p_naive,
              LAG(rev_c, 7) OVER (ORDER BY t) AS p_seasonal,
-             LAG(rev_c, 1) OVER (ORDER BY t)
+             CASE WHEN t > 2 THEN
+               LAG(rev_c, 1) OVER (ORDER BY t)
                + CAST(ROUND((LAG(rev_c, 1) OVER (ORDER BY t)
                              - FIRST_VALUE(rev_c) OVER (ORDER BY t))
-                            / CAST(t - 2 AS DOUBLE)) AS BIGINT) AS p_drift
+                            / CAST(t - 2 AS DOUBLE)) AS BIGINT)
+             END AS p_drift
       FROM daily
     ),
     holdout AS (
@@ -625,12 +627,13 @@ def forecast_backtest(spark, sf_dir):
         F.count("*").over(Window.partitionBy()).alias("nn"),
         F.lag("rev_c", 1).over(w).alias("p_naive"),
         F.lag("rev_c", 7).over(w).alias("p_seasonal"),
-        (
+        F.when(
+            F.col("t") > 2,
             F.lag("rev_c", 1).over(w)
             + F.round(
                 (F.lag("rev_c", 1).over(w) - F.first("rev_c").over(w))
                 / (F.col("t") - 2).cast("double")
-            ).cast("long")
+            ).cast("long"),
         ).alias("p_drift"),
     )
     holdout = spine.where(F.col("t") > F.col("nn") - _BT_HOLDOUT)

@@ -575,10 +575,15 @@ def embedding_mahalanobis_outliers(spark, sf_dir):
         "label",
     )
     corpus = e.unionByName(planted)
+    # n_planted comes from the cheap base-table filter (no scoring);
+    # the scored frame is persisted so its two consumers (the
+    # separation agg and the top-k check) run the mapInPandas scoring
+    # exactly once instead of three times.
+    n_planted_val = int(e.where(F.col("vec_id") % 97 == 0).count())
     d2 = mahalanobis_distances(corpus, fit_df=e)
     flagged = d2.select(
         "d2", (F.col("vec_id") >= _MAHA_OFF).alias("is_planted")
-    )
+    ).persist()
     sep = flagged.agg(
         F.count("*").alias("n_vecs"),
         F.sum(F.col("is_planted").cast("long")).alias("n_planted"),
@@ -587,10 +592,9 @@ def embedding_mahalanobis_outliers(spark, sf_dir):
             > F.max(F.when(~F.col("is_planted"), F.col("d2")))
         ).alias("all_planted_outrank"),
     )
-    np_row = sep.select("n_planted").collect()[0]
     topk = (
         flagged.orderBy(F.col("d2").desc())
-        .limit(int(np_row["n_planted"]))
+        .limit(n_planted_val)
         .agg(
             (
                 F.sum(F.col("is_planted").cast("long")) == F.count("*")

@@ -93,3 +93,24 @@ def test_ndcg_perfect_ranking_is_one(spark):
         (2**r - 1) / math.log2(i + 2) for i, r in enumerate(sorted(rel, reverse=True))
     )
     assert dcg == pytest.approx(idcg)
+
+
+def test_wav_missing_data_chunk_raises():
+    """A RIFF/WAVE payload whose chunk walk finds no data chunk must
+    fail with a diagnosable ValueError, not a TypeError on None —
+    matching the error discipline of the other binary decoders."""
+    import struct
+
+    from data_pipeline_001_spark.operators.multimodal import _wav_pcm
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+    )
+    with pytest.raises(ValueError, match="data chunk"):
+        _wav_pcm(payload)

@@ -25,11 +25,16 @@ def test_matches_numpy_reference(spark):
 
     X = np.array([v for _, v in rng], dtype=np.float64)
     mu = X.mean(axis=0)
-    # the operator consumes the 6-decimal-rounded covariance rows, so
-    # the reference must round the same way
+    # the operator consumes the 6-decimal-rounded covariance rows and
+    # inverts via eigendecomposition with a magnitude-scaled spectral
+    # floor (robust to rounding-perturbed near-singular fits), so the
+    # reference must do the same
     C = np.round(np.cov(X, rowvar=False, bias=True), 6)
     C = (C + C.T) / 2.0
-    inv = np.linalg.inv(C + 1e-6 * np.eye(4))
+    evals, evecs = np.linalg.eigh(C)
+    floor = max(1e-6, 1e-6 * np.trace(C))
+    evals = np.maximum(evals, floor)
+    inv = evecs @ np.diag(1.0 / evals) @ evecs.T
     for i, v in rng:
         z = np.asarray(v, dtype=np.float64) - mu
         assert got[i] == pytest.approx(float(z @ inv @ z), rel=1e-6)
@@ -66,3 +71,30 @@ def test_fit_excludes_contamination(spark):
     assert d_clean_fit[99] > max(
         v for k, v in d_clean_fit.items() if k != 99
     )
+
+
+def test_singular_fit_does_not_crash(spark):
+    """A rank-deficient fit corpus (all mass on one line) used to make
+    np.linalg.cholesky raise once 6-decimal covariance rounding pushed
+    an eigenvalue below the fixed ridge; the spectral floor must keep
+    the whitener finite and the planted far point still ranked last."""
+    line = [(i, [float(i), 2.0 * float(i)]) for i in range(20)]
+    df = spark.createDataFrame(
+        line + [(99, [100.0, -100.0])],
+        "vec_id long, embedding array<float>",
+    )
+    fit = spark.createDataFrame(line, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r.d2
+        for r in mahalanobis_distances(df, fit_df=fit).collect()
+    }
+    assert all(np.isfinite(v) for v in got.values())
+    assert got[99] == max(got.values())
+
+
+def test_empty_fit_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        mahalanobis_distances(df, fit_df=df.where("vec_id < 0")).collect()
