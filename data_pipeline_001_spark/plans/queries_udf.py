@@ -85,7 +85,7 @@ def udtf_word_counts_q(spark, sf_dir):
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="word string, cnt int")
+    @udtf(returnType="word string, cnt int", useArrow=True)
     class WordCounts:
         def eval(self, text: str):
             norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
