@@ -229,3 +229,55 @@ def content_checksum(cols: list[str]) -> Column:
     return (
         F.sum(h.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD)
     ).cast("long")
+
+
+def xmr_control_points(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Shewhart XmR (individuals / moving-range) control points over a
+    metric series: one row per input point with the natural process
+    limits xbar ± 2.66·mRbar (Wheeler's form — public) and an
+    ``out_of_control`` flag.
+
+    This is the per-point form of the ``quality_spc_xmr`` registry
+    query, factored so the pipeline can run the same chart over its
+    OWN control table (window → audited target_count series) as a
+    post-audit gate: the reference's audit stage stops at per-window
+    count tolerance (audit_manager.py:385-392); the chart catches the
+    window whose count is individually "correct" but anomalous against
+    the process history — a dropped upstream feed, a double-fired
+    schedule.
+
+    The unpartitioned ORDER BY window is safe here by construction:
+    the series is one row per pipeline window (a control table, never
+    a data table) — thousands of points at most, regardless of data
+    scale.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(key_col)
+    ranged = df.select(
+        key_col,
+        F.col(value_col).cast("double").alias("value"),
+        F.abs(
+            F.col(value_col).cast("double")
+            - F.lag(F.col(value_col).cast("double")).over(w)
+        ).alias("mr"),
+    )
+    lims = ranged.agg(
+        F.avg("value").alias("xbar"),
+        F.avg("mr").alias("mrbar"),
+        F.count("*").alias("n_points"),
+    )
+    return ranged.crossJoin(F.broadcast(lims)).select(
+        key_col,
+        "value",
+        "xbar",
+        (F.col("xbar") + 2.66 * F.col("mrbar")).alias("ucl"),
+        (F.col("xbar") - 2.66 * F.col("mrbar")).alias("lcl"),
+        "n_points",
+        (
+            (F.col("value") > F.col("xbar") + 2.66 * F.col("mrbar"))
+            | (F.col("value") < F.col("xbar") - 2.66 * F.col("mrbar"))
+        ).alias("out_of_control"),
+    )

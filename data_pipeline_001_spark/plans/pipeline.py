@@ -88,6 +88,12 @@ class PipelineConfig:
     audit_max_retries: int = 3  # legacy cap; the R3 envelope tiers its own counts
     audit_base_wait_s: float = 60.0  # reference's nominal base wait (Snowpipe)
     audit_wait_scale: float = 0.0  # 0 = compute schedule but never block (sync sinks)
+    # post-audit SPC gate (beyond the reference: audit_manager.py stops
+    # at per-window count tolerance; the XmR chart over the control
+    # table's own count series flags process-level anomalies — a window
+    # that audits clean but is wildly out of line with history)
+    spc_gate: bool = False
+    spc_min_points: int = 6  # XmR limits are meaningless below this
     # F12 duration-estimate knobs (source_discovery_manager.py:190-202)
     avg_records_per_window: int = 100_000
     skew_factor: float = 0.5
@@ -369,12 +375,72 @@ class WindowPipeline:
             stage = "audit"
             t0 = datetime.utcnow()
             status = self._audit(sid, start, end, src_count, t0)
+            # Stage 4b (optional) — post-audit SPC gate: the window's
+            # audited count joins the pipeline's metrics series (the
+            # control table itself) and is checked against the XmR
+            # process limits
+            if status == "completed" and self.config.spc_gate:
+                self._spc_check(start)
             return status
         except Exception as exc:  # noqa: BLE001 — reference records any stage error
             # fail the stage that actually raised (reference keeps other
             # stages' state untouched: record_status_updater.py:102-123)
             self.control.fail_stage(sid, stage, str(exc))
             return "failed"
+
+    def audit_spc_flags(self) -> DataFrame:
+        """XmR control points over THIS pipeline's audited window
+        counts — the post-audit SPC gate series. Each completed
+        window's ``target_count`` is one individuals-chart point; the
+        returned frame carries (window_start, value, xbar, ucl, lcl,
+        n_points, out_of_control). The reference's audit ends at count
+        tolerance (audit_manager.py:385-392); this catches the window
+        whose count RECONCILES (source == target) but is anomalous
+        against the pipeline's own history — a dropped upstream feed
+        or a double-fired schedule produces exactly that signature."""
+        from data_pipeline_001_spark.operators.constraints import (
+            xmr_control_points,
+        )
+
+        series = (
+            self._scoped(self.control.read())
+            .where(
+                (F.col("audit_status") == "completed")
+                & F.col("target_count").isNotNull()
+            )
+            .select(
+                F.col("source_query_window_start_time").alias(
+                    "window_start"
+                ),
+                "target_count",
+            )
+        )
+        return xmr_control_points(series, "window_start", "target_count")
+
+    def _spc_check(self, start) -> None:
+        """Log an SPC verdict for the just-audited window (run-flow
+        hook behind ``config.spc_gate``). One collect of one row of a
+        control-table-sized frame — never data-sized."""
+        from data_pipeline_001_spark.utils import pipeline_log
+
+        rows = (
+            self.audit_spc_flags()
+            .where(F.col("window_start") == start)
+            .collect()
+        )
+        if not rows or rows[0]["n_points"] < self.config.spc_min_points:
+            return
+        r = rows[0]
+        if r["out_of_control"]:
+            pipeline_log.info(
+                "window count out of control vs process history",
+                log_key="Audit",
+                status="SPC_OUT_OF_CONTROL",
+                window=str(start),
+                target_count=int(r["value"]),
+                ucl=round(r["ucl"], 2),
+                lcl=round(r["lcl"], 2),
+            )
 
     @staticmethod
     def _pct(src_count: int, tgt_count: int) -> float:

@@ -474,6 +474,16 @@ def events_dau_wau_mau(spark, sf_dir):
         .select("user_id", F.col("ts").cast("date").alias("day"))
         .distinct()
     )
+    return engagement_rollup(ud)
+
+
+def engagement_rollup(ud: DataFrame) -> DataFrame:
+    """The DAU/WAU/MAU + stickiness rollup over a distinct
+    (user_id, day) activity frame — shared verbatim by the batch query
+    above and the streaming path (stream_pipeline.engagement_* keeps
+    ``ud`` current in a VersionedTable via the exactly-once merge sink;
+    this rollup over the maintained table equals the batch result,
+    asserted by tests/test_streaming.py parity)."""
     spine = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
 

@@ -378,3 +378,48 @@ def drift_gate_batch_handler(
         batch_df.unpersist()
 
     return handle
+
+
+# ---------------------------------------------------------------------
+# Streaming engagement (DAU/WAU/MAU) — round-6 analytic tied back to
+# the §2.10 streaming contract (reference semantics: the watermark
+# analogue of state_manager.py:333-363)
+# ---------------------------------------------------------------------
+
+
+def engagement_pairs_stream(
+    stream: DataFrame, ts_col: str = "ts", watermark: str = "1 day"
+) -> DataFrame:
+    """Distinct-activity candidate stream for the engagement rollup:
+    (user_id, day) pairs from the raw event stream, watermarked so the
+    late-data bound is explicit. Deduplication happens downstream at
+    the sink (per-batch ``dropDuplicates`` + keyed merge), so this
+    projection carries no stream state at all — the maintained
+    VersionedTable IS the state, which is what lets the rollup share
+    code verbatim with the batch query."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.col(ts_col).cast("date").alias("day"))
+    )
+
+
+def engagement_stream_sink(table):
+    """foreachBatch handler maintaining the distinct (user_id, day)
+    activity table: dedupe the micro-batch, then upsert by key through
+    ``versioned_stream_merge_sink`` — which skips replayed batch_ids on
+    the manifest, so the activity table is EXACTLY-ONCE even under
+    foreachBatch's at-least-once delivery. The engagement rollup
+    (``plans.queries_spc.engagement_rollup``) over ``table.read()``
+    then equals the batch query on the same events — asserted by the
+    stream/batch parity test."""
+    from data_pipeline_001_spark.sources.versioned_table import (
+        versioned_stream_merge_sink,
+    )
+
+    merge = versioned_stream_merge_sink(table, ["user_id", "day"])
+
+    def handle(batch_df, batch_id: int) -> None:
+        merge(batch_df.dropDuplicates(["user_id", "day"]), batch_id)
+
+    return handle

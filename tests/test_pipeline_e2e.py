@@ -323,3 +323,69 @@ def test_audit_mismatch_resets_pipeline(spark, tmp_path):
     assert r["pipeline_retry_count"] == 1
     # stage output cleaned
     assert not stage.exists(DAY, datetime(2024, 1, 2, 6))
+
+
+def _write_window_events(spark, path, counts, start=DAY, hours=3):
+    """One synthetic events file with a controlled per-window row
+    count: window w gets counts[w] rows inside [start + w*hours h)."""
+    from datetime import timedelta
+
+    rows, eid = [], 0
+    for w, cnt in enumerate(counts):
+        base = start + timedelta(hours=hours * w)
+        for i in range(cnt):
+            rows.append(
+                (eid, base + timedelta(seconds=10 * i + 1), eid % 50,
+                 "view", 1.0)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).write.mode("overwrite").parquet(path)
+
+
+def _spc_pipe(spark, tmp_path, name, counts):
+    src_path = str(tmp_path / f"{name}_events")
+    _write_window_events(spark, src_path, counts)
+    pipe = WindowPipeline(
+        spark,
+        PipelineConfig(
+            pipeline_name=name, granularity="3h",
+            max_pipeline_runs=len(counts), spc_gate=True,
+        ),
+        FileSource(spark, src_path, ts_col="ts"),
+        PartitionedParquetSink(spark, str(tmp_path / f"{name}_stage")),
+        PartitionedParquetSink(spark, str(tmp_path / f"{name}_target")),
+        ControlTable(spark, str(tmp_path / f"{name}_control")),
+    )
+    res = pipe.run(DAY, DAY_END)
+    assert res.completed == len(counts)
+    return pipe
+
+
+def test_spc_gate_flags_planted_count_anomaly(spark, tmp_path):
+    """Round-7 task 6: the post-audit SPC gate over the control table
+    itself. A planted 10x count spike in one window — which AUDITS
+    CLEAN (source == target) — must be the one out-of-control XmR
+    point; a uniform run must flag nothing."""
+    clean = _spc_pipe(spark, tmp_path, "spc_clean", [40] * 8)
+    flags = {r["window_start"]: r for r in clean.audit_spc_flags().collect()}
+    assert len(flags) == 8
+    assert not any(r["out_of_control"] for r in flags.values())
+
+    planted_counts = [40, 40, 40, 40, 400, 40, 40, 40]
+    planted = _spc_pipe(spark, tmp_path, "spc_planted", planted_counts)
+    ct = planted.control.read().collect()
+    assert all(r["count_match_status"] == "matched" for r in ct)
+
+    from datetime import timedelta
+
+    flags = {
+        r["window_start"]: r for r in planted.audit_spc_flags().collect()
+    }
+    anomaly_window = DAY + timedelta(hours=3 * 4)
+    assert flags[anomaly_window]["out_of_control"] is True
+    others = [w for w in flags if w != anomaly_window]
+    assert not any(flags[w]["out_of_control"] for w in others)

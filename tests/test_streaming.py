@@ -737,3 +737,54 @@ def test_streaming_observed_metrics(spark, tables, tmp_path):
     ).first()
     assert total_rows == exp[0]
     assert abs(total_sum - exp[1]) < 1e-6
+
+
+def test_engagement_stream_batch_parity(spark, tables, stream_dir, tmp_path):
+    """Round-7: the DAU/WAU/MAU engagement rollup run as a Structured
+    Streaming query — watermarked pairs stream, foreachBatch upserting
+    the distinct (user_id, day) activity table into a VersionedTable
+    (exactly-once via batch_id-on-the-manifest) — must equal the batch
+    registry query on the same events fixture, row for row."""
+    from data_pipeline_001_spark.plans.queries_spc import (
+        engagement_rollup,
+        events_dau_wau_mau,
+    )
+    from data_pipeline_001_spark.sources.versioned_table import VersionedTable
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        engagement_pairs_stream,
+        engagement_stream_sink,
+    )
+
+    # multiple source files → multiple micro-batches, so the merge
+    # sink's incremental upsert path actually runs more than once
+    src = str(tmp_path / "src")
+    tables["events"].repartition(4).write.parquet(src)
+    vt = VersionedTable(spark, str(tmp_path / "activity"))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    handler = engagement_stream_sink(vt)
+    q = (
+        engagement_pairs_stream(stream)
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    committed = [m for m in vt.history() if "batch_id" in m]
+    assert len(committed) >= 2, "want multiple micro-batches upserted"
+
+    # exactly-once: replaying an already-committed batch_id is a no-op
+    v_before = vt.current_version()
+    handler(vt.read().limit(1), committed[0]["batch_id"])
+    assert vt.current_version() == v_before
+
+    # the maintained activity table is exactly the batch distinct set
+    ud = vt.read()
+    assert ud.count() == ud.dropDuplicates(["user_id", "day"]).count()
+
+    got = engagement_rollup(ud).collect()
+    want = events_dau_wau_mau(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
