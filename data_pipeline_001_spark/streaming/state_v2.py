@@ -19,11 +19,16 @@ input file sequence, so the test compares against the batch twin.
 
 Requires the RocksDB state-store provider (bundled with Spark 4);
 ``stateful_session_conf`` returns the confs to set. The v2 protocol
-additionally needs the ``protobuf`` Python package (PySpark's
-state-server wire format) — ``state_v2_available()`` probes for it,
-and the e2e test skips loudly where it is absent (this container);
-the operator itself is exercised there via ``applyInPandasWithState``
-parity on the same processor logic.
+additionally needs google.protobuf's REFLECTION RUNTIME (PySpark's
+generated ``StateMessage_pb2`` calls descriptor_pool /
+internal.builder / ValidateProtobufRuntimeVersion(≥6.33) at import —
+a vendored varint encoder cannot satisfy it; verified chain in
+tests/test_state_v2.py::test_state_v2_absence_is_exactly_the_
+documented_runtime_gap). ``state_v2_available()`` probes for it and
+the e2e test skips loudly where absent (this container), self-closing
+the moment a protobuf runtime appears; the operator logic is
+exercised meanwhile via ``applyInPandasWithState`` parity on the same
+processor.
 """
 
 from __future__ import annotations

@@ -16,10 +16,41 @@ from data_pipeline_001_spark.streaming.state_v2 import (
 
 needs_protobuf = pytest.mark.skipif(
     not state_v2_available(),
-    reason="transformWithState needs the protobuf package (PySpark "
-    "state-server wire format) — absent in this container; the "
-    "processor logic is covered by the local-harness test below",
+    reason="transformWithState needs google.protobuf's REFLECTION "
+    "RUNTIME, absent here (see test_state_v2_absence_is_exactly_the_"
+    "documented_runtime_gap for the verified chain); the processor "
+    "logic is covered by the local-harness test below",
 )
+
+
+def test_state_v2_absence_is_exactly_the_documented_runtime_gap():
+    """Closes the recurring 'could a vendored varint encoder unblock
+    state_v2?' question with a verified import chain. The gap is NOT a
+    missing encoder: transformWithStateInPandas →
+    stateful_processor_api_client.py (imports
+    pyspark.sql.streaming.proto.StateMessage_pb2 at every call site) →
+    StateMessage_pb2.py line ~23 `from google.protobuf import
+    descriptor` → ModuleNotFoundError('google'). The generated module
+    then requires descriptor_pool.AddSerializedFile (parsing a
+    serialized FileDescriptorProto), internal.builder message-class
+    construction, symbol_database, and
+    runtime_version.ValidateProtobufRuntimeVersion(PUBLIC, 6.33.0) —
+    i.e. protobuf's full reflection runtime at a pinned minimum
+    version. A 'minimal varint encoder' cannot satisfy those imports,
+    and monkeypatching the ~40 message classes the client uses against
+    Spark's Scala state server would be a hand-rolled protobuf
+    reimplementation with silent wire-corruption failure modes — not a
+    spike. SELF-CLOSING: the moment a protobuf runtime appears in the
+    container, this test asserts the probe flips true and the real e2e
+    below runs."""
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+    except ModuleNotFoundError as exc:
+        assert exc.name in {"google", "google.protobuf"}, exc
+        assert not state_v2_available()
+        return
+    # runtime present: the probe must agree and the e2e below runs
+    assert state_v2_available()
 
 
 @pytest.fixture()
