@@ -124,6 +124,17 @@ HUGE_SEL = [
     "json_extract_props",
 ]
 
+# the sf30 point measures ONLY the four headliners whose sf10 ratio vs
+# DuckDB is still >2x — the question it answers is "does the ratio
+# keep falling with scale", so it needs exactly the weak set plus
+# their bucketed twins
+GIANT_SEL = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_nation_revenue",
+    "q10_returned_revenue",
+]
+
 TABLES = (
     "region",
     "nation",
@@ -351,6 +362,38 @@ def main() -> None:
                 result["huge"] = json.load(fh)
         except (OSError, ValueError) as exc:
             print(f"bench_huge.json unreadable: {exc}", file=sys.stderr)
+
+    # the 300x point (sf30, ~5 GB): a THIRD scale point for the four
+    # >2x-vs-DuckDB headliners, turning the "ratio falls with scale"
+    # claim from one data point (sf1→sf10) into a trend. Also a
+    # committed snapshot: SPARK_GRAFT_GIANT=1 re-measures and writes
+    # the ``giant`` section INTO bench_huge.json so the whole scale
+    # ladder lives in one machine-readable artifact.
+    if os.environ.get("SPARK_GRAFT_GIANT", "0") == "1":
+        giant_dir = _ensure_generated(repo_root, "sf30", 300)
+        if giant_dir:
+            _prepare_point(spark, giant_dir)
+            gcon = _duck_con(giant_dir)
+            g_t, g_duck = _interleaved_point(
+                spark, gcon, qs, oracles, giant_dir, GIANT_SEL
+            )
+            gbkt_t, gbkt_duck = _interleaved_point(
+                spark, gcon, qs, oracles, giant_dir, BUCKETED
+            )
+            gcon.close()
+            giant = {
+                "sf": "30(300x-replicated-sf0.1)",
+                "measured_at_commit": _git_commit(repo_root),
+                "protocol": PROTOCOL,
+                "total_s": round(sum(g_t.values()), 3),
+                "per_query": _per_query(g_t, g_duck),
+                "bucketed": _per_query(gbkt_t, gbkt_duck),
+            }
+            snap = result.get("huge") or {}
+            snap["giant"] = giant
+            with open(huge_path, "w") as fh:
+                json.dump(snap, fh, indent=1)
+            result["huge"] = snap
 
     # Full rich result goes to a sidecar (the driver captures only a
     # ~2000-char stdout tail, so a fat JSON line gets truncated and
