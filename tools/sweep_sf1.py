@@ -1,10 +1,24 @@
 """Run every registered query at a given SF dir and time it.
 
-Usage: python tools/sweep_sf1.py [sf_dir] [out_json]
+Usage: python tools/sweep_sf1.py [sf_dir] [out_json] [--tail-isolated]
+       python tools/sweep_sf1.py [sf_dir] [out_json] --only=a,b,c
 
 Finds scale-pathological plans: any query whose runtime at sf1
 (~10x sf0.1) is an outlier relative to the pack is a candidate for a
 plan fix.  Prints a sorted table and writes JSON.
+
+``--tail-isolated`` (round-7, verdict task 5): after the sweep, the
+slowest 5 queries are RE-MEASURED one-by-one in a fresh subprocess
+JVM with nothing else running in this process. Round 6 measured
+graph_triangle_stats at 81 s isolated vs 212 s inside the full sweep
+(background lanes + sweep-internal cache pressure) — variance that
+wide makes a 2x plan regression in a 100 s query invisible. The
+isolated numbers are the citable ones; both are recorded
+(``times`` = in-sweep, ``tail_isolated`` = authoritative).
+
+``--only=a,b,c`` is the internal re-measure mode: run exactly those
+queries against sf_dir, write {"times": {...}} to out_json, skip
+resume/twins/tail logic.
 """
 
 from __future__ import annotations
@@ -20,8 +34,18 @@ from data_pipeline_001_spark.session import get_spark
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.benchdata/sf1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sweep_sf1.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    tail_isolated = "--tail-isolated" in flags
+    only: list[str] | None = None
+    for f in flags:
+        if f.startswith("--only="):
+            only = f.split("=", 1)[1].split(",")
+    sf_dir = args[0] if args else "/root/repo/.benchdata/sf1"
+    out = args[1] if len(args) > 1 else "/tmp/sweep_sf1.json"
+    if only is not None:
+        _run_only(sf_dir, out, only)
+        return
     spark = get_spark(app_name="sweep", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     qs = mod.queries()
@@ -71,12 +95,78 @@ def main() -> None:
     bounded = _run_bounded_twins(spark, qs, sf_dir, skip, errors)
     times.update(bounded)
     ranked = sorted(times.items(), key=lambda kv: -kv[1])
-    print("\n=== slowest 15 ===")
+    print("\n=== slowest 15 (in-sweep) ===")
     for name, t in ranked[:15]:
         print(f"{t:8.2f}s  {name}")
+    payload = {"times": times, "errors": errors}
+    if tail_isolated:
+        tail = [n for n, _ in ranked if "@" not in n][:5]
+        payload["tail_isolated"] = _remeasure_isolated(sf_dir, tail)
+        print("\n=== slowest 5, isolated fresh-JVM re-measure "
+              "(authoritative) ===")
+        for n in tail:
+            iso = payload["tail_isolated"].get(n)
+            insw = times.get(n)
+            if iso is not None:
+                print(f"{iso:8.2f}s  {n}  (in-sweep {insw:.2f}s)")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(f"\nwrote {out}; total {sum(times.values()):.1f}s over {len(times)} queries; {len(errors)} errors")
+
+
+def _remeasure_isolated(sf_dir: str, names: list[str]) -> dict[str, float]:
+    """Re-run the tail queries in a fresh subprocess JVM, one sweep
+    process at a time — distinguishes a real plan regression from VM
+    noise (round 6: 81 s isolated vs 212 s in-sweep on identical
+    code). The subprocess uses --only= mode of this same script."""
+    import os
+    import subprocess
+
+    iso_out = "/tmp/sweep_tail_isolated.json"
+    try:
+        os.remove(iso_out)
+    except OSError:
+        pass
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            sf_dir,
+            iso_out,
+            "--only=" + ",".join(names),
+        ],
+        timeout=3600,
+    )
+    if proc.returncode != 0:
+        print(f"isolated re-measure exited {proc.returncode}", flush=True)
+    try:
+        with open(iso_out) as f:
+            return json.load(f).get("times", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _run_only(sf_dir: str, out: str, names: list[str]) -> None:
+    """--only= mode: fresh session, exactly these queries, no resume."""
+    spark = get_spark(app_name="sweep_tail", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = mod.queries()
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        if name not in qs:
+            errors[name] = "not registered"
+            continue
+        t0 = time.time()
+        try:
+            n = qs[name](spark, sf_dir).count()
+            times[name] = round(time.time() - t0, 2)
+            print(f"{times[name]:8.2f}s  {n:>9} rows  {name}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"   ERROR  {name}: {errors[name][:120]}", flush=True)
     with open(out, "w") as f:
         json.dump({"times": times, "errors": errors}, f, indent=1, sort_keys=True)
-    print(f"\nwrote {out}; total {sum(times.values()):.1f}s over {len(times)} queries; {len(errors)} errors")
 
 
 #: the documented-quadratic exact twins plus the brute-force ANN
