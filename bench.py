@@ -390,10 +390,21 @@ def main() -> None:
                 "bucketed": _per_query(gbkt_t, gbkt_duck),
             }
             snap = result.get("huge") or {}
-            snap["giant"] = giant
-            with open(huge_path, "w") as fh:
-                json.dump(snap, fh, indent=1)
-            result["huge"] = snap
+            if not snap:
+                # never rewrite bench_huge.json down to only a "giant"
+                # key: losing the huge snapshot's top-level schema
+                # (sf/per_query/protocol) would break round-over-round
+                # diffing. Re-measure the huge point first.
+                print(
+                    "bench_huge.json missing/unreadable — giant section "
+                    "NOT merged (run SPARK_GRAFT_HUGE=1 first)",
+                    file=sys.stderr,
+                )
+            else:
+                snap["giant"] = giant
+                with open(huge_path, "w") as fh:
+                    json.dump(snap, fh, indent=1)
+                result["huge"] = snap
 
     # Full rich result goes to a sidecar (the driver captures only a
     # ~2000-char stdout tail, so a fat JSON line gets truncated and

@@ -380,7 +380,22 @@ class WindowPipeline:
             # control table itself) and is checked against the XmR
             # process limits
             if status == "completed" and self.config.spc_gate:
-                self._spc_check(start)
+                # Observability only: a transient Spark error inside the
+                # SPC collect must never flip a window whose audit
+                # actually PASSED back to failed (that would corrupt
+                # control-table status and trigger a spurious reset).
+                try:
+                    self._spc_check(start)
+                except Exception as spc_exc:  # noqa: BLE001
+                    from data_pipeline_001_spark.utils import pipeline_log
+
+                    pipeline_log.info(
+                        "SPC gate check errored (ignored; audit stands)",
+                        log_key="Audit",
+                        status="SPC_CHECK_ERROR",
+                        window=str(start),
+                        error=str(spc_exc),
+                    )
             return status
         except Exception as exc:  # noqa: BLE001 — reference records any stage error
             # fail the stage that actually raised (reference keeps other

@@ -778,20 +778,21 @@ def stats_runs_test(spark, sf_dir):
     median of integer cents — ties count as below, identically in
     both engines), count sign runs with one lag window, and z-score
     against the runs-count null. Detects regime persistence the
-    variance stats miss; one window pass over the day table."""
+    variance stats miss; one window pass over the day table.
+
+    The median is ``percentile_disc(0.5)`` — the SQL-standard
+    discrete percentile selects exactly the lower-median VALUE the
+    oracle's ``LIMIT 1 OFFSET (n-1)//2`` does (round-8: replaced the
+    rank-select row_number idiom so the broadcast build side is a
+    zero-key aggregate the plan gate can prove bounded, instead of a
+    single-partition global sort + point filter)."""
     from pyspark.sql import Window as W
 
     daily = _daily_cents(spark, sf_dir)
-    n_df = daily.agg(F.count("*").alias("n"))
-    med = (
-        daily.crossJoin(F.broadcast(n_df))
-        .select(
-            "rev_c",
-            (F.row_number().over(W.orderBy("rev_c")) - 1).alias("rn"),
-            ((F.col("n") - 1) / F.lit(2)).cast("long").alias("target"),
-        )
-        .where(F.col("rn") == F.col("target"))
-        .select(F.col("rev_c").alias("m"))
+    med = daily.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY rev_c)")
+        .cast("long")
+        .alias("m")
     )
     flags = daily.crossJoin(F.broadcast(med)).select(
         "day", F.when(F.col("rev_c") > F.col("m"), 1).otherwise(0).alias("above")
@@ -977,24 +978,24 @@ def ml_classifier_eval(spark, sf_dir):
     above-median-price rule predicting order fulfilment. Threshold is
     the exact lower median of integer cents (deterministic both
     engines); counts are one aggregate over the scored frame — the
-    shape of every distributed model-eval job."""
-    from pyspark.sql import Window as W
+    shape of every distributed model-eval job.
 
+    Round-8 scale fix (caught by the hardened plan gate): the median
+    over the FULL fact table was a single-partition global
+    ``row_number`` — a genuine 100 TB killer. ``percentile_disc(0.5)``
+    computes the identical lower-median value as a zero-key aggregate
+    (partial-aggregated value→count map, memory bounded by distinct
+    integer-cent scores, never a global sort) and is structurally
+    provable for the broadcast build side."""
     t = load_tables(spark, sf_dir)
     scored = t["orders"].select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("score_c"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
-    n_df = scored.agg(F.count("*").alias("n"))
-    med = (
-        scored.crossJoin(F.broadcast(n_df))
-        .select(
-            "score_c",
-            (F.row_number().over(W.orderBy("score_c")) - 1).alias("rn"),
-            ((F.col("n") - 1) / F.lit(2)).cast("long").alias("tgt"),
-        )
-        .where(F.col("rn") == F.col("tgt"))
-        .select(F.col("score_c").alias("m"))
+    med = scored.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY score_c)")
+        .cast("long")
+        .alias("m")
     )
     pred = F.col("score_c") > F.col("m")
     cm = scored.crossJoin(F.broadcast(med)).agg(

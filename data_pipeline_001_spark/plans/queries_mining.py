@@ -575,33 +575,30 @@ def embedding_mahalanobis_outliers(spark, sf_dir):
         "label",
     )
     corpus = e.unionByName(planted)
-    # n_planted comes from the cheap base-table filter (no scoring);
-    # the scored frame is persisted so its two consumers (the
-    # separation agg and the top-k check) run the mapInPandas scoring
-    # exactly once instead of three times.
-    n_planted_val = int(e.where(F.col("vec_id") % 97 == 0).count())
+    # ONE aggregation pass over the scored frame (round-8): the two
+    # contract checks are the same theorem — "the top n_planted rows
+    # by d2 are exactly the planted set" holds iff
+    # min(planted d2) > max(natural d2) (strict: a boundary tie makes
+    # limit-based top-k nondeterministic, so it must read as failure).
+    # Computing both columns from that one expression removes the
+    # previous persist() (whose cached blocks leaked across sweep
+    # sessions — a lazily-returned plan can never know when to
+    # unpersist) and the eager driver-side count() that made plan-only
+    # tools (the plan gate explains every registry query) execute a
+    # real job during what should be pure plan construction.
     d2 = mahalanobis_distances(corpus, fit_df=e)
     flagged = d2.select(
         "d2", (F.col("vec_id") >= _MAHA_OFF).alias("is_planted")
-    ).persist()
-    sep = flagged.agg(
+    )
+    sep_expr = F.min(
+        F.when(F.col("is_planted"), F.col("d2"))
+    ) > F.max(F.when(~F.col("is_planted"), F.col("d2")))
+    return flagged.agg(
         F.count("*").alias("n_vecs"),
         F.sum(F.col("is_planted").cast("long")).alias("n_planted"),
-        (
-            F.min(F.when(F.col("is_planted"), F.col("d2")))
-            > F.max(F.when(~F.col("is_planted"), F.col("d2")))
-        ).alias("all_planted_outrank"),
-    )
-    topk = (
-        flagged.orderBy(F.col("d2").desc())
-        .limit(n_planted_val)
-        .agg(
-            (
-                F.sum(F.col("is_planted").cast("long")) == F.count("*")
-            ).alias("topk_all_planted")
-        )
-    )
-    return sep.crossJoin(F.broadcast(topk)).select(
+        sep_expr.alias("all_planted_outrank"),
+        sep_expr.alias("topk_all_planted"),
+    ).select(
         F.col("n_vecs").cast("long").alias("n_vecs"),
         F.col("n_planted").cast("long").alias("n_planted"),
         "all_planted_outrank",

@@ -27,20 +27,31 @@ def registry():
     return entrymod.queries()
 
 
-def test_no_scale_killers_in_any_registered_plan(spark, registry):
+def _gate_all(spark, registry, sf):
     violations = {}
     bnlj_live = set()
     for name, fn in registry.items():
         try:
-            plan = pg.simple_plan(fn(spark, SF))
+            df = fn(spark, sf)
+            plan = pg.simple_plan(df)
         except Exception as exc:
             violations[name] = [f"plan build failed: {exc!r:.200}"]
             continue
         bad = pg.violations_for(name, plan)
+        # round-8: driver-built frames are row-count-probed, not
+        # trusted — a data-sized createDataFrame anywhere in the plan
+        # fails the gate even outside a BNLJ build side
+        if "ExistingRDD" in plan:
+            bad += pg.existing_rdd_violations(df)
         if bad:
             violations[name] = bad
         if name in pg.ALLOWLIST and "BroadcastNestedLoopJoin" in plan:
             bnlj_live.add(name)
+    return violations, bnlj_live
+
+
+def test_no_scale_killers_in_any_registered_plan(spark, registry):
+    violations, bnlj_live = _gate_all(spark, registry, SF)
     assert not violations, "\n".join(
         f"{n}: {'; '.join(b)}" for n, b in sorted(violations.items())
     )
@@ -49,6 +60,38 @@ def test_no_scale_killers_in_any_registered_plan(spark, registry):
     # the exemption (with its boundedness argument) should be removed
     dead = set(pg.ALLOWLIST) - bnlj_live
     assert not dead, f"stale allowlist entries (no BNLJ in plan): {dead}"
+
+
+@pytest.mark.slow
+def test_gate_holds_at_replicated_sf1(spark, registry):
+    """Round-8 (verdict task 4b): the gate re-runs against the ~170 MB
+    replicated sf1 point, where file-size statistics differ enough to
+    flip broadcast decisions — a strategy that only looks safe at
+    sf0.001 is caught here. Skips loudly when the generated benchdata
+    is absent (``tools/make_benchdata.py`` creates it)."""
+    import os
+
+    sf1 = "/root/repo/.benchdata/sf1"
+    if not os.path.isdir(sf1):
+        pytest.skip(f"{sf1} not generated (run tools/make_benchdata.py)")
+    violations, _ = _gate_all(spark, registry, sf1)
+    assert not violations, "\n".join(
+        f"{n}: {'; '.join(b)}" for n, b in sorted(violations.items())
+    )
+
+
+def test_existing_rdd_probe_catches_data_sized_local_frame(spark):
+    """A driver-built frame above the broadcast bound must fail the
+    probe even though its plan text ('Scan ExistingRDD') is
+    indistinguishable from a 3-row literal's (verdict task 4a's
+    planted case)."""
+    big = spark.createDataFrame(
+        ((i,) for i in range(pg._MAX_BOUNDED_ROWS + 1)), "x long"
+    )
+    bad = pg.existing_rdd_violations(big)
+    assert len(bad) == 1 and "LogicalRDD" in bad[0]
+    small = spark.createDataFrame([(1,), (2,)], "x long")
+    assert pg.existing_rdd_violations(small) == []
 
 
 def test_parser_handles_nested_build_sides():
@@ -88,6 +131,46 @@ BroadcastNestedLoopJoin BuildRight, Cross
    +- {marker}
 """
         assert pg.violations_for("x", plan) == [], marker
+
+
+def test_bounded_sibling_does_not_mask_data_sized_branch():
+    """Round-8 regression: a build side that JOINS a bounded frame
+    with a data-sized scan is unbounded — under the old
+    anywhere-in-text marker scan the zero-key aggregate branch masked
+    the FileScan branch (gate false negative)."""
+    plan = """== Physical Plan ==
+BroadcastNestedLoopJoin BuildRight, Cross
+:- FileScan parquet [a#1]
++- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+   +- BroadcastHashJoin [k#2], [k#3], Inner, BuildLeft
+      :- HashAggregate(keys=[], functions=[count(1)])
+      :  +- FileScan parquet [c#3]
+      +- FileScan parquet [b#2, k#3]
+"""
+    bad = pg.violations_for("not_in_allowlist", plan)
+    assert len(bad) == 1 and "unproven build side" in bad[0]
+
+
+def test_inline_subquery_mention_does_not_bound():
+    """Round-8 regression: 'Subquery' appearing INSIDE a filter
+    condition's text is not a cardinality proof for the node — only a
+    scalar-subquery tree node (1 row by definition) bounds."""
+    plan = """== Physical Plan ==
+BroadcastNestedLoopJoin BuildRight, Cross
+:- FileScan parquet [a#1]
++- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+   +- Filter (x#2 > ReusedSubquery Subquery subquery#5)
+      +- FileScan parquet [b#2]
+"""
+    assert len(pg.violations_for("x", plan)) == 1
+    scalar = """== Physical Plan ==
+BroadcastNestedLoopJoin BuildRight, Cross
+:- FileScan parquet [a#1]
++- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+   +- Subquery subquery#5, [id=#23]
+      +- FileScan parquet [b#2]
+"""
+    assert pg.violations_for("x", scalar) == []
 
 
 def test_parser_rejects_large_limits():

@@ -19,13 +19,17 @@ kill 100 TB plans:
   limit/spine, catastrophic when it is data-sized.
 
 Boundedness is decided structurally from the plan tree, not by name:
-the BNLJ build-side subtree must contain a zero-key HashAggregate /
-SortAggregate (1 row by construction), a GlobalLimit/TakeOrdered with a
-small literal, a LocalTableScan (driver-side literal rows), or a small
-literal Range. Everything else needs an entry in ``ALLOWLIST`` naming
-the query and the boundedness argument — the documented-bounded cases
-the round-6 verdict audited (e.g. Theil-Sen's calendar-bounded spine
-pair join).
+walking down from the BNLJ build-side root, a node is bounded iff it
+is itself output-capping (zero-key HashAggregate/SortAggregate → 1
+row, GlobalLimit/TakeOrdered with a small literal, LocalTableScan,
+scalar Subquery, small literal Range) or ALL of its children are — so
+a bounded sibling can never mask a data-sized branch. Driver-built
+frames (``Scan ExistingRDD``) are additionally row-count-probed
+(``existing_rdd_violations``): the one thing the gate executes is a
+count of each LogicalRDD leaf, failing any over the broadcast bound.
+Everything else needs an entry in ``ALLOWLIST`` naming the query and
+the boundedness argument — the documented-bounded cases the round-6
+verdict audited (e.g. Theil-Sen's calendar-bounded spine pair join).
 
 Run standalone for a report: ``python tools/plan_gate.py [sf_dir]``.
 ``tests/test_plan_gate.py`` imports ``violations_for`` and fails the
@@ -87,22 +91,18 @@ ALLOWLIST: dict[str, str] = {
     ),
 }
 
-#: substrings that prove a build-side subtree is bounded (≤ a handful
-#: of rows by construction)
-_BOUNDED_MARKERS = (
-    re.compile(r"HashAggregate\(keys=\[\]"),  # global agg → 1 row
-    re.compile(r"SortAggregate\(key=\[\]"),
-    re.compile(r"ObjectHashAggregate\(keys=\[\]"),
-    re.compile(r"LocalTableScan"),  # driver-side literal rows
-    # createDataFrame over local literal rows plans as Scan
-    # ExistingRDD; nothing in this package parallelizes a data-sized
-    # RDD (DataFrame-first discipline), so ExistingRDD ⇒ driver-built
-    # literal frame
-    re.compile(r"Scan ExistingRDD"),
-    re.compile(r"Subquery|ReusedSubquery"),
+#: node-body patterns that bound a subtree REGARDLESS of input size
+#: (anchored at the node start — an inline mention elsewhere in a
+#: node's detail text proves nothing about that node's cardinality)
+_ZERO_KEY_AGG_RE = re.compile(
+    r"^(?:HashAggregate\(keys=\[\]|SortAggregate\(key=\[\]"
+    r"|ObjectHashAggregate\(keys=\[\])"
 )
-_LIMIT_RE = re.compile(r"GlobalLimit (\d+)|TakeOrderedAndProject\(limit=(\d+)")
-_RANGE_RE = re.compile(r"Range \((\d+), (\d+)")
+_LIMIT_RE = re.compile(
+    r"^(?:GlobalLimit (\d+)|TakeOrderedAndProject\(limit=(\d+)"
+    r"|CollectLimit (\d+))"
+)
+_RANGE_RE = re.compile(r"^Range \((\d+), (\d+)")
 _MAX_BOUNDED_ROWS = 100_000  # a 100k-row broadcast build side is fine
 
 
@@ -154,18 +154,39 @@ def _children(nodes: list[tuple[int, str]], i: int) -> list[int]:
     return kids
 
 
-def _is_bounded(subtree: list[str]) -> bool:
-    text = "\n".join(subtree)
-    if any(p.search(text) for p in _BOUNDED_MARKERS):
+def _bounded_node(nodes: list[tuple[int, str]], i: int) -> bool:
+    """True iff the subtree rooted at ``nodes[i]`` is provably bounded.
+
+    Structural recursion (round-8 hardening): a bounding node caps its
+    OWN output regardless of input size (zero-key aggregate → 1 row,
+    small literal limit/range, driver-side literal scan, scalar
+    subquery → 1 row by definition); any other node is bounded only if
+    ALL of its children are. The previous anywhere-in-text marker scan
+    let a bounded sibling (or an inline ``Subquery`` mention in a
+    filter condition) mask a data-sized branch — a gate false negative.
+    ``Scan ExistingRDD`` counts as bounding here because every
+    driver-built frame is row-count-probed separately
+    (``existing_rdd_violations``); the probe, not discipline, is now
+    the proof.
+    """
+    body = nodes[i][1]
+    if _ZERO_KEY_AGG_RE.match(body):
         return True
-    for m in _LIMIT_RE.finditer(text):
-        n = int(m.group(1) or m.group(2))
-        if n <= _MAX_BOUNDED_ROWS:
-            return True
-    for m in _RANGE_RE.finditer(text):
-        if int(m.group(2)) - int(m.group(1)) <= _MAX_BOUNDED_ROWS:
-            return True
-    return False
+    if body.startswith(("LocalTableScan", "Scan ExistingRDD")):
+        return True
+    if body.startswith(("Subquery", "ReusedSubquery")):
+        return True  # scalar subquery: exactly one row by definition
+    m = _LIMIT_RE.match(body)
+    if m:
+        n = int(next(g for g in m.groups() if g is not None))
+        return n <= _MAX_BOUNDED_ROWS
+    m = _RANGE_RE.match(body)
+    if m:
+        return int(m.group(2)) - int(m.group(1)) <= _MAX_BOUNDED_ROWS
+    kids = _children(nodes, i)
+    if not kids:
+        return False  # unknown leaf (FileScan, ReusedExchange, ...)
+    return all(_bounded_node(nodes, k) for k in kids)
 
 
 def violations_for(name: str, plan: str) -> list[str]:
@@ -181,16 +202,19 @@ def violations_for(name: str, plan: str) -> list[str]:
             continue
         kids = _children(nodes, i)
         if len(kids) != 2:
-            # ReusedExchange flattening etc. — be conservative
-            build = [b for _, b in nodes[i:]]
+            # ReusedExchange flattening etc. — judge the whole BNLJ
+            # subtree (NOT nodes[i:], which would scan past the join
+            # into unrelated plan sections)
+            build_idx = i
         elif "BuildLeft" in body:
-            build = _subtree(nodes, kids[0])
+            build_idx = kids[0]
         else:  # BuildRight (the default)
-            build = _subtree(nodes, kids[1])
-        if _is_bounded(build):
+            build_idx = kids[1]
+        if build_idx != i and _bounded_node(nodes, build_idx):
             continue
         if name in ALLOWLIST:
             continue
+        build = _subtree(nodes, build_idx)
         detail = next(
             (
                 b
@@ -204,6 +228,33 @@ def violations_for(name: str, plan: str) -> list[str]:
             + detail[:120]
         )
     return bad
+
+
+def existing_rdd_violations(df, bound: int = _MAX_BOUNDED_ROWS) -> list[str]:
+    """Row-count probe of every driver-built frame in a query's plan.
+
+    ``spark.createDataFrame(local_rows)`` plans as ``Scan ExistingRDD``
+    (logical ``LogicalRDD``); the plan text carries no cardinality, so
+    ``_bounded_node`` trusts it. This probe makes that trust
+    mechanical: count each LogicalRDD leaf and flag any that exceeds
+    the broadcast bound. Counting a driver-parallelized literal RDD is
+    a trivial job (the only execution the gate performs, and only on
+    plans that actually embed a driver-built frame).
+    """
+    out: list[str] = []
+    jplan = df._jdf.queryExecution().analyzed()
+    leaves = jplan.collectLeaves()
+    for idx in range(leaves.size()):
+        leaf = leaves.apply(idx)
+        if leaf.getClass().getSimpleName() != "LogicalRDD":
+            continue
+        cnt = leaf.rdd().count()
+        if cnt > bound:
+            out.append(
+                f"driver-built frame (LogicalRDD) has {cnt} rows "
+                f"> {bound} broadcast bound"
+            )
+    return out
 
 
 def gate_registry(sf_dir: str, only=None, verbose=True):
@@ -224,11 +275,14 @@ def gate_registry(sf_dir: str, only=None, verbose=True):
     names = [n for n in registry if not only or n in only]
     for k, qname in enumerate(names):
         try:
-            plan = simple_plan(registry[qname](spark, sf_dir))
+            df = registry[qname](spark, sf_dir)
+            plan = simple_plan(df)
         except Exception as exc:  # plan build crash is a violation too
             violations[qname] = [f"plan build failed: {exc!r:.200}"]
             continue
         bad = violations_for(qname, plan)
+        if "ExistingRDD" in plan:
+            bad += existing_rdd_violations(df)
         if bad:
             violations[qname] = bad
         if qname in ALLOWLIST and "BroadcastNestedLoopJoin" in plan:

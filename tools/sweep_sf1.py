@@ -115,35 +115,43 @@ def main() -> None:
 
 
 def _remeasure_isolated(sf_dir: str, names: list[str]) -> dict[str, float]:
-    """Re-run the tail queries in a fresh subprocess JVM, one sweep
-    process at a time — distinguishes a real plan regression from VM
-    noise (round 6: 81 s isolated vs 212 s in-sweep on identical
-    code). The subprocess uses --only= mode of this same script."""
+    """Re-run each tail query in its OWN fresh subprocess JVM (one
+    ``--only=<name>`` subprocess per query, round-8 fix) —
+    distinguishes a real plan regression from VM noise (round 6: 81 s
+    isolated vs 212 s in-sweep on identical code). A single shared
+    re-measure JVM would let earlier queries' cache/GC pressure bleed
+    into later ones, which is exactly what 'isolated' must exclude."""
     import os
     import subprocess
 
     iso_out = "/tmp/sweep_tail_isolated.json"
-    try:
-        os.remove(iso_out)
-    except OSError:
-        pass
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.abspath(__file__),
-            sf_dir,
-            iso_out,
-            "--only=" + ",".join(names),
-        ],
-        timeout=3600,
-    )
-    if proc.returncode != 0:
-        print(f"isolated re-measure exited {proc.returncode}", flush=True)
-    try:
-        with open(iso_out) as f:
-            return json.load(f).get("times", {})
-    except (OSError, ValueError):
-        return {}
+    merged: dict[str, float] = {}
+    for name in names:
+        try:
+            os.remove(iso_out)
+        except OSError:
+            pass
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                sf_dir,
+                iso_out,
+                f"--only={name}",
+            ],
+            timeout=3600,
+        )
+        if proc.returncode != 0:
+            print(
+                f"isolated re-measure of {name} exited {proc.returncode}",
+                flush=True,
+            )
+        try:
+            with open(iso_out) as f:
+                merged.update(json.load(f).get("times", {}))
+        except (OSError, ValueError):
+            pass
+    return merged
 
 
 def _run_only(sf_dir: str, out: str, names: list[str]) -> None:
