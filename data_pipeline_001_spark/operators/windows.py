@@ -251,3 +251,82 @@ def weighted_sample_per_group(
         n_salts=n_salts,
         rank_col=rank_col,
     )
+
+
+# ---------------------------------------------------------------------
+# Gap-based sessionization as mergeable SPANS (round-8): the batch
+# registry query (plans/queries.window_sessionization) and the
+# streaming incremental sink (streaming/stream_pipeline.
+# session_stream_sink) share these verbatim — the stream/batch parity
+# test asserts their rollups are row-for-row equal.
+# ---------------------------------------------------------------------
+
+
+def unit_session_spans(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One zero-length span per event: (user, span_start=span_end=ts,
+    n_events=1). The degenerate input to ``coalesce_session_spans`` —
+    sessionizing unit spans is exactly the lag-gap rule over raw
+    events."""
+    return events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("span_start"),
+        F.col(ts_col).alias("span_end"),
+        F.lit(1).cast("long").alias("n_events"),
+    )
+
+
+def coalesce_session_spans(
+    spans: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Interval-merge session spans per user: a span whose start is
+    MORE than ``gap_minutes`` after the running max end of its
+    predecessors opens a new session (strict >, matching the batch
+    lag-gap rule ``ts - LAG(ts) > INTERVAL 30 MINUTE``); anything
+    closer merges, summing event counts.
+
+    This is single-linkage clustering on the time line, so it is
+    ASSOCIATIVE: coalescing already-coalesced spans together with new
+    unit spans yields the same sessions as one pass over all raw
+    events — the property that lets a streaming sink maintain the
+    session table incrementally (late or out-of-order events included)
+    with bounded state (one row per session, not per event).
+
+    Scale: one window pass partitioned by user — the sort is local to
+    each user's spans, never global. Precondition: caller deduplicates
+    events (a replayed event inflates n_events; merging cannot undo
+    it)."""
+    w = Window.partitionBy("user_id").orderBy("span_start", "span_end")
+    prev_max_end = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gap = F.expr(f"interval {int(gap_minutes)} minutes")
+    new_flag = F.when(
+        F.col("span_start") - prev_max_end > gap, 1
+    ).otherwise(0)
+    sid = F.sum(new_flag).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spans.withColumn("_sid", sid)
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            F.max("span_end").alias("span_end"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .drop("_sid")
+    )
+
+
+def sessionization_rollup(spans: DataFrame) -> DataFrame:
+    """Per-user session/event counts over a session-span table — the
+    SELECT the batch registry query and the streaming parity test both
+    run (column contract: user_id, n_sessions, n_events)."""
+    return spans.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )

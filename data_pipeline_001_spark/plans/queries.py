@@ -173,7 +173,24 @@ def q05(spark, sf_dir):
     broadcast) → 4.48 s. A lineitem pre-agg per orderkey (q03's
     rewrite) was measured SLOWER here at both sf0.1 and sf10
     (5.46 s) — with no lineitem filter the pre-agg shuffles the whole
-    fact for a 4× group reduction the map-side partial already gets."""
+    fact for a 4× group reduction the map-side partial already gets.
+
+    Round-8 sf30 decomposition (tools/decompose_q05.py; full table in
+    BENCH_NOTES "Round 8"): scan floor 0.6 s, dim chain 0.5 s, orders
+    join +1.9 s, lineitem join + rollup +15.7 s — and of that, the
+    bare exchange of the projected fact (repartition-only twin) is
+    9.9 s, i.e. ~60% of the query is shuffle materialization that any
+    shuffle-join strategy pays. Measured-and-rejected at sf30: per-
+    order pre-agg 21.4 s (still slower), forced broadcast of ord_asia
+    9.0 s (cheapest, but the build side grows with the corpus — the
+    documented round-2 scale-killer, still rejected). Adopted instead:
+    the session factory now prefers shuffled-HASH join where stats
+    prove the build side (canBuildLocalHashMap), which skips the
+    180M-row sort: −20% interleaved (17.0 → 13.7 s), other headliners
+    flat. The residual vs DuckDB (~9×) is the exchange itself — the
+    cost a single-node shared-memory hash join never pays, and the
+    bucketed layout (q05_nation_revenue_bucketed) removes by
+    construction."""
     t = load_tables(spark, sf_dir)
     nation_asia = (
         t["nation"]
@@ -928,22 +945,25 @@ def window_dense_rank(spark, sf_dir):
     """,
 )
 def window_sessionization(spark, sf_dir):
-    """Session windows in batch: lag-gap flag + per-user session count
-    (streaming variant uses session_window in streaming/)."""
-    t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = t["events"].withColumn(
-        "new_session",
-        # interval comparison, not epoch-double casts — resolves for both
-        # TIMESTAMP and TIMESTAMP_NTZ inputs
-        F.when(
-            F.col("ts") - F.lag("ts").over(w) > F.expr("interval 30 minutes"),
-            1,
-        ).otherwise(0),
+    """Session windows in batch, factored through the mergeable
+    session-SPAN operators (round-8) so the streaming incremental sink
+    (streaming/stream_pipeline.session_stream_sink) runs the identical
+    code — unit spans per event, interval-merge with the strict
+    ``> 30 minutes`` gap rule (same sessions as the lag-gap flag), and
+    the shared per-user rollup. Stream/batch parity is asserted
+    row-for-row in tests/test_streaming.py. One window pass + two
+    aggregations, all partitioned by user_id — Catalyst reuses the
+    single user_id exchange, so the shuffle count matches the old
+    lag-flag form."""
+    from data_pipeline_001_spark.operators.windows import (
+        coalesce_session_spans,
+        sessionization_rollup,
+        unit_session_spans,
     )
-    return gaps.groupBy("user_id").agg(
-        (F.sum("new_session") + 1).cast("long").alias("n_sessions"),
-        F.count("*").alias("n_events"),
+
+    t = load_tables(spark, sf_dir)
+    return sessionization_rollup(
+        coalesce_session_spans(unit_session_spans(t["events"]))
     )
 
 

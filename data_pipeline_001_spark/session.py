@@ -67,6 +67,19 @@ def get_spark(
         # the demotion to a shuffle join). Genuine dimensions
         # (region/nation/customer/part slices) stay well under 24 MB.
         .config("spark.sql.autoBroadcastJoinThreshold", str(24 * 1024 * 1024))
+        # Prefer shuffled-HASH join over sort-merge WHERE STATS PROVE
+        # the build side fits per-partition memory (Catalyst's
+        # canBuildLocalHashMap: size < threshold x shuffle partitions,
+        # AND 3x smaller than the probe side — otherwise it still
+        # picks SMJ, so the fallback is stats-driven, not hoped-for).
+        # Round-8 q05 sf30 decomposition: the fact-side exchange is
+        # the irreducible cost (9.9 s of 17 s), but SMJ then SORTS
+        # 180M exchanged rows; hashing the 20x-smaller build side
+        # instead measured -20% interleaved (17.0 -> 13.7 s) with the
+        # other headliners flat (+-4%). At 100 TB the same stats gate
+        # demotes to SMJ when the build side outgrows
+        # threshold x partitions — exactly the honest behavior.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

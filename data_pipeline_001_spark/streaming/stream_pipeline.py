@@ -423,3 +423,80 @@ def engagement_stream_sink(table):
         merge(batch_df.dropDuplicates(["user_id", "day"]), batch_id)
 
     return handle
+
+
+# ---------------------------------------------------------------------
+# Streaming sessionization (round-8) — the second stream/batch parity
+# analytic after round-7's engagement rollup. Unlike session_window
+# (which finalizes sessions at the watermark and drops trailing ones
+# at end-of-stream), this sink maintains the SESSION-SPAN table itself
+# as the state: interval-merging is associative (operators/windows.
+# coalesce_session_spans), so merging each micro-batch's unit spans
+# into the maintained spans yields exactly the batch sessionization of
+# all events seen so far — late and out-of-order events included, no
+# watermark loss, state bounded by sessions rather than events.
+# ---------------------------------------------------------------------
+
+
+def session_events_stream(
+    stream: DataFrame, ts_col: str = "ts", watermark: str = "1 day"
+) -> DataFrame:
+    """Projection feeding the session sink: watermarked raw
+    (user_id, ts) events. No stream state — the maintained
+    VersionedTable IS the state (same design as the engagement
+    rollup's pairs stream). Precondition: the source delivers each
+    event at most once across micro-batches (compose with
+    ``deduplicated_stream`` for at-least-once sources); replayed whole
+    BATCHES are handled exactly-once by the sink's manifest check."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.col(ts_col).alias("ts"))
+    )
+
+
+def session_stream_sink(table, gap_minutes: int = 30):
+    """foreachBatch handler maintaining the per-user session-span
+    table in a VersionedTable: per batch, rewrite ONLY the touched
+    users' spans — existing spans of users present in the batch are
+    re-coalesced together with the batch's unit spans (associativity
+    makes that equal to sessionizing all raw events at once), while
+    untouched users' rows carry over. Exactly-once under foreachBatch
+    replays via the batch_id-on-the-manifest check, same as
+    ``versioned_stream_merge_sink``.
+
+    Scale: the rewrite is proportional to the CURRENT table size per
+    batch (one version per batch). A 100 TB deployment bounds that by
+    partitioning the span table on a user-hash bucket and rewriting
+    only buckets containing touched users — the merge math is
+    unchanged; this single-file variant keeps the test surface
+    small."""
+    from data_pipeline_001_spark.operators.windows import (
+        coalesce_session_spans,
+        unit_session_spans,
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        committed = {
+            m.get("batch_id") for m in table.history() if "batch_id" in m
+        }
+        if batch_id in committed:
+            return
+        unit = unit_session_spans(batch_df)
+        if table.current_version() == 0:
+            spans = coalesce_session_spans(unit, gap_minutes)
+        else:
+            cur = table.read()
+            touched = cur.join(
+                unit.select("user_id").distinct(), "user_id", "left_semi"
+            ).unionByName(unit)
+            kept = cur.join(
+                unit.select("user_id").distinct(), "user_id", "left_anti"
+            )
+            spans = coalesce_session_spans(touched, gap_minutes).unionByName(
+                kept
+            )
+        rel = table._write_data(spans)
+        table._commit([rel], "stream-sessionize", extra={"batch_id": batch_id})
+
+    return handle

@@ -788,3 +788,70 @@ def test_engagement_stream_batch_parity(spark, tables, stream_dir, tmp_path):
     got = engagement_rollup(ud).collect()
     want = events_dau_wau_mau(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_sessionization_stream_batch_parity(spark, tables, tmp_path):
+    """Round-8: the gap-sessionization rollup maintained INCREMENTALLY
+    by a streaming sink — micro-batch unit spans interval-merged into
+    a VersionedTable of session spans (associative merge, so late and
+    out-of-order events land in the right session with no watermark
+    loss) — must equal the batch registry query on the same events
+    fixture, row for row, sharing the factored operators verbatim."""
+    from data_pipeline_001_spark.operators.windows import (
+        sessionization_rollup,
+    )
+    from data_pipeline_001_spark.plans.queries import window_sessionization
+    from data_pipeline_001_spark.sources.versioned_table import VersionedTable
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        session_events_stream,
+        session_stream_sink,
+    )
+
+    # multiple source files -> multiple micro-batches, so the
+    # incremental re-coalesce path (merge new spans into existing
+    # users' sessions) actually runs; repartition splits users across
+    # batches ARBITRARILY, which is exactly the out-of-order case the
+    # associative merge must absorb
+    src = str(tmp_path / "src")
+    tables["events"].repartition(4).write.parquet(src)
+    vt = VersionedTable(spark, str(tmp_path / "spans"))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    handler = session_stream_sink(vt, gap_minutes=30)
+    q = (
+        session_events_stream(stream)
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    committed = [m for m in vt.history() if "batch_id" in m]
+    assert len(committed) >= 2, "want multiple micro-batches merged"
+
+    # exactly-once: replaying an already-committed batch_id is a no-op
+    v_before = vt.current_version()
+    handler(vt.read().select("user_id", F.col("span_start").alias("ts")).limit(1),
+            committed[0]["batch_id"])
+    assert vt.current_version() == v_before
+
+    # spans are genuinely coalesced: no two spans of one user within
+    # the gap (otherwise they would be one session)
+    spans = vt.read().collect()
+    by_user: dict = {}
+    for r in spans:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    from datetime import timedelta
+
+    for _u, ss in by_user.items():
+        ss.sort()
+        for (s1, e1), (s2, _e2) in zip(ss, ss[1:]):
+            assert s2 - e1 > timedelta(minutes=30)
+
+    got = sessionization_rollup(vt.read()).collect()
+    want = window_sessionization(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
