@@ -41,6 +41,7 @@ def _registry():
     from data_pipeline_001_spark.plans import queries_geo  # noqa: F401
     from data_pipeline_001_spark.plans import queries_mining  # noqa: F401
     from data_pipeline_001_spark.plans import queries_spc  # noqa: F401
+    from data_pipeline_001_spark.plans import queries_r8  # noqa: F401
     # (time_holt_winters / join_asof_nearest live in queries_forecast /
     # queries_geo, already imported above)
 
@@ -171,6 +172,19 @@ _R6_BACKLOG = (
     "text_collocations_llr",
 )
 
+#: the 8 round-8 additions (robust stats, concentration/RFM, event
+#: cadence + session outcomes, corpus-law text stats), all
+#: oracle-backed. The ledger entered round 8 fully closed, so these
+#: are the only entries owing a hash row — they lead the driver's
+#: sample; the pin keeps their order deterministic behind the (all-
+#: green) earlier pins.
+_R8_BACKLOG = (
+    "stats_robust_zscore", "agg_revenue_concentration",
+    "agg_customer_rfm", "events_interarrival",
+    "events_session_conversion", "events_new_vs_returning",
+    "text_zipf_slope", "text_hapax_ratio",
+)
+
 
 def _coverage_order(names, oracles=None) -> list[str]:
     """Queries with no driver CORRECTNESS row from any past round come
@@ -216,15 +230,18 @@ def _coverage_order(names, oracles=None) -> list[str]:
     r4 = set(_R4_BACKLOG)
     r5 = {n: i for i, n in enumerate(_R5_BACKLOG)}
     r6 = {n: i for i, n in enumerate(_R6_BACKLOG)}
+    r8 = {n: i for i, n in enumerate(_R8_BACKLOG)}
 
     def rank(n: str):
         # the round-5 pinned backlog precedes everything, in its own
         # declared order (never-sampled entries first); the round-6
-        # pin queues immediately behind it
+        # pin queues immediately behind it, then round-8's
         if n in r5:
-            return (-2, r5[n])
+            return (-3, r5[n])
         if n in r6:
-            return (-1, r6[n])
+            return (-2, r6[n])
+        if n in r8:
+            return (-1, r8[n])
         if n in r4 and n in oracles:
             return (0, 0)
         if n in oracles and n in seen:
