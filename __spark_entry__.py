@@ -41,7 +41,6 @@ def _registry():
     from data_pipeline_001_spark.plans import queries_geo  # noqa: F401
     from data_pipeline_001_spark.plans import queries_mining  # noqa: F401
     from data_pipeline_001_spark.plans import queries_spc  # noqa: F401
-    from data_pipeline_001_spark.plans import queries_r8  # noqa: F401
     # (time_holt_winters / join_asof_nearest live in queries_forecast /
     # queries_geo, already imported above)
 
@@ -172,18 +171,13 @@ _R6_BACKLOG = (
     "text_collocations_llr",
 )
 
-#: the 8 round-8 additions (robust stats, concentration/RFM, event
-#: cadence + session outcomes, corpus-law text stats), all
-#: oracle-backed. The ledger entered round 8 fully closed, so these
-#: are the only entries owing a hash row — they lead the driver's
-#: sample; the pin keeps their order deterministic behind the (all-
-#: green) earlier pins.
-_R8_BACKLOG = (
-    "stats_robust_zscore", "agg_revenue_concentration",
-    "agg_customer_rfm", "events_interarrival",
-    "events_session_conversion", "events_new_vs_returning",
-    "text_zipf_slope", "text_hapax_ratio",
-)
+#: round 8 adds ONE entry: the daily retention triangle recovered from
+#: a years-silent name collision (queries_agg2.retention_cohorts was
+#: shadowed by queries_mlprep's weekly matrix registering the same
+#: ``agg_retention_cohorts`` name; the @query decorator now rejects
+#: duplicates). The ledger entered round 8 fully closed, so this is
+#: the only entry owing a hash row — it leads the driver's sample.
+_R8_BACKLOG = ("agg_retention_daily",)
 
 
 def _coverage_order(names, oracles=None) -> list[str]:

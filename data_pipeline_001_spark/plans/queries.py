@@ -30,6 +30,21 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: SparkQuery) -> SparkQuery:
+        # a silent overwrite would swap an already-ledgered query's
+        # implementation AND oracle for a same-named newcomer — the
+        # driver's CORRECTNESS history would then describe code that
+        # no longer exists (round-8 near-miss: a new wave re-registered
+        # three existing names without any error). Same-function
+        # re-registration stays legal so module re-imports are benign.
+        prev = REGISTRY.get(name)
+        if prev is not None and (
+            prev.__module__,
+            prev.__qualname__,
+        ) != (fn.__module__, fn.__qualname__):
+            raise ValueError(
+                f"duplicate query name {name!r}: already registered by "
+                f"{prev.__module__}.{prev.__qualname__}"
+            )
         REGISTRY[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

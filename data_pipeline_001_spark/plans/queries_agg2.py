@@ -282,7 +282,7 @@ def agg_salted(spark, sf_dir):
 
 
 @query(
-    "agg_retention_cohorts",
+    "agg_retention_daily",
     """
     WITH firsts AS (
       SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
@@ -298,6 +298,14 @@ def retention_cohorts(spark, sf_dir):
     """Cohort retention triangle: users bucketed by first-seen day,
     distinct-active counts per (cohort, day offset) — the standard
     product-analytics rollup.
+
+    Round-8 recovery: this query originally registered as
+    ``agg_retention_cohorts``; when queries_mlprep later registered
+    the weekly retention matrix under the same name, the registry's
+    silent last-writer-wins overwrite left this daily triangle DEAD
+    (unreachable) for several rounds. The ``query`` decorator now
+    raises on duplicate names; this is the daily-granularity entry,
+    renamed.
 
     Scale shape: the first-seen aggregate and the enrichment join both
     key on user_id, so the join is co-partitioned off one shuffle (AQE

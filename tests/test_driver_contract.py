@@ -37,3 +37,24 @@ def test_queries_run_at_other_sf(spark):
     qs = mod.queries()
     for name in ["q01_pricing_summary", "dedup_exact_fingerprint", "time_spine_hourly"]:
         assert qs[name](spark, "/root/testdata/sf0.001").count() > 0
+
+
+def test_query_decorator_rejects_duplicate_names():
+    """A same-named re-registration by a DIFFERENT function must fail
+    loudly: a silent overwrite swaps a ledgered query's implementation
+    and oracle out from under the driver's CORRECTNESS history
+    (round-8 near-miss — three existing names were re-registered by a
+    new module with no error)."""
+    import pytest
+
+    from data_pipeline_001_spark.plans.queries import REGISTRY, query
+
+    assert "q01_pricing_summary" in REGISTRY
+    with pytest.raises(ValueError, match="duplicate query name"):
+        @query("q01_pricing_summary")
+        def impostor(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+
+    # same-function re-registration (module re-import) stays benign
+    fn = REGISTRY["q01_pricing_summary"]
+    assert query("q01_pricing_summary")(fn) is fn
