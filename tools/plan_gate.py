@@ -230,17 +230,46 @@ def violations_for(name: str, plan: str) -> list[str]:
     return bad
 
 
+def _rdd_root_classes(jrdd) -> set[str]:
+    """Class names of the RDD lineage's ROOT nodes (BFS over
+    dependencies). The root identifies provenance: a
+    ``ParallelCollectionRDD`` root means the data was parallelized
+    FROM THE DRIVER (createDataFrame over local rows); a
+    ``LocalCheckpointRDD`` root is a distributed executor-local
+    materialization (df.localCheckpoint) and is data-sized by design.
+    """
+    roots: set[str] = set()
+    stack = [jrdd]
+    seen = set()
+    while stack:
+        cur = stack.pop()
+        if cur.id() in seen:
+            continue
+        seen.add(cur.id())
+        deps = cur.dependencies()
+        if deps.size() == 0:
+            roots.add(cur.getClass().getSimpleName())
+            continue
+        for i in range(deps.size()):
+            stack.append(deps.apply(i).rdd())
+    return roots
+
+
 def existing_rdd_violations(df, bound: int = _MAX_BOUNDED_ROWS) -> list[str]:
-    """Row-count probe of every driver-built frame in a query's plan.
+    """Row-count probe of every DRIVER-BUILT frame in a query's plan.
 
     ``spark.createDataFrame(local_rows)`` plans as ``Scan ExistingRDD``
     (logical ``LogicalRDD``); the plan text carries no cardinality, so
     ``_bounded_node`` trusts it. This probe makes that trust
-    mechanical: count each LogicalRDD leaf and flag any that exceeds
-    the broadcast bound. Counting a driver-parallelized literal RDD is
-    a trivial job (the only execution the gate performs, and only on
-    plans that actually embed a driver-built frame).
-    """
+    mechanical: for each LogicalRDD leaf whose lineage ROOT is a
+    ParallelCollectionRDD — i.e. the rows actually came from the
+    driver — count it and flag any over the broadcast bound. Leaves
+    rooted in a LocalCheckpointRDD are DISTRIBUTED materializations
+    (executor-local, legitimate at any size — e.g. the fuzzy join's
+    variant-table checkpoint, 270k rows at sf1) and are exempt: they
+    never sat on the driver. Counting a driver-parallelized literal
+    RDD is a trivial job (the only execution the gate performs, and
+    only on plans that actually embed a driver-built frame)."""
     out: list[str] = []
     jplan = df._jdf.queryExecution().analyzed()
     leaves = jplan.collectLeaves()
@@ -248,11 +277,14 @@ def existing_rdd_violations(df, bound: int = _MAX_BOUNDED_ROWS) -> list[str]:
         leaf = leaves.apply(idx)
         if leaf.getClass().getSimpleName() != "LogicalRDD":
             continue
+        roots = _rdd_root_classes(leaf.rdd())
+        if not any("ParallelCollection" in r for r in roots):
+            continue  # distributed provenance (localCheckpoint etc.)
         cnt = leaf.rdd().count()
         if cnt > bound:
             out.append(
-                f"driver-built frame (LogicalRDD) has {cnt} rows "
-                f"> {bound} broadcast bound"
+                f"driver-built frame (LogicalRDD, parallelized from "
+                f"the driver) has {cnt} rows > {bound} broadcast bound"
             )
     return out
 
