@@ -89,6 +89,16 @@ def ensure_bucketed(
             shutil.rmtree(os.path.join(wh, names[tbl]), ignore_errors=True)
             (
                 t[tbl]
+                # ONE file per bucket: without this, every write task
+                # emits a file for every bucket it holds rows for
+                # (32 tasks x 128 buckets = 4096 ~1 MB files at sf30),
+                # and the resulting open/footer/tiny-row-group overhead
+                # made the bucketed SCAN 3-7x slower than the plain
+                # parquet scan — 35% of bucketed q05 before any join
+                # (round-8 decomposition). repartition on the bucket
+                # key uses the same murmur3 HashPartitioning bucketBy
+                # does, so each task receives exactly one bucket.
+                .repartition(buckets, F.col(key))
                 .write.mode("overwrite")
                 .bucketBy(buckets, key)
                 .sortBy(key)
