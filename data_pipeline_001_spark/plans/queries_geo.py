@@ -547,132 +547,177 @@ def events_markov_attribution(spark, sf_dir):
     are redirected to 'null' — the data-driven alternative to the
     first/last-touch heuristics of ``events_attribution_touch``.
 
-    Scale shape: ONE window pass builds journey transitions; after
-    the (src, dst) count shuffle the chain is a <=8x8 matrix however
-    large the corpus, and each of the 5 chains x 12 power
-    steps is a bounded join+aggregate with per-step round-8 (the
-    PageRank/Markov-stationary discipline). Removal effects are
-    integer-scaled before normalization so the shares come from one
-    exact integer sum, not an order-dependent float sum."""
+    Scale shape (round-8 rework): ONE lag/lead window over user_id
+    derives every oracle edge class — within a user's ordered stream a
+    journey's rows are contiguous and its terminating purchase is the
+    last row, so first/mid/last/touchless edges are decidable from the
+    neighboring event types alone (no journey numbering, no jmeta
+    join, no union re-derivation). After the (src, dst) count shuffle
+    the chain is a <=7x7 matrix however large the corpus, so it is
+    collapsed to a SINGLE ROW (zero-key collect_list -> map) and all
+    5 chains x 12 power steps run as ONE higher-order-function
+    expression with per-step round-8 (the PageRank/Markov-stationary
+    rounding discipline). The previous form expressed each power step
+    as a join against the transition frame, re-deriving the events
+    lineage per lazy branch: 108 s isolated at sf1 vs ~14 s for this
+    shape (6.5 s plan construction + ~5 s first-scan execution) (sweep_sf1, round 8). Removal effects are integer-scaled
+    before normalization so the shares come from one exact integer
+    sum, not an order-dependent float sum."""
     t = load_tables(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    seq = (
+    # --- edge derivation: ONE window over user_id ---------------------
+    #   first touch    <=> touch whose prev is a purchase or nothing
+    #   mid edge       <=> touch whose next is a touch
+    #   last touch     <=> touch whose next is a purchase (-> conv) or
+    #                      nothing (-> null: the trailing open journey)
+    #   touchless conv <=> purchase whose prev is a purchase or nothing
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
         t["events"]
         .where(F.col("user_id").isNotNull())
         .select(
-            "user_id",
             "event_type",
-            "ts",
-            "event_id",
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-                ).over(w),
-                F.lit(0),
-            ).alias("j"),
+            F.lag("event_type").over(w).alias("prv"),
+            F.lead("event_type").over(w).alias("nxt"),
         )
     )
-    jmeta = seq.groupBy("user_id", "j").agg(
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("conv")
-    )
-    wj = Window.partitionBy("user_id", "j").orderBy("ts", "event_id")
-    touches = seq.where(F.col("event_type") != "purchase").select(
-        "user_id",
-        "j",
-        "event_type",
-        F.row_number().over(wj).alias("r"),
-        F.count("*").over(Window.partitionBy("user_id", "j")).alias("nt"),
-        F.lead("event_type").over(wj).alias("nxt"),
-    )
-    first_edges = touches.where(F.col("r") == 1).select(
-        F.lit("start").alias("src"), F.col("event_type").alias("dst")
-    )
-    mid_edges = touches.where(F.col("nxt").isNotNull()).select(
-        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
-    )
-    last_edges = (
-        touches.where(F.col("r") == F.col("nt"))
-        .join(jmeta, ["user_id", "j"])
-        .select(
-            F.col("event_type").alias("src"),
-            F.when(F.col("conv") == 1, F.lit("conv"))
-            .otherwise(F.lit("null"))
-            .alias("dst"),
-        )
-    )
-    touchless = (
-        jmeta.where(F.col("conv") == 1)
-        .join(
-            touches.select("user_id", "j").distinct(),
-            ["user_id", "j"],
-            "left_anti",
-        )
-        .select(F.lit("start").alias("src"), F.lit("conv").alias("dst"))
-    )
-    raw = first_edges.unionAll(mid_edges).unionAll(last_edges).unionAll(
-        touchless
-    )
+    is_touch = F.col("event_type") != "purchase"
+    at_journey_start = F.col("prv").isNull() | (F.col("prv") == "purchase")
+
+    def edge(s, d):
+        return F.struct(s.alias("src"), d.alias("dst"))
+
+    raw = ev.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        is_touch & at_journey_start,
+                        edge(F.lit("start"), F.col("event_type")),
+                    ),
+                    F.when(
+                        is_touch,
+                        edge(
+                            F.col("event_type"),
+                            F.when(F.col("nxt").isNull(), F.lit("null"))
+                            .when(F.col("nxt") == "purchase", F.lit("conv"))
+                            .otherwise(F.col("nxt")),
+                        ),
+                    ),
+                    F.when(
+                        ~is_touch & at_journey_start,
+                        edge(F.lit("start"), F.lit("conv")),
+                    ),
+                ),
+                lambda e: e.isNotNull(),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     tcnt = raw.groupBy("src", "dst").agg(F.count("*").alias("n"))
     tot = tcnt.groupBy("src").agg(F.sum("n").alias("rt"))
-    absorb = spark.createDataFrame(
-        [("conv", "conv", 1.0), ("null", "null", 1.0)],
-        "src string, dst string, p double",
+    trans_full = tcnt.join(tot, "src").select(
+        "src", "dst", (F.col("n") / F.col("rt").cast("double")).alias("p")
     )
-    trans_full = (
-        tcnt.join(tot, "src")
-        .select("src", "dst", (F.col("n") / F.col("rt").cast("double")).alias("p"))
-        .unionByName(absorb)
+    # --- bounded-matrix localization ----------------------------------
+    # (src, dst) keys are drawn from {start} x channels x {conv, null}
+    # (7 states), so the whole transition table fits in ONE map cell
+    # of ONE row — a zero-key aggregate the plan gate proves bounded
+    mat = trans_full.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.concat_ws("|", "src", "dst").alias("k"),
+                    F.col("p").alias("v"),
+                )
+            )
+        ).alias("m")
     )
 
-    def absorbed_conv(trans):
-        pi = spark.createDataFrame(
-            [("start", 1.0)], "state string, pi double"
-        )
-        for _ in range(_MK_STEPS):
-            pi = (
-                trans.join(pi, trans["src"] == pi["state"])
-                .groupBy("dst")
-                .agg(F.round(F.sum(F.col("pi") * trans["p"]), 8).alias("pi"))
-                .select(F.col("dst").alias("state"), "pi")
-            )
-        return pi.where(F.col("state") == "conv").select(
-            F.coalesce(F.first("pi"), F.lit(0.0)).alias("pc")
-        )
+    states = ("start",) + _MK_CHANNELS + ("conv", "null")
+    conv_i = states.index("conv")
 
-    pf = absorbed_conv(trans_full).select(F.col("pc").alias("pf"))
-    rows = None
-    for c in _MK_CHANNELS:
-        tr_c = (
-            trans_full.where(F.col("src") != c)
-            .select(
-                "src",
-                F.when(F.col("dst") == c, F.lit("null"))
-                .otherwise(F.col("dst"))
-                .alias("dst"),
-                "p",
+    def p_full(src: str, dst: str):
+        # absorbing self-loops are structural, not data rows
+        if src in ("conv", "null"):
+            return F.lit(1.0) if dst == src else F.lit(0.0)
+        return F.coalesce(F.col("m")[f"{src}|{dst}"], F.lit(0.0))
+
+    def p_chain(tag: str, src: str, dst: str):
+        # removal chain: drop the removed state's outbound row,
+        # redirect its inbound mass to 'null' (oracle's trans_{tag})
+        if tag == "full" or src in ("conv", "null"):
+            return p_full(src, dst)
+        if src == tag or dst == tag:
+            return F.lit(0.0)
+        if dst == "null":
+            return p_full(src, "null") + p_full(src, tag)
+        return p_full(src, dst)
+
+    tags = ("full",) + _MK_CHANNELS
+    mats = mat.select(
+        *[
+            F.array(
+                *[
+                    F.array(*[p_chain(tag, si, sj) for sj in states])
+                    for si in states
+                ]
+            ).alias(f"M_{tag}")
+            for tag in tags
+        ]
+    )
+
+    # --- 12-step power iteration as ONE higher-order expression -------
+    # pi_k[j] = round(sum_i pi_{k-1}[i] * P[i][j], 8): an aggregate
+    # over a literal 12-step sequence whose accumulator is the 7-
+    # vector — constant-size expression tree, no per-step joins
+    def absorbed(tag: str):
+        M = F.col(f"M_{tag}")
+        init = F.array(F.lit(1.0), *[F.lit(0.0)] * (len(states) - 1))
+        idx = F.sequence(F.lit(0), F.lit(len(states) - 1))
+
+        def step(acc, _):
+            return F.transform(
+                idx,
+                lambda j: F.round(
+                    F.aggregate(
+                        idx,
+                        F.lit(0.0),
+                        lambda s, i: s
+                        + F.element_at(acc, i + 1)
+                        * F.element_at(F.element_at(M, i + 1), j + 1),
+                    ),
+                    8,
+                ),
             )
-            .groupBy("src", "dst")
-            .agg(F.sum("p").alias("p"))
-        )
-        row = (
-            absorbed_conv(tr_c)
-            .crossJoin(F.broadcast(pf))
-            .select(
-                F.lit(c).alias("channel"),
-                F.round(
-                    1000000 * (1 - F.col("pc") / F.col("pf"))
-                ).cast("long").alias("re_s"),
-                F.col("pf"),
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(_MK_STEPS)), init, step
+        )[conv_i]
+
+    fin = mats.select(
+        absorbed("full").alias("pf"),
+        *[absorbed(c).alias(f"pc_{c}") for c in _MK_CHANNELS],
+    )
+    per_channel = fin.select(
+        "pf",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("channel"),
+                        F.col(f"pc_{c}").alias("pc"),
+                    )
+                    for c in _MK_CHANNELS
+                ]
             )
-        )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows.select(
+        ).alias("x"),
+    ).select(
+        F.col("x.channel").alias("channel"),
+        F.round(1000000 * (1 - F.col("x.pc") / F.col("pf")))
+        .cast("long")
+        .alias("re_s"),
+        "pf",
+    )
+    return per_channel.select(
         "channel",
         F.round(F.col("re_s") / 1000000.0, 6).alias("removal_effect"),
         F.round(
