@@ -2338,17 +2338,24 @@ def text_trigram_coverage(spark, sf_dir):
     language-ID exploits); a flat profile flags mixed or corrupt
     shards. Trigram extraction is a codegen transform+explode (no
     UDF); the rank/coverage windows run on the bounded per-language
-    trigram-count table."""
+    trigram-count table.
+
+    lower(text) is hoisted into its own projection BEFORE the
+    transform lambda: inlined it is re-evaluated per trigram —
+    O(len²) per document, measured 40.7 s vs 17.9 s for the explode
+    at sf1. The hoist survives CollapseProject because the non-cheap
+    ``low`` is referenced twice (sequence bound + lambda body)."""
     t = load_tables(spark, sf_dir)
     tri = (
         t["documents"]
         .where(F.length("text") >= 3)
+        .select("lang", F.lower("text").alias("low"))
         .select(
             "lang",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
-                    " i -> substring(lower(text), i, 3))"
+                    "transform(sequence(1, greatest(length(low) - 2, 1)),"
+                    " i -> substring(low, i, 3))"
                 )
             ).alias("tg"),
         )
