@@ -728,39 +728,34 @@ def semantic_dedup(
             F.ceil(F.col("_csz") / F.lit(max_cluster_size)).cast("long"),
         ),
     ).otherwise(F.lit(0))
-    # unit-normalize ONCE per row before the pair join: cosine inside
-    # an n² join would recompute both norms per PAIR (~3× the per-pair
-    # array work — same hoist the ANN paths use). The norm itself is
-    # hoisted to its own column FIRST: referencing norm() inside the
-    # transform lambda would re-evaluate the O(d) aggregate per
-    # ELEMENT (Spark doesn't hoist lambda-invariant subexpressions out
-    # of higher-order functions), turning normalization O(d²) per row.
-    keyed = (
-        base.join(F.broadcast(sizes), "cluster_id")
-        .withColumn("_n", F.greatest(norm(F.col(vec_col)), F.lit(1e-12)))
-        .select(
-            id_col,
-            "cluster_id",
-            sub.cast("int").alias("_sub"),
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / F.col("_n")
-            ).alias("_u"),
-        )
+    # within-cluster exact cosine as a grouped BLAS matmul: the pair
+    # volume is bounded (Σ bucket² with bucket ≤ max_cluster_size),
+    # but evaluating a 64-term higher-order dot per PAIR runs
+    # interpreted (HOFs sit outside whole-stage codegen) — the
+    # earlier self-join shape spent its time there. Shipping each
+    # ≤2k-row bucket through Arrow once and letting NumPy compute the
+    # bucket's full similarity matrix is the shape SemDeDup itself
+    # runs (per-cluster matmul); each task's work stays hard-bounded
+    # by max_cluster_size² regardless of corpus size.
+    grouped = base.join(F.broadcast(sizes), "cluster_id").select(
+        id_col, "cluster_id", sub.cast("int").alias("_sub"), vec_col
     )
 
-    a = keyed.select(
-        F.col("cluster_id"), F.col("_sub"),
-        F.col(id_col).alias("id_a"), F.col("_u").alias("_ua"),
-    )
-    b = keyed.select(
-        F.col("cluster_id"), F.col("_sub"),
-        F.col(id_col).alias("id_b"), F.col("_u").alias("_ub"),
-    )
-    pairs = (
-        a.join(b, ["cluster_id", "_sub"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(dot(F.col("_ua"), F.col("_ub")) >= F.lit(threshold))
-        .select("id_a", "id_b")
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.maximum(norms, 1e-12)
+        ia, ib = np.where(np.triu(mat @ mat.T >= threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
+    pairs = grouped.groupBy("cluster_id", "_sub").applyInPandas(
+        bucket_pairs, "id_a long, id_b long"
     )
     comps = connected_components(pairs).select(
         F.col("doc_id").alias(id_col), F.col("cluster_id").alias("group_id")
