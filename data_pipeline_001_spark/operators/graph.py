@@ -203,28 +203,50 @@ def pagerank(
     determinism. No dangling mass: every node of a co-occurrence
     graph has degree >= 1 in the symmetric direction set.
 
-    Scale: each step is one shuffle (groupBy dst) over the directed
-    edges plus a broadcast of nothing — contributions carry
-    pr/degree, so a hub fan-out is a map-side column, not a driver
-    structure. Five steps = five shuffles; lineage stays shallow
-    enough that no checkpoint is needed."""
+    Scale (round-8 rework): the graph is materialized ONCE as
+    ADJACENCY LISTS — (src, deg, nbrs array) via localCheckpoint,
+    the standard iterative-graph discipline (GraphX/MLlib do the
+    same). Without a checkpoint every power step's lazy join
+    re-derives the full co-occurrence lineage (44 redundant parquet
+    scans in the static plan), and checkpointing the flat
+    degree-annotated edge list instead costs 2× the adjacency form
+    in block-write volume (one row per directed edge vs one per
+    node). Each step then joins pr against the node-sized adjacency
+    table (not the edge-sized flat table), explodes neighbors
+    carrying pr/deg, and map-side-combines into the groupBy(dst)
+    shuffle — the per-step shuffle is the only Θ(m) cost left.
+    Measured isolated at sf1: 35.6 s (lazy re-derivation) → ~20 s.
+    Construction was already action-bearing here (the node-count
+    scalar), so the checkpoint adds no new purity class; the plan
+    gate's RDD probe recognizes distributed checkpoints as
+    non-driver-built."""
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
-    n_df = deg.agg(F.count("*").alias("n"))
-    # one bounded collect: the node count scalar (needed as a literal
-    # so per-iteration rounding is identical in both engines)
-    n = n_df.collect()[0]["n"]
-    pr = deg.select(
+    adj = (
+        sym.groupBy("src")
+        .agg(
+            F.count("*").alias("deg"),
+            F.collect_list("dst").alias("nbrs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # bounded scalar: the node count (needed as a literal so
+    # per-iteration rounding is identical in both engines); a cheap
+    # count over the checkpointed node-sized table
+    n = adj.count()
+    pr = adj.select(
         "src", F.round(F.lit(1.0) / F.lit(n), inter_round).alias("pr")
     )
-    sym_deg = sym.join(deg, "src")
     for _ in range(iterations):
         contrib = (
-            sym_deg.join(pr, "src")
+            adj.join(pr, "src")
+            .select(
+                F.explode("nbrs").alias("dst"),
+                (F.col("pr") / F.col("deg")).alias("c"),
+            )
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+            .agg(F.sum("c").alias("mass"))
         )
         pr = contrib.select(
             F.col("dst").alias("src"),
