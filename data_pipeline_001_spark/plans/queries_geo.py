@@ -635,32 +635,39 @@ def events_markov_attribution(spark, sf_dir):
     states = ("start",) + _MK_CHANNELS + ("conv", "null")
     conv_i = states.index("conv")
 
-    def p_full(src: str, dst: str):
+    # matrix cells and the power iteration are generated as SQL TEXT
+    # (one selectExpr per stage, two Py4J calls total): the same plan
+    # built through per-cell Column objects costs ~2000 Py4J round
+    # trips — measured 6.5 s of driver-side construction at any sf
+    def p_full(src: str, dst: str) -> str:
         # absorbing self-loops are structural, not data rows
         if src in ("conv", "null"):
-            return F.lit(1.0) if dst == src else F.lit(0.0)
-        return F.coalesce(F.col("m")[f"{src}|{dst}"], F.lit(0.0))
+            return "1.0D" if dst == src else "0.0D"
+        return f"coalesce(m['{src}|{dst}'], 0.0D)"
 
-    def p_chain(tag: str, src: str, dst: str):
+    def p_chain(tag: str, src: str, dst: str) -> str:
         # removal chain: drop the removed state's outbound row,
         # redirect its inbound mass to 'null' (oracle's trans_{tag})
         if tag == "full" or src in ("conv", "null"):
             return p_full(src, dst)
         if src == tag or dst == tag:
-            return F.lit(0.0)
+            return "0.0D"
         if dst == "null":
-            return p_full(src, "null") + p_full(src, tag)
+            return f"({p_full(src, 'null')} + {p_full(src, tag)})"
         return p_full(src, dst)
 
     tags = ("full",) + _MK_CHANNELS
-    mats = mat.select(
+    mats = mat.selectExpr(
         *[
-            F.array(
-                *[
-                    F.array(*[p_chain(tag, si, sj) for sj in states])
+            "array(%s) AS M_%s"
+            % (
+                ", ".join(
+                    "array(%s)"
+                    % ", ".join(p_chain(tag, si, sj) for sj in states)
                     for si in states
-                ]
-            ).alias(f"M_{tag}")
+                ),
+                tag,
+            )
             for tag in tags
         ]
     )
@@ -669,33 +676,22 @@ def events_markov_attribution(spark, sf_dir):
     # pi_k[j] = round(sum_i pi_{k-1}[i] * P[i][j], 8): an aggregate
     # over a literal 12-step sequence whose accumulator is the 7-
     # vector — constant-size expression tree, no per-step joins
-    def absorbed(tag: str):
-        M = F.col(f"M_{tag}")
-        init = F.array(F.lit(1.0), *[F.lit(0.0)] * (len(states) - 1))
-        idx = F.sequence(F.lit(0), F.lit(len(states) - 1))
+    k = len(states)
+    init = "array(1.0D" + ", 0.0D" * (k - 1) + ")"
 
-        def step(acc, _):
-            return F.transform(
-                idx,
-                lambda j: F.round(
-                    F.aggregate(
-                        idx,
-                        F.lit(0.0),
-                        lambda s, i: s
-                        + F.element_at(acc, i + 1)
-                        * F.element_at(F.element_at(M, i + 1), j + 1),
-                    ),
-                    8,
-                ),
-            )
+    def absorbed(tag: str) -> str:
+        return (
+            f"element_at(aggregate(sequence(1, {_MK_STEPS}), {init}, "
+            f"(acc, _k) -> transform(sequence(0, {k - 1}), "
+            f"j -> round(aggregate(sequence(0, {k - 1}), 0.0D, "
+            f"(s, i) -> s + element_at(acc, i + 1) "
+            f"* element_at(element_at(M_{tag}, i + 1), j + 1)), 8))), "
+            f"{conv_i + 1})"
+        )
 
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(_MK_STEPS)), init, step
-        )[conv_i]
-
-    fin = mats.select(
-        absorbed("full").alias("pf"),
-        *[absorbed(c).alias(f"pc_{c}") for c in _MK_CHANNELS],
+    fin = mats.selectExpr(
+        f"{absorbed('full')} AS pf",
+        *[f"{absorbed(c)} AS pc_{c}" for c in _MK_CHANNELS],
     )
     per_channel = fin.select(
         "pf",
