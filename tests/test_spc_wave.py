@@ -220,3 +220,109 @@ def test_llr_collocations_prefer_frequent_surprise(spark):
     for r in rows:
         assert r.n_cooccur >= 3
         assert r.llr >= 0.0
+
+
+def test_markov_attribution_planted_journeys(spark, tmp_path):
+    """End-to-end check of the lag/lead edge derivation against an
+    INDEPENDENT Python reference that implements the oracle's journey
+    semantics literally (j = purchases strictly before; touches
+    grouped per journey; first/mid/last/touchless edge classes). The
+    planted stream exercises every edge class the real corpus rarely
+    isolates: purchase-first users (touchless conv), consecutive
+    purchases (two touchless convs in a row), trailing open journeys
+    (last touch -> null), single-touch and multi-touch conversions,
+    and a touches-only user."""
+    import datetime as dt
+    from collections import Counter, defaultdict
+
+    from data_pipeline_001_spark.plans.queries_geo import (
+        _MK_CHANNELS,
+        _MK_STEPS,
+        events_markov_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    raw = []  # (user_id, event_type, minute_offset)
+    # u1: touchless conv, then click->purchase, then trailing view
+    raw += [(1, "purchase", 0), (1, "click", 1), (1, "purchase", 2),
+            (1, "view", 3)]
+    # u2: multi-touch conversion
+    raw += [(2, "click", 0), (2, "view", 1), (2, "purchase", 2)]
+    # u3: open journey only (touches, never converts)
+    raw += [(3, "click", 0), (3, "click", 1)]
+    # u4: consecutive purchases (two touchless convs)
+    raw += [(4, "purchase", 0), (4, "purchase", 1)]
+    # u5: single touch, never converts
+    raw += [(5, "view", 0)]
+    # u6: signup/error mix so every channel appears
+    raw += [(6, "signup", 0), (6, "error", 1), (6, "purchase", 2),
+            (6, "error", 3)]
+    rows = [
+        (eid, u, ty, t0 + dt.timedelta(minutes=m))
+        for eid, (u, ty, m) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    # --- independent reference (oracle semantics, not lag/lead) ----
+    edges = Counter()
+    by_user = defaultdict(list)
+    for eid, u, ty, ts in rows:
+        by_user[u].append((ts, eid, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        j, journeys = 0, defaultdict(list)
+        for ts, eid, ty in evs:
+            journeys[j].append(ty)
+            if ty == "purchase":
+                j += 1
+        for seq in journeys.values():
+            touches = [x for x in seq if x != "purchase"]
+            conv = seq[-1] == "purchase"
+            if not touches:
+                if conv:
+                    edges[("start", "conv")] += 1
+                continue
+            edges[("start", touches[0])] += 1
+            for a, b in zip(touches, touches[1:]):
+                edges[(a, b)] += 1
+            edges[(touches[-1], "conv" if conv else "null")] += 1
+    tot = Counter()
+    for (s, _d), n in edges.items():
+        tot[s] += n
+    trans = {sd: n / tot[sd[0]] for sd, n in edges.items()}
+    trans[("conv", "conv")] = 1.0
+    trans[("null", "null")] = 1.0
+
+    def absorbed(removed):
+        tr = {}
+        for (s, d), p in trans.items():
+            if removed is not None and s == removed:
+                continue
+            dd = "null" if (removed is not None and d == removed) else d
+            tr[(s, dd)] = tr.get((s, dd), 0.0) + p
+        pi = {"start": 1.0}
+        for _ in range(_MK_STEPS):
+            new = {}
+            for (s, d), p in tr.items():
+                if s in pi:
+                    new[d] = new.get(d, 0.0) + pi[s] * p
+            pi = {d: round(v, 8) for d, v in new.items()}
+        return pi.get("conv", 0.0)
+
+    pf = absorbed(None)
+    re_s = {c: round(1e6 * (1 - absorbed(c) / pf)) for c in _MK_CHANNELS}
+    total_re = sum(re_s.values())
+    expected = [
+        (c, round(re_s[c] / 1e6, 6), round(re_s[c] / total_re, 6),
+         round(pf, 6))
+        for c in sorted(_MK_CHANNELS)
+    ]
+
+    got = [
+        (r.channel, r.removal_effect, r.attribution_share, r.p_conversion)
+        for r in events_markov_attribution(spark, str(tmp_path)).collect()
+    ]
+    assert got == [pytest.approx(e) for e in expected]
