@@ -344,3 +344,28 @@ def test_markov_stationary_is_probability_vector(spark):
     total = sum(r.pi for r in rows)
     assert abs(total - 1.0) < 1e-3
     assert all(0.0 < r.pi < 1.0 for r in rows)
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    """Exact-value check of the adjacency-checkpoint formulation
+    against an independent pure-Python power iteration with the same
+    per-step round-8 semantics — pins the arithmetic (uniform 1/n
+    start, pr/deg contributions, damping, rounding order), not just
+    the invariants."""
+    edges = [(a, b) for a in range(1, 10) for b in range(a + 1, 10)
+             if (a * 7 + b) % 4 != 0]
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    n = len(sym)
+    pr = {v: round(1.0 / n, 8) for v in sym}
+    for _ in range(5):
+        mass = {}
+        for src, nbrs in sym.items():
+            c = pr[src] / len(nbrs)
+            for d in nbrs:
+                mass[d] = mass.get(d, 0.0) + c
+        pr = {d: round(0.15 / n + 0.85 * m, 8) for d, m in mass.items()}
+    got = {r.node: r.pr for r in pagerank(_edges_df(spark, edges)).collect()}
+    assert got == pytest.approx(pr, abs=1e-7)
