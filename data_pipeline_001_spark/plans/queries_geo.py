@@ -620,7 +620,14 @@ def events_markov_attribution(spark, sf_dir):
     # --- bounded-matrix localization ----------------------------------
     # (src, dst) keys are drawn from {start} x channels x {conv, null}
     # (7 states), so the whole transition table fits in ONE map cell
-    # of ONE row — a zero-key aggregate the plan gate proves bounded
+    # of ONE row — a zero-key aggregate the plan gate proves bounded.
+    # The state list is a LITERAL (unlike the oracle's data-derived
+    # CTE states), so an event_type outside the modeled channel set
+    # would silently drop from the matrix: the same aggregate counts
+    # such keys and the pf expression raises loudly if any exist.
+    states = ("start",) + _MK_CHANNELS + ("conv", "null")
+    conv_i = states.index("conv")
+    known = F.col("src").isin(*states) & F.col("dst").isin(*states)
     mat = trans_full.groupBy().agg(
         F.map_from_entries(
             F.collect_list(
@@ -629,11 +636,9 @@ def events_markov_attribution(spark, sf_dir):
                     F.col("p").alias("v"),
                 )
             )
-        ).alias("m")
+        ).alias("m"),
+        F.sum(F.when(~known, 1).otherwise(0)).alias("_unknown"),
     )
-
-    states = ("start",) + _MK_CHANNELS + ("conv", "null")
-    conv_i = states.index("conv")
 
     # matrix cells and the power iteration are generated as SQL TEXT
     # (one selectExpr per stage, two Py4J calls total): the same plan
@@ -658,6 +663,7 @@ def events_markov_attribution(spark, sf_dir):
 
     tags = ("full",) + _MK_CHANNELS
     mats = mat.selectExpr(
+        "_unknown",
         *[
             "array(%s) AS M_%s"
             % (
@@ -689,8 +695,15 @@ def events_markov_attribution(spark, sf_dir):
             f"{conv_i + 1})"
         )
 
+    # assert_true rides on pf (not its own column — pruning would drop
+    # it): NULL when the contract holds, a loud error otherwise
+    guard = (
+        "coalesce(cast(assert_true(_unknown = 0, "
+        "'events_markov_attribution: event_type outside the modeled "
+        "chain states') AS DOUBLE), 0.0D)"
+    )
     fin = mats.selectExpr(
-        f"{absorbed('full')} AS pf",
+        f"{absorbed('full')} + {guard} AS pf",
         *[f"{absorbed(c)} AS pc_{c}" for c in _MK_CHANNELS],
     )
     per_channel = fin.select(

@@ -326,3 +326,27 @@ def test_markov_attribution_planted_journeys(spark, tmp_path):
         for r in events_markov_attribution(spark, str(tmp_path)).collect()
     ]
     assert got == [pytest.approx(e) for e in expected]
+
+
+def test_markov_attribution_rejects_unmodeled_event_type(spark, tmp_path):
+    """The chain's state list is a literal (unlike the oracle's
+    data-derived CTE): an event_type outside it must raise loudly,
+    never silently drop from the transition matrix."""
+    import datetime as dt
+
+    from data_pipeline_001_spark.plans.queries_geo import (
+        events_markov_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, 1, "click", t0),
+        (1, 1, "hover", t0 + dt.timedelta(minutes=1)),  # unmodeled
+        (2, 1, "purchase", t0 + dt.timedelta(minutes=2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="modeled chain states"):
+        events_markov_attribution(spark, str(tmp_path)).collect()
