@@ -70,7 +70,11 @@ def quality_spc_xmr(spark, sf_dir):
     in/out-of-control comparison are bit-identical across engines.
     One LAG window + one aggregate + a broadcast-scalar recount — the
     monitoring query a pipeline schedules against its own daily output
-    metrics at any scale."""
+    metrics at any scale. The chart itself is factored as
+    ``xmr_daily_rollup`` so the stream/batch parity test runs the
+    IDENTICAL code over the incrementally-maintained daily table
+    (integer-cents sums are associative, so the additive stream sink
+    reproduces the batch daily table exactly)."""
     t = load_tables(spark, sf_dir)
     daily = (
         t["orders"]
@@ -80,6 +84,14 @@ def quality_spc_xmr(spark, sf_dir):
             .alias("rev_c")
         )
     )
+    return xmr_daily_rollup(daily)
+
+
+def xmr_daily_rollup(daily):
+    """XmR chart over a (day, rev_c BIGINT cents) series — shared
+    verbatim by the batch registry query and the streaming parity
+    path (which maintains ``daily`` incrementally via
+    ``versioned_stream_additive_sink``)."""
     w = Window.orderBy("day")
     ranged = daily.select(
         "rev_c",

@@ -310,6 +310,43 @@ def versioned_stream_merge_sink(table: VersionedTable, keys: list[str]):
     return handle
 
 
+def versioned_stream_additive_sink(
+    table: VersionedTable, keys: list[str], sum_cols: list[str]
+):
+    """foreachBatch handler maintaining per-key RUNNING SUMS: each
+    micro-batch's partial sums are folded into the current snapshot
+    ((current ∪ partials) → groupBy keys → sum) and committed as a
+    full rewrite — safe because the maintained table is KEY-sized (a
+    daily metric series, a per-window count ledger), never data-sized.
+    Addition over exact integer metrics is associative and
+    commutative, so any micro-batch split of the source yields the
+    identical table — what lets a downstream rollup share code
+    verbatim with its batch query. Same batch_id-on-the-manifest
+    idempotency as the other stream sinks: a replayed batch is
+    skipped even though the fold rewrites data, so every batch's
+    contribution is added EXACTLY once under foreachBatch's
+    at-least-once delivery."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+
+    def handle(batch_df, batch_id: int) -> None:
+        committed = {
+            m.get("batch_id") for m in table.history() if "batch_id" in m
+        }
+        if batch_id in committed:
+            return
+        part = batch_df.groupBy(*keys).agg(*aggs)
+        if table.current_version() > 0:
+            part = (
+                table.read().unionByName(part).groupBy(*keys).agg(*aggs)
+            )
+        rel = table._write_data(part)
+        table._commit([rel], "stream-additive", extra={"batch_id": batch_id})
+
+    return handle
+
+
 # ---------------------------------------------------------------------
 # Manifest statistics + pruned reads, and snapshot diff (CDC)
 # ---------------------------------------------------------------------

@@ -500,3 +500,44 @@ def session_stream_sink(table, gap_minutes: int = 30):
         table._commit([rel], "stream-sessionize", extra={"batch_id": batch_id})
 
     return handle
+
+
+# ---------------------------------------------------------------------
+# Streaming SPC (round-8) — the third stream/batch parity analytic.
+# The XmR chart's input is a daily integer-cents revenue series;
+# integer addition is associative and commutative, so maintaining the
+# series incrementally (per-batch partial sums folded into a
+# VersionedTable by the additive sink) reproduces the batch daily
+# table EXACTLY under any micro-batch split — and the chart itself
+# (plans.queries_spc.xmr_daily_rollup) is shared verbatim.
+# ---------------------------------------------------------------------
+
+
+def daily_revenue_stream(
+    stream,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+):
+    """Projection feeding the SPC sink: (day, rev_c BIGINT cents) from
+    a raw orders stream — the same integer-cents quantization as the
+    batch query, applied BEFORE any summation so partial sums stay
+    exact. No stream state; the maintained VersionedTable is the
+    state (the engagement/sessionization design)."""
+    return stream.select(
+        F.col(date_col).cast("date").alias("day"),
+        F.round(F.col(amount_col) * 100).cast("long").alias("rev_c"),
+    )
+
+
+def spc_daily_stream_sink(table):
+    """foreachBatch handler maintaining the daily revenue series for
+    the streaming control chart: per-batch partial sums fold into the
+    keyed table exactly once (batch_id on the manifest). The XmR
+    rollup over ``table.read()`` then equals the batch
+    ``quality_spc_xmr`` registry query on the same orders — asserted
+    by the stream/batch parity test."""
+    from data_pipeline_001_spark.sources.versioned_table import (
+        versioned_stream_additive_sink,
+    )
+
+    return versioned_stream_additive_sink(table, ["day"], ["rev_c"])

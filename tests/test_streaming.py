@@ -855,3 +855,61 @@ def test_sessionization_stream_batch_parity(spark, tables, tmp_path):
     got = sessionization_rollup(vt.read()).collect()
     want = window_sessionization(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_spc_stream_batch_parity(spark, tables, tmp_path):
+    """Round-8: the XmR control chart run over an INCREMENTALLY
+    maintained daily revenue series — per-micro-batch integer-cents
+    partial sums folded into a VersionedTable by the additive sink
+    (exactly-once via batch_id-on-the-manifest) — must equal the
+    batch ``quality_spc_xmr`` registry query on the same orders,
+    row for row, sharing ``xmr_daily_rollup`` verbatim. Integer
+    addition is associative/commutative, so ANY micro-batch split of
+    the source reproduces the batch daily table exactly."""
+    from data_pipeline_001_spark.plans.queries_spc import (
+        quality_spc_xmr,
+        xmr_daily_rollup,
+    )
+    from data_pipeline_001_spark.sources.versioned_table import VersionedTable
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        daily_revenue_stream,
+        spc_daily_stream_sink,
+    )
+
+    # multiple source files -> multiple micro-batches, so the additive
+    # fold path (existing days re-summed with new partials) runs more
+    # than once; repartition splits a day's orders across batches
+    # ARBITRARILY, which is exactly what associativity must absorb
+    src = str(tmp_path / "src")
+    orders = tables["orders"].select("o_orderdate", "o_totalprice")
+    orders.repartition(4).write.parquet(src)
+    vt = VersionedTable(spark, str(tmp_path / "daily"))
+    stream = spark.readStream.schema(orders.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    handler = spc_daily_stream_sink(vt)
+    q = (
+        daily_revenue_stream(stream)
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    committed = [m for m in vt.history() if "batch_id" in m]
+    assert len(committed) >= 2, "want multiple micro-batches folded"
+
+    # exactly-once: replaying an already-committed batch_id is a no-op
+    # (an additive sink that re-applied it would double-count)
+    v_before = vt.current_version()
+    handler(vt.read(), committed[0]["batch_id"])
+    assert vt.current_version() == v_before
+
+    # the maintained series is keyed: one row per day
+    daily = vt.read()
+    assert daily.count() == daily.select("day").distinct().count()
+
+    got = xmr_daily_rollup(daily).collect()
+    want = quality_spc_xmr(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
