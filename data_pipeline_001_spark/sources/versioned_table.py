@@ -246,6 +246,19 @@ class VersionedTable:
         return removed
 
 
+def batch_already_committed(table: VersionedTable, batch_id: int) -> bool:
+    """True iff a commit bearing this ``batch_id`` is already on the
+    manifest — the ONE replay check every streaming sink shares
+    (foreachBatch is at-least-once; the manifest's atomic commit
+    record is the exactly-once dedup point, the Delta
+    ``txnAppId``/``txnVersion`` pattern on bare manifests)."""
+    return any(
+        m.get("batch_id") == batch_id
+        for m in table.history()
+        if "batch_id" in m
+    )
+
+
 def versioned_stream_sink(table: VersionedTable):
     """foreachBatch handler committing each micro-batch as one
     VersionedTable append — EXACTLY-ONCE streaming table writes on
@@ -268,10 +281,7 @@ def versioned_stream_sink(table: VersionedTable):
     """
 
     def handle(batch_df, batch_id: int) -> None:
-        committed = {
-            m.get("batch_id") for m in table.history() if "batch_id" in m
-        }
-        if batch_id in committed:
+        if batch_already_committed(table, batch_id):
             return
         rel = table._write_data(batch_df)
         prev = table.history()
@@ -296,10 +306,7 @@ def versioned_stream_merge_sink(table: VersionedTable, keys: list[str]):
     """
 
     def handle(batch_df, batch_id: int) -> None:
-        committed = {
-            m.get("batch_id") for m in table.history() if "batch_id" in m
-        }
-        if batch_id in committed:
+        if batch_already_committed(table, batch_id):
             return
         if table.current_version() == 0:
             rel = table._write_data(batch_df)
@@ -331,10 +338,7 @@ def versioned_stream_additive_sink(
     aggs = [F.sum(c).alias(c) for c in sum_cols]
 
     def handle(batch_df, batch_id: int) -> None:
-        committed = {
-            m.get("batch_id") for m in table.history() if "batch_id" in m
-        }
-        if batch_id in committed:
+        if batch_already_committed(table, batch_id):
             return
         part = batch_df.groupBy(*keys).agg(*aggs)
         if table.current_version() > 0:

@@ -475,12 +475,12 @@ def session_stream_sink(table, gap_minutes: int = 30):
         coalesce_session_spans,
         unit_session_spans,
     )
+    from data_pipeline_001_spark.sources.versioned_table import (
+        batch_already_committed,
+    )
 
     def handle(batch_df, batch_id: int) -> None:
-        committed = {
-            m.get("batch_id") for m in table.history() if "batch_id" in m
-        }
-        if batch_id in committed:
+        if batch_already_committed(table, batch_id):
             return
         unit = unit_session_spans(batch_df)
         if table.current_version() == 0:

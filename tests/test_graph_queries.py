@@ -369,3 +369,16 @@ def test_pagerank_matches_pure_python_reference(spark):
         pr = {d: round(0.15 / n + 0.85 * m, 8) for d, m in mass.items()}
     got = {r.node: r.pr for r in pagerank(_edges_df(spark, edges)).collect()}
     assert got == pytest.approx(pr, abs=1e-7)
+
+
+def test_pagerank_hub_chunking_is_transparent(spark):
+    """Splitting a hub's adjacency rows at the chunk cap must not
+    change any score: each chunk carries the node's FULL degree, so
+    the pr/deg mass just arrives via several rows. Star graph with a
+    30-neighbor hub, cap 5 (hub -> 6+ chunk rows) vs effectively
+    uncapped."""
+    star = [(1, i) for i in range(2, 32)]
+    e = _edges_df(spark, star)
+    capped = sorted((r.node, r.pr) for r in pagerank(e, hub_chunk_cap=5).collect())
+    plain = sorted((r.node, r.pr) for r in pagerank(e).collect())
+    assert capped == plain
