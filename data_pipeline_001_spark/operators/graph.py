@@ -216,7 +216,9 @@ def pagerank(
     table (not the edge-sized flat table), explodes neighbors
     carrying pr/deg, and map-side-combines into the groupBy(dst)
     shuffle — the per-step shuffle is the only Θ(m) cost left.
-    Measured isolated at sf1: 35.6 s (lazy re-derivation) → ~20 s.
+    Measured isolated at sf1: 35.6 s (lazy re-derivation) → ~25 s
+    (the hub-slice projection costs a few seconds of array copy —
+    the price of bounded rows).
     Construction was already action-bearing here (the node-count
     scalar), so the checkpoint adds no new purity class; the plan
     gate's RDD probe recognizes distributed checkpoints as
@@ -224,34 +226,34 @@ def pagerank(
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     # hub guard: a node's neighbor list is degree-sized, and a single
-    # collect_list row for a 10^7-degree hub would have to serialize
-    # whole through the checkpoint and every explode. Chunk ONLY
-    # above the cap (crc32 of the neighbor id — deterministic), the
-    # same bounded-sub-bucket discipline as semantic dedup: ordinary
-    # nodes keep one row, a hub becomes ceil(deg/cap) rows whose
-    # chunks all carry the node's FULL degree, so per-row size is
-    # hard-bounded and the pr/deg contribution arithmetic is
-    # unchanged (mass just arrives via several rows).
+    # row checkpointing (and re-exploding every iteration) a
+    # 10^7-neighbor hub whole is the kind of row that breaks block
+    # limits. Oversized lists are re-split into <=cap slices AFTER the
+    # one aggregation — a projection over the node-sized table, so
+    # ordinary graphs pay nothing (no degree pre-join: a measured
+    # attempt to chunk via sym ⋈ degrees before the collect_list cost
+    # +12 s at sf1). Each slice row carries the node's FULL degree,
+    # so the pr/deg contribution arithmetic is unchanged — the hub's
+    # mass just arrives via several rows. The transient pre-split
+    # list lives once in the aggregation buffer (~80 MB at 10^7
+    # neighbors — collect_list's array limit, not the checkpoint or
+    # the per-iteration explode, is then the binding constraint;
+    # beyond that scale the flat-edge formulation is the fallback).
     cap = hub_chunk_cap
-    chunk = (
-        F.when(
-            F.col("deg") > cap,
-            F.pmod(
-                F.crc32(F.col("dst").cast("string")),
-                F.ceil(F.col("deg") / cap),
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("int")
-    )
     adj = (
-        sym.join(deg, "src")
-        .groupBy("src", chunk.alias("_chunk"))
-        .agg(
-            F.first("deg").alias("deg"),
-            F.collect_list("dst").alias("nbrs"),
+        sym.groupBy("src")
+        .agg(F.collect_list("dst").alias("all_nbrs"))
+        .select(
+            "src",
+            F.size("all_nbrs").alias("deg"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, int(ceil(size(all_nbrs) /"
+                    f" {cap}.0)) - 1),"
+                    f" i -> slice(all_nbrs, i * {cap} + 1, {cap}))"
+                )
+            ).alias("nbrs"),
         )
         .localCheckpoint(eager=True)
     )
