@@ -242,11 +242,20 @@ def minhash_lsh_pairs(
     return (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        # |A∪B| = |A|+|B|-|A∩B| over collect_set outputs (distinct by
+        # construction) — same exact integers as size(array_union), one
+        # O(|A|+|B|) set op per pair instead of two
+        .withColumn(
+            "_i", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+            F.col("_i").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("_i")).cast(
+                "double"
+            ),
         )
+        .drop("_i")
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -385,11 +394,17 @@ def ngram_jaccard_pairs(
     l, r = grams.alias("l"), grams.alias("r")
     return (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        # size-identity union (collect_set arrays are distinct): one
+        # set op per pair instead of intersect + union
+        .withColumn("_i", F.size(F.array_intersect("l.g", "r.g")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("l.g", "r.g")).cast("double")
-            / F.size(F.array_union("l.g", "r.g")).cast("double"),
+            F.col("_i").cast("double")
+            / (F.size("l.g") + F.size("r.g") - F.col("_i")).cast(
+                "double"
+            ),
         )
+        .drop("_i")
         .where(F.col("jaccard") >= threshold)
         .select(
             F.col("l.id").alias("id_a"),
@@ -620,7 +635,11 @@ def minhash_incremental(
     )
 
     inter = F.size(F.array_intersect("b_set", "c_set")).cast("double")
-    union = F.size(F.array_union("b_set", "c_set")).cast("double")
+    # size-identity union (collect_set arrays are distinct): exact
+    # same integer as size(array_union), without the second set op
+    union = (
+        F.size("b_set") + F.size("c_set")
+    ).cast("double") - inter
     scored = (
         candidates.join(
             corpus_pd.select(
