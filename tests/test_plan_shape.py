@@ -230,3 +230,38 @@ def test_phash_near_dup_join_is_band_bucketed_not_cartesian(spark, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "band" in plan and "key" in plan
+
+
+def test_trigram_lower_hoisted_out_of_generate(spark, registry):
+    """Round-8 regression pin: lower(text) must be computed in its
+    own projection BELOW the trigram explode — inlined into the
+    transform lambda it re-evaluates per trigram, O(len²) per
+    document (measured 2.3× the explode stage at sf1)."""
+    plan = _plan(registry["text_trigram_coverage"](spark, SF))
+    # formatted explain: node details live in "(N) Generate" blocks
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    gen = [b for b in blocks if b.startswith("(") and ") Generate" in b.splitlines()[0]]
+    assert gen, "expected a Generate node detail block"
+    assert all("lower(" not in b for b in gen), (
+        "lower(text) re-inlined into the explode lambda:\n" + gen[0]
+    )
+    assert "lower(" in plan  # the hoisted projection still exists
+
+
+def test_embedding_cosine_norms_hoisted_below_join(spark, registry):
+    """Round-8 regression pin: per-vector norms must be per-ROW
+    columns below the pairwise join — inlined cosine evaluates
+    dot + 2 norms in both the join filter and the projection
+    (6 interpreted 64-term folds per pair, measured 103 s → 28 s on
+    the sweep's 2k slice). Mechanically: no sqrt anywhere at or
+    above the BroadcastNestedLoopJoin region of the plan tree."""
+    plan = _plan(registry["dedup_embedding_cosine"](spark, SF))
+    lines = plan.splitlines()
+    join_idx = next(
+        i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln
+    )
+    above_and_at_join = "\n".join(lines[: join_idx + 1])
+    assert "SQRT" not in above_and_at_join.upper(), (
+        "norm (sqrt) evaluated per PAIR instead of per row"
+    )
+    assert "SQRT" in plan.upper()  # per-row norms still computed below
