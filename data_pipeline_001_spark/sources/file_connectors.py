@@ -39,7 +39,7 @@ def window_dir_name(start: datetime) -> str:
 
 
 class FileSource(Source):
-    """Parquet/JSON/CSV/ORC directory source with window predicates.
+    """Parquet/JSON/CSV/ORC/XML directory source with window predicates.
 
     ``must_exist`` / ``exclude_null`` filter fields mirror the ES
     query options (elasticsearch_counter.py:124-131) — both collapse
@@ -65,6 +65,7 @@ class FileSource(Source):
         schema=None,
         quarantine_path: str | None = None,
         merge_schema: bool = False,
+        options: dict | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -81,6 +82,9 @@ class FileSource(Source):
         # is wasteful when the schema is known; prefer an explicit
         # ``schema``, which gets the same NULL-fill for free.
         self.merge_schema = merge_schema
+        # format-specific reader options (XML needs rowTag; CSV header,
+        # timestampFormat, ... all pass through untouched)
+        self.options = dict(options or {})
         if quarantine_path is not None:
             if fmt not in ("json", "csv"):
                 raise ValueError("quarantine_path requires a text format (json/csv)")
@@ -103,6 +107,8 @@ class FileSource(Source):
             reader = reader.schema(schema)
         if self.merge_schema:
             reader = reader.option("mergeSchema", "true")
+        if self.options:
+            reader = reader.options(**self.options)
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = reader.format(self.fmt).load(self.path)
         if self.quarantine_path is not None:

@@ -30,7 +30,7 @@ def csv_dir(tables, tmp_path_factory):
     return d
 
 
-def test_parquet_json_csv_orc_sources_agree(spark, tables, json_dir, csv_dir, tmp_path_factory):
+def test_parquet_json_csv_orc_xml_sources_agree(spark, tables, json_dir, csv_dir, tmp_path_factory):
     from pyspark.sql import types as T
 
     parquet_src = FileSource(spark, "/root/testdata/sf0.001/events.parquet")
@@ -42,11 +42,26 @@ def test_parquet_json_csv_orc_sources_agree(spark, tables, json_dir, csv_dir, tm
     tables["events"].write.mode("overwrite").orc(orc_dir)
     orc_src = FileSource(spark, orc_dir, fmt="orc")
 
+    # XML (Spark 4 built-in): rowTag required; microsecond
+    # timestampFormat because the writer's default truncates to millis
+    xml_dir = str(tmp_path_factory.mktemp("events_xml"))
+    xml_opts = {
+        "rowTag": "event",
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    }
+    tables["events"].drop("props").write.format("xml").options(
+        **xml_opts
+    ).mode("overwrite").save(xml_dir)
+    xml_src = FileSource(
+        spark, xml_dir, fmt="xml", schema=csv_schema, options=xml_opts
+    )
+
     n = parquet_src.count(*WINDOW)
     assert n > 0
     assert json_src.count(*WINDOW) == n
     assert csv_src.count(*WINDOW) == n
     assert orc_src.count(*WINDOW) == n
+    assert xml_src.count(*WINDOW) == n
 
 
 def test_must_exist_filter(spark):
