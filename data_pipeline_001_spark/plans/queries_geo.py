@@ -709,11 +709,23 @@ def events_markov_attribution(spark, sf_dir):
         )
 
     # assert_true rides on pf (not its own column — pruning would drop
-    # it): NULL when the contract holds, a loud error otherwise
+    # it): NULL when the contract holds, a loud error otherwise.
+    # OPERATIONAL RESPONSE (round-9 advice): this error means a new
+    # event_type reached the journey stream — a schema-valid row the
+    # oracle's data-derived CTE would silently absorb but the literal
+    # 7-state matrix cannot. The fix is to extend _MK_CHANNELS (one
+    # tuple edit; matrix/chains/oracle all derive from it), NOT to
+    # relax the guard: silently dropping a channel's transitions
+    # mis-attributes every journey it appears in. The message carries
+    # the distinct unknown edge-key count so operators can distinguish
+    # "one new channel added upstream" from data corruption.
     guard = (
-        "coalesce(cast(assert_true(_unknown = 0, "
-        "'events_markov_attribution: event_type outside the modeled "
-        "chain states') AS DOUBLE), 0.0D)"
+        "coalesce(cast(assert_true(_unknown = 0, concat("
+        "'events_markov_attribution: ', cast(_unknown AS STRING), "
+        "' transition edge key(s) involve an event_type outside the "
+        "modeled chain states — extend _MK_CHANNELS "
+        "(plans/queries_geo.py) for a legitimately new channel')) "
+        "AS DOUBLE), 0.0D)"
     )
     fin = mats.selectExpr(
         f"{absorbed('full')} + {guard} AS pf",

@@ -905,6 +905,16 @@ SELECT vec_id AS pair_id,
 FROM embeddings WHERE vec_id % 50 = 0
 """
 
+#: cosine threshold for dedup_semantic_clusters. PINNED BELOW 1.0 BY
+#: MARGIN: the operator computes within-cluster cosines via BLAS
+#: matmul, whose accumulation order differs from a sequential fold by
+#: ~1 ulp — the planted-copy oracle is only order-invariant because
+#: identical vectors score exactly 1.0, a 0.07 margin above this
+#: threshold. tests/test_llm_operators.py asserts the margin stays
+#: ≥ 0.01 so a future "tighten to 0.999" edit can't silently
+#: reintroduce boundary sensitivity (round-9 advice).
+SEMANTIC_DEDUP_THRESHOLD = 0.93
+
 
 @query("dedup_semantic_clusters", _SEMANTIC_ORACLE)
 def dedup_semantic_q(spark, sf_dir):
@@ -936,7 +946,9 @@ def dedup_semantic_q(spark, sf_dir):
         "embedding",
         "label",
     )
-    out = semantic_dedup(e.unionByName(copies), threshold=0.93)
+    out = semantic_dedup(
+        e.unionByName(copies), threshold=SEMANTIC_DEDUP_THRESHOLD
+    )
     pair_rows = out.where(F.col("vec_id") % 50 == 0)  # 1_000_000 % 50 == 0
     return (
         pair_rows.groupBy(

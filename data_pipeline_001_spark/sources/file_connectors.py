@@ -90,6 +90,15 @@ class FileSource(Source):
                 raise ValueError("quarantine_path requires a text format (json/csv)")
             if schema is None:
                 raise ValueError("quarantine_path requires an explicit schema")
+            # the quarantine contract IS PERMISSIVE + _corrupt_record;
+            # a user option like mode=DROPMALFORMED applied on top
+            # (options are applied last) would silently defeat it
+            clash = {"mode", "columnNameOfCorruptRecord"} & set(self.options)
+            if clash:
+                raise ValueError(
+                    f"options {sorted(clash)} conflict with quarantine_path's "
+                    "PERMISSIVE/_corrupt_record reader contract"
+                )
 
     def _read(self) -> DataFrame:
         from pyspark.sql import types as T

@@ -251,12 +251,28 @@ def batch_already_committed(table: VersionedTable, batch_id: int) -> bool:
     manifest — the ONE replay check every streaming sink shares
     (foreachBatch is at-least-once; the manifest's atomic commit
     record is the exactly-once dedup point, the Delta
-    ``txnAppId``/``txnVersion`` pattern on bare manifests)."""
-    return any(
-        m.get("batch_id") == batch_id
-        for m in table.history()
-        if "batch_id" in m
-    )
+    ``txnAppId``/``txnVersion`` pattern on bare manifests).
+
+    Batch ids from one checkpoint are strictly monotonic, so the check
+    is against the NEWEST committed batch_id only (``replayed iff
+    batch_id <= newest``) — found by walking manifests newest-first
+    and stopping at the first stream commit. O(1) manifest reads per
+    micro-batch instead of re-parsing the whole history (round-9
+    advice: the O(versions)-per-batch scan compounds over a
+    long-running stream). Assumes one streaming query per table — the
+    same single-writer assumption the checkpoint itself carries;
+    interleaved batch (non-stream) commits are skipped harmlessly."""
+    for name in sorted(os.listdir(table.manifest_dir), reverse=True):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(table.manifest_dir, name)) as fh:
+                m = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if "batch_id" in m:
+            return batch_id <= m["batch_id"]
+    return False
 
 
 def versioned_stream_sink(table: VersionedTable):
@@ -317,8 +333,64 @@ def versioned_stream_merge_sink(table: VersionedTable, keys: list[str]):
     return handle
 
 
+def versioned_stream_fold_sink(
+    table: VersionedTable,
+    keys: list[str],
+    fold_cols: dict[str, str],
+    max_rows: int | None = 10_000_000,
+):
+    """foreachBatch handler maintaining a per-key FOLD of the stream:
+    each micro-batch's partial aggregates are merged into the current
+    snapshot ((current ∪ partials) → groupBy keys → fold) and
+    committed as a full rewrite. ``fold_cols`` maps column → one of
+    ``sum`` / ``min`` / ``max`` — exactly the aggregates that are
+    ASSOCIATIVE AND COMMUTATIVE, so any micro-batch split of the
+    source yields the identical table (what lets a downstream rollup
+    share code verbatim with its batch query; avg/count-distinct are
+    NOT mergeable this way — carry sum+count / a distinct key set
+    instead). Generalizes ``versioned_stream_additive_sink`` (sums)
+    to min/max folds like exact-dedup's min-id survivor.
+
+    Same batch_id-on-the-manifest idempotency as the other stream
+    sinks, and the same enforced key-sized-table bound (``max_rows``,
+    see the additive sink's docstring)."""
+    from pyspark.sql import functions as F
+
+    _OPS = {"sum": F.sum, "min": F.min, "max": F.max}
+    bad = {c: op for c, op in fold_cols.items() if op not in _OPS}
+    if bad:
+        raise ValueError(f"unsupported (non-mergeable) fold ops: {bad}")
+    aggs = [_OPS[op](c).alias(c) for c, op in fold_cols.items()]
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_already_committed(table, batch_id):
+            return
+        part = batch_df.groupBy(*keys).agg(*aggs)
+        if table.current_version() > 0:
+            part = (
+                table.read().unionByName(part).groupBy(*keys).agg(*aggs)
+            )
+        if max_rows is not None:
+            part = part.localCheckpoint(eager=True)
+            n = part.count()
+            if n > max_rows:
+                raise ValueError(
+                    f"fold sink table has {n} keys > max_rows={max_rows}: "
+                    "the per-batch fold is O(table) — this key set is "
+                    "data-sized, not key-sized (raise/disable max_rows only "
+                    "if that cost is intended)"
+                )
+        rel = table._write_data(part)
+        table._commit([rel], "stream-fold", extra={"batch_id": batch_id})
+
+    return handle
+
+
 def versioned_stream_additive_sink(
-    table: VersionedTable, keys: list[str], sum_cols: list[str]
+    table: VersionedTable,
+    keys: list[str],
+    sum_cols: list[str],
+    max_rows: int | None = 10_000_000,
 ):
     """foreachBatch handler maintaining per-key RUNNING SUMS: each
     micro-batch's partial sums are folded into the current snapshot
@@ -332,23 +404,18 @@ def versioned_stream_additive_sink(
     idempotency as the other stream sinks: a replayed batch is
     skipped even though the fold rewrites data, so every batch's
     contribution is added EXACTLY once under foreachBatch's
-    at-least-once delivery."""
-    from pyspark.sql import functions as F
+    at-least-once delivery.
 
-    aggs = [F.sum(c).alias(c) for c in sum_cols]
-
-    def handle(batch_df, batch_id: int) -> None:
-        if batch_already_committed(table, batch_id):
-            return
-        part = batch_df.groupBy(*keys).agg(*aggs)
-        if table.current_version() > 0:
-            part = (
-                table.read().unionByName(part).groupBy(*keys).agg(*aggs)
-            )
-        rel = table._write_data(part)
-        table._commit([rel], "stream-additive", extra={"batch_id": batch_id})
-
-    return handle
+    The key-sized assumption is ENFORCED, not hoped-for (round-9
+    advice): the fold is O(table) per batch, so a data-sized key set
+    (e.g. keying on an event id) silently degrades the stream to
+    quadratic total work. ``max_rows`` bounds the maintained table —
+    the fold's own exact count (one extra agg over the already-grouped
+    result) raises loudly when crossed. Set ``None`` to disable for a
+    legitimately huge key space you intend to pay for."""
+    return versioned_stream_fold_sink(
+        table, keys, {c: "sum" for c in sum_cols}, max_rows=max_rows
+    )
 
 
 # ---------------------------------------------------------------------

@@ -541,3 +541,55 @@ def spc_daily_stream_sink(table):
     )
 
     return versioned_stream_additive_sink(table, ["day"], ["rev_c"])
+
+
+# ---------------------------------------------------------------------
+# Streaming exact-dedup fingerprint maintenance (round-9) — the FOURTH
+# stream/batch parity analytic (engagement, sessionization, SPC, now
+# dedup). The fingerprint rollup (fp → n_copies, min-id survivor) is a
+# fold of associative/commutative aggregates, so maintaining it per
+# micro-batch reproduces the batch `exact_duplicates` of all documents
+# seen so far — the streaming half of a production ingest whose batch
+# half is `dedup_incremental` (new docs anti-join this very table).
+# ---------------------------------------------------------------------
+
+
+def dedup_documents_stream(stream, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Projection feeding the dedup sink: (doc_id, text) from a raw
+    document stream. No stream state — the maintained fingerprint
+    VersionedTable IS the state (the engagement/sessionization/SPC
+    design). Precondition: each document arrives at most once across
+    micro-batches (compose with ``deduplicated_stream`` for
+    at-least-once sources); replayed whole BATCHES are exactly-once
+    via the sink's manifest check."""
+    return stream.where(F.col(id_col).isNotNull()).select(id_col, text_col)
+
+
+def dedup_fingerprint_stream_sink(table, text_col: str = "text",
+                                  id_col: str = "doc_id"):
+    """foreachBatch handler maintaining the exact-dedup fingerprint
+    table: the BATCH operator ``operators.dedup.exact_duplicates``
+    (shared verbatim — same normalization, same md5, same min-id
+    survivor rule) computes the micro-batch's partial rollup, and the
+    fold sink merges it by fp (n_copies: sum, keep_id: min — both
+    associative and commutative, so any micro-batch split of the
+    corpus yields the identical table). ``table.read()`` then equals
+    the batch ``dedup_exact_fingerprint`` registry query over the same
+    documents, row for row — asserted by the parity test. The
+    fingerprint table is distinct-text-sized; at 100 TB it is the
+    accumulated corpus side ``dedup_incremental`` anti-joins against,
+    kept current by this sink instead of recomputed per ingest."""
+    from data_pipeline_001_spark.operators.dedup import exact_duplicates
+    from data_pipeline_001_spark.sources.versioned_table import (
+        versioned_stream_fold_sink,
+    )
+
+    fold = versioned_stream_fold_sink(
+        table, ["fp"], {"n_copies": "sum", "keep_id": "min"}
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        fold(exact_duplicates(batch_df, text_col, id_col), batch_id)
+
+    return handle

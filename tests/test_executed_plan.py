@@ -1,0 +1,144 @@
+"""AQE-time (executed-plan) join-strategy pins — round-9 verdict
+task 1.
+
+The round-8 performance story rests on two claims that bind at
+RUNTIME, not at static explain time: (a) the bucketed headliners'
+fact joins run shuffle-free off the bucketed scans, and (b) the
+stats-gated shuffled-hash-join session default
+(session.py: spark.sql.join.preferSortMergeJoin=false) picks SHJ for
+the fact join when `canBuildLocalHashMap` proves the build side fits
+(size < autoBroadcastJoinThreshold x shuffle partitions, and 3x
+smaller than the probe), demoting honestly to SortMergeJoin when it
+can't. AQE re-plans joins from true runtime sizes, so only the
+AQE-final executed plan proves either claim — these tests execute the
+plans at the replicated sf1 point (~170 MB; sf10 via
+SPARK_GRAFT_EXECPLAN_SF=/root/repo/.benchdata/sf10) and assert on
+`queryExecution().executedPlan()` AFTER the run, making a silent
+strategy flip a suite failure instead of a bench regression.
+
+Thresholds are scaled to the point: at sf1 orders (18.5 MB) is under
+the session's 24 MB broadcast threshold, so the test pins the
+DECISION STRUCTURE with a 4 MB threshold — the same stats gate the
+24 MB default applies to sf10+ sizes (orders 185 MB+), where the
+env-flagged run exercises the production values unmodified.
+"""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.slow  # lane 2
+
+SF_EXEC = os.environ.get(
+    "SPARK_GRAFT_EXECPLAN_SF", "/root/repo/.benchdata/sf1"
+)
+_AT_SF1 = SF_EXEC.rstrip("/").endswith("sf1")
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+@pytest.fixture()
+def aqe_spark(spark):
+    """The shared session with AQE forced on (the bench harness
+    disables it below 1 GB input; these tests pin AQE-time behavior)
+    and conf restored afterwards."""
+    if not os.path.isdir(SF_EXEC):
+        pytest.skip(f"{SF_EXEC} not generated (run tools/make_benchdata.py)")
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        yield spark
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _final_plan(df) -> str:
+    """The AQE-final executed plan — valid only after the frame ran.
+    `toString()` on an executed AdaptiveSparkPlan prints the final
+    ('Current') plan followed by '== Initial Plan =='; keep the final
+    section only, or initial-plan nodes contaminate the assertions."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in s, "plan not adaptive or frame never ran"
+    return s.split("== Initial Plan ==")[0]
+
+
+def _run(registry, spark, name):
+    df = registry[name](spark, SF_EXEC)
+    df.collect()  # headliners return <= 25 rows
+    return _final_plan(df)
+
+
+def test_bucketed_headliners_execute_shuffle_free(aqe_spark, registry):
+    """The orderkey-bucketed twins at execution time: q03's whole plan
+    has ZERO shuffle exchanges; q05/q10 keep only their documented
+    irreducible one (the 25-group n_name rollup / the per-custkey
+    re-aggregation) — and in particular NO exchange on the bucket key.
+    The round-8 one-file-per-bucket layout fix lives or dies here: a
+    regression that breaks bucket metadata re-introduces the orderkey
+    exchange and fails this test."""
+    plan = _run(registry, aqe_spark, "q03_shipping_priority_bucketed")
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    for name, allowed_key in (
+        ("q05_nation_revenue_bucketed", "n_name"),
+        ("q10_returned_revenue_bucketed", "o_custkey"),
+    ):
+        plan = _run(registry, aqe_spark, name)
+        exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert len(exchanges) == 1, f"{name}: {exchanges}"
+        assert allowed_key in exchanges[0], f"{name}: {exchanges[0]}"
+        for key in ("l_orderkey", "o_orderkey"):
+            assert key not in exchanges[0], f"{name} shuffles bucket key"
+
+
+def test_plain_q05_fact_join_executes_as_shuffled_hash(aqe_spark, registry):
+    """The stats-gated SHJ default must actually bind at runtime: with
+    a broadcast threshold the orders side exceeds (4 MB at sf1 — the
+    sf10+ run keeps the 24 MB production value) but a per-partition
+    hash map the stats DO prove (threshold x 32 partitions >> orders),
+    the lineitem join executes as ShuffledHashJoin building the
+    orders side, not SortMergeJoin — the round-8 lever that skips
+    sorting the exchanged fact rows (-20% on q05 at sf30)."""
+    if _AT_SF1:
+        aqe_spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(4 * 1024 * 1024)
+        )
+    aqe_spark.conf.set("spark.sql.shuffle.partitions", "32")
+    plan = _run(registry, aqe_spark, "q05_nation_revenue")
+    shj = [
+        ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln
+    ]
+    assert any(
+        "l_orderkey" in ln and "o_orderkey" in ln for ln in shj
+    ), f"fact join did not execute as SHJ:\n{plan}"
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_oversized_build_side_demotes_to_sort_merge(aqe_spark, registry):
+    """The honest half of the SHJ gate: when canBuildLocalHashMap
+    CANNOT prove the build side fits (threshold x partitions below the
+    orders size — the planted stand-in for a 100 TB build side), the
+    same query must demote to SortMergeJoin rather than hash an
+    unprovable build side into executor memory."""
+    aqe_spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(128 * 1024)
+    )
+    aqe_spark.conf.set("spark.sql.shuffle.partitions", "4")
+    plan = _run(registry, aqe_spark, "q05_nation_revenue")
+    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan

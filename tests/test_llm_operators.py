@@ -1051,3 +1051,17 @@ def test_phash_pigeonhole_bands_catch_hamming_3():
             for i in range(4)
         )
         assert shared
+
+
+def test_semantic_dedup_threshold_keeps_blas_safe_margin():
+    """Round-9 (advice): the planted-copy oracle for
+    dedup_semantic_clusters is order-invariant ONLY because identical
+    vectors (cosine exactly 1.0) clear the threshold by a wide margin
+    — BLAS matmul accumulation differs from a sequential fold by ~1
+    ulp, so a threshold within ulp-distance of 1.0 would make engine
+    parity depend on float accumulation order. Pin the margin."""
+    from data_pipeline_001_spark.plans.queries_llm import (
+        SEMANTIC_DEDUP_THRESHOLD,
+    )
+
+    assert 1.0 - SEMANTIC_DEDUP_THRESHOLD >= 0.01

@@ -365,6 +365,54 @@ def _spc_pipe(spark, tmp_path, name, counts):
     return pipe
 
 
+def test_spc_gate_error_is_nonfatal_to_completed_audit(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """Round-9 (verdict task 3): the round-8 non-fatal wrap around the
+    post-audit SPC gate (pipeline.py run(): status == 'completed' and
+    config.spc_gate). A raising ``_spc_check`` — e.g. a transient Spark
+    error during its one-row collect — must NOT flip a window whose
+    audit PASSED back to failed: every window stays ``completed``, the
+    failure/reset path never fires, and the ``SPC_CHECK_ERROR``
+    observability row is logged once per window."""
+    import logging
+
+    from data_pipeline_001_spark.plans.pipeline import WindowPipeline
+
+    calls = {"n": 0}
+
+    def _boom(self, start):
+        calls["n"] += 1
+        raise RuntimeError("planted transient SPC failure")
+
+    monkeypatch.setattr(WindowPipeline, "_spc_check", _boom)
+    fails = {"n": 0}
+    real_fail = ControlTable.fail_stage
+    real_reset = ControlTable.reset_after_audit_mismatch
+
+    def _spy_fail(self, *a, **kw):
+        fails["n"] += 1
+        return real_fail(self, *a, **kw)
+
+    def _spy_reset(self, *a, **kw):
+        fails["n"] += 1
+        return real_reset(self, *a, **kw)
+
+    monkeypatch.setattr(ControlTable, "fail_stage", _spy_fail)
+    monkeypatch.setattr(ControlTable, "reset_after_audit_mismatch", _spy_reset)
+
+    with caplog.at_level(logging.INFO, logger="PipelineLogger"):
+        pipe = _spc_pipe(spark, tmp_path, "spc_raises", [40] * 8)
+
+    ct = pipe.control.read().collect()
+    assert len(ct) == 8
+    assert all(r["pipeline_status"] == "completed" for r in ct)
+    assert all(r["count_match_status"] == "matched" for r in ct)
+    assert fails["n"] == 0, "reset/failure path fired despite passing audit"
+    assert calls["n"] == 8, "SPC check should have run (and raised) per window"
+    assert caplog.text.count("SPC_CHECK_ERROR") == 8
+
+
 def test_spc_gate_flags_planted_count_anomaly(spark, tmp_path):
     """Round-7 task 6: the post-audit SPC gate over the control table
     itself. A planted 10x count spike in one window — which AUDITS

@@ -265,3 +265,21 @@ def test_embedding_cosine_norms_hoisted_below_join(spark, registry):
         "norm (sqrt) evaluated per PAIR instead of per row"
     )
     assert "SQRT" in plan.upper()  # per-row norms still computed below
+
+
+def test_sessionization_span_form_single_exchange(spark, registry):
+    """Round-9 (verdict task 4): the round-8 span refactor
+    (unit spans → interval merge → rollup, all partitioned by
+    user_id) claims Catalyst reuses ONE user_id exchange — the same
+    shuffle count as the old lag-flag form. That claim was asserted
+    nowhere, and the refactor coincided with the only round-8 headline
+    bench riser (+27%, inside VM spread). Pin it mechanically: the
+    whole plan has exactly one shuffle Exchange (and no
+    ReusedExchange — there should be nothing to re-shuffle)."""
+    plan = _plan(registry["window_sessionization"](spark, SF))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 1, f"expected 1 shuffle Exchange, got {n_exchange}:\n{plan}"
+    assert "ReusedExchange" not in plan
+    # and that one exchange clusters on user_id — the reused ordering
+    detail = re.search(r"\(\d+\) Exchange\n(?:Input.*\n)?Arguments: ([^\n]*)", plan)
+    assert detail and "user_id" in detail.group(1), plan

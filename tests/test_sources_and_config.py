@@ -169,6 +169,35 @@ def test_json_source_quarantines_malformed_records(spark, tables, tmp_path):
     assert any("BROKEN" in r["corrupt_record"] for r in quarantined)
 
 
+def test_quarantine_rejects_conflicting_reader_options(spark, tmp_path):
+    """Round-9 (advice): user options are applied after the quarantine
+    reader options, so mode=DROPMALFORMED (or a conflicting corrupt-
+    record column) would silently defeat the PERMISSIVE contract —
+    must raise loudly at construction instead."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    for bad in ({"mode": "DROPMALFORMED"}, {"columnNameOfCorruptRecord": "x"}):
+        with pytest.raises(ValueError, match="conflict with quarantine_path"):
+            FileSource(
+                spark,
+                str(tmp_path),
+                fmt="json",
+                schema=schema,
+                quarantine_path=str(tmp_path / "q"),
+                options=bad,
+            )
+    # non-conflicting options still pass through fine
+    FileSource(
+        spark,
+        str(tmp_path),
+        fmt="json",
+        schema=schema,
+        quarantine_path=str(tmp_path / "q"),
+        options={"timestampFormat": "yyyy-MM-dd"},
+    )
+
+
 def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     from data_pipeline_001_spark.operators.compaction import (
         compact_sink,

@@ -913,3 +913,64 @@ def test_spc_stream_batch_parity(spark, tables, tmp_path):
     got = xmr_daily_rollup(daily).collect()
     want = quality_spc_xmr(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_dedup_stream_batch_parity(spark, tables, tmp_path):
+    """Round-9 (verdict task 6): the FOURTH stream/batch parity
+    analytic. The exact-dedup fingerprint table maintained
+    incrementally by the fold sink (n_copies summed, keep_id min'd,
+    exactly-once via batch_id-on-the-manifest) must equal the batch
+    ``dedup_exact_fingerprint`` registry query over the same
+    documents, row for row — sharing ``exact_duplicates`` verbatim.
+    Both folds are associative/commutative, so ANY micro-batch split
+    of the corpus reproduces the batch table exactly — including
+    splits that scatter one text's copies across different batches."""
+    from data_pipeline_001_spark.plans.queries_llm import dedup_exact_q
+    from data_pipeline_001_spark.sources.versioned_table import VersionedTable
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        dedup_documents_stream,
+        dedup_fingerprint_stream_sink,
+    )
+
+    # repartition scatters duplicate texts across files ARBITRARILY —
+    # exactly what the min/sum fold must absorb
+    src = str(tmp_path / "src")
+    docs = tables["documents"].select("doc_id", "text")
+    docs.repartition(4).write.parquet(src)
+    vt = VersionedTable(spark, str(tmp_path / "fps"))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    handler = dedup_fingerprint_stream_sink(vt)
+    q = (
+        dedup_documents_stream(stream)
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    committed = [m for m in vt.history() if "batch_id" in m]
+    assert len(committed) >= 2, "want multiple micro-batches folded"
+
+    # exactly-once: replaying a committed batch_id is a no-op (a fold
+    # that re-applied it would double-count n_copies)
+    v_before = vt.current_version()
+    handler(tables["documents"].limit(5), committed[0]["batch_id"])
+    assert vt.current_version() == v_before
+
+    # the maintained table is keyed: one row per fingerprint
+    fps = vt.read()
+    assert fps.count() == fps.select("fp").distinct().count()
+
+    got = sorted(map(tuple, fps.select("fp", "n_copies", "keep_id").collect()))
+    want = sorted(
+        map(
+            tuple,
+            dedup_exact_q(spark, "/root/testdata/sf0.001")
+            .select("fp", "n_copies", "keep_id")
+            .collect(),
+        )
+    )
+    assert got == want

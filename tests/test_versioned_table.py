@@ -141,6 +141,52 @@ def test_stream_sink_replay_is_exactly_once(spark, vt):
     assert vt.read().count() == 4
 
 
+def test_replay_check_is_monotonic_and_reads_one_manifest(spark, vt):
+    """Round-9 (advice): batch ids from one checkpoint are monotonic,
+    so the replay check compares against the NEWEST committed batch_id
+    only — found newest-first, stopping at the first stream commit
+    (O(1) manifest reads per micro-batch instead of O(versions)).
+    Interleaved non-stream commits must not confuse it."""
+    from data_pipeline_001_spark.sources.versioned_table import (
+        batch_already_committed,
+        versioned_stream_sink,
+    )
+
+    handle = versioned_stream_sink(vt)
+    handle(_df(spark, [(1, "a")]), 0)
+    vt.append(_df(spark, [(9, "z")]))  # interleaved batch commit, no batch_id
+    handle(_df(spark, [(2, "b")]), 1)
+    assert batch_already_committed(vt, 0) is True   # older id => replay
+    assert batch_already_committed(vt, 1) is True
+    assert batch_already_committed(vt, 2) is False  # next id => fresh
+    # replay of an old id writes nothing
+    handle(_df(spark, [(99, "dup")]), 0)
+    assert vt.read().count() == 3
+
+
+def test_additive_sink_rejects_data_sized_key_set(spark, vt):
+    """Round-9 (advice): the additive sink's per-batch fold is
+    O(table); its key-sized-table assumption is now enforced via
+    ``max_rows`` — a key set larger than the bound raises loudly
+    instead of silently degrading the stream to quadratic work."""
+    import pytest as _pytest
+
+    from data_pipeline_001_spark.sources.versioned_table import (
+        versioned_stream_additive_sink,
+    )
+
+    handle = versioned_stream_additive_sink(vt, ["k"], ["n"], max_rows=5)
+    ok = spark.createDataFrame([(i, 1) for i in range(4)], "k long, n long")
+    handle(ok, 0)
+    assert vt.read().count() == 4
+    big = spark.createDataFrame([(i, 1) for i in range(10)], "k long, n long")
+    with _pytest.raises(ValueError, match="data-sized"):
+        handle(big, 1)
+    # the failed fold committed nothing: table still at batch 0's state
+    assert vt.read().count() == 4
+    assert [m.get("batch_id") for m in vt.history()] == [0]
+
+
 def test_stream_sink_through_real_stream(spark, vt, tmp_path):
     """End-to-end: a rate-limited memory stream committed through
     foreachBatch lands every row exactly once in the table."""

@@ -62,6 +62,13 @@ SPACE_SOURCE = {
 def generate(src_dir: str, out_dir: str, replicas: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    # stream the CROSS JOIN straight to parquet: with insertion order
+    # preserved DuckDB buffers the whole result (the sf100 lineitem is
+    # 600M rows — round-9 observed ~90 GB resident before the cap);
+    # row order within a replica set is meaningless here, and every
+    # consumer (Spark, the DuckDB oracle views) is order-agnostic
+    con.sql("SET preserve_insertion_order = false")
+    con.sql("SET memory_limit = '24GB'")
 
     spans = {
         space: con.sql(
