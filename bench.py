@@ -406,6 +406,47 @@ def main() -> None:
                     json.dump(snap, fh, indent=1)
                 result["huge"] = snap
 
+    # the 1000x point (sf100, ~17 GB): a FOURTH decade for the same
+    # four headliners. Round-8's "every bucketed ratio falls" claim
+    # rested on single-day sf30 runs with a documented ±40% cross-day
+    # spread; sf100 either confirms the bucket-merge floor stays flat
+    # for another decade or catches the next layout pathology (the
+    # sf30 small-file explosion was invisible at sf10). Committed
+    # snapshot like the others: SPARK_GRAFT_COLOSSAL=1 measures and
+    # writes the ``colossal`` section into bench_huge.json.
+    if os.environ.get("SPARK_GRAFT_COLOSSAL", "0") == "1":
+        col_dir = _ensure_generated(repo_root, "sf100", 1000)
+        if col_dir:
+            _prepare_point(spark, col_dir)
+            ccon = _duck_con(col_dir)
+            c_t, c_duck = _interleaved_point(
+                spark, ccon, qs, oracles, col_dir, GIANT_SEL
+            )
+            cbkt_t, cbkt_duck = _interleaved_point(
+                spark, ccon, qs, oracles, col_dir, BUCKETED
+            )
+            ccon.close()
+            colossal = {
+                "sf": "100(1000x-replicated-sf0.1)",
+                "measured_at_commit": _git_commit(repo_root),
+                "protocol": PROTOCOL,
+                "total_s": round(sum(c_t.values()), 3),
+                "per_query": _per_query(c_t, c_duck),
+                "bucketed": _per_query(cbkt_t, cbkt_duck),
+            }
+            snap = result.get("huge") or {}
+            if not snap:
+                print(
+                    "bench_huge.json missing/unreadable — colossal section "
+                    "NOT merged (run SPARK_GRAFT_HUGE=1 first)",
+                    file=sys.stderr,
+                )
+            else:
+                snap["colossal"] = colossal
+                with open(huge_path, "w") as fh:
+                    json.dump(snap, fh, indent=1)
+                result["huge"] = snap
+
     # Full rich result goes to a sidecar (the driver captures only a
     # ~2000-char stdout tail, so a fat JSON line gets truncated and
     # parses as null — round-3 lesson). Stdout gets ONE compact line.

@@ -28,15 +28,28 @@ def registry():
 
 
 def _gate_all(spark, registry, sf):
+    """Gate every registry plan; also record which queries executed
+    driver jobs DURING construction/explain (job-group attribution) —
+    the mechanical membership check for pg.DRIVER_JOB_BUILDERS."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("gate-warmup", "absorb session-init jobs")
+    spark.range(1).count()  # else the FIRST query inherits init jobs
     violations = {}
     bnlj_live = set()
+    job_builders = set()
     for name, fn in registry.items():
+        sc.setJobGroup(f"gate-{name}", name)
         try:
             df = fn(spark, sf)
             plan = pg.simple_plan(df)
         except Exception as exc:
             violations[name] = [f"plan build failed: {exc!r:.200}"]
             continue
+        finally:
+            sc.setJobGroup("gate-idle", "between queries")
+            if tracker.getJobIdsForGroup(f"gate-{name}"):
+                job_builders.add(name)
         bad = pg.violations_for(name, plan)
         # round-8: driver-built frames are row-count-probed, not
         # trusted — a data-sized createDataFrame anywhere in the plan
@@ -47,11 +60,11 @@ def _gate_all(spark, registry, sf):
             violations[name] = bad
         if name in pg.ALLOWLIST and "BroadcastNestedLoopJoin" in plan:
             bnlj_live.add(name)
-    return violations, bnlj_live
+    return violations, bnlj_live, job_builders
 
 
 def test_no_scale_killers_in_any_registered_plan(spark, registry):
-    violations, bnlj_live = _gate_all(spark, registry, SF)
+    violations, bnlj_live, job_builders = _gate_all(spark, registry, SF)
     assert not violations, "\n".join(
         f"{n}: {'; '.join(b)}" for n, b in sorted(violations.items())
     )
@@ -60,33 +73,33 @@ def test_no_scale_killers_in_any_registered_plan(spark, registry):
     # the exemption (with its boundedness argument) should be removed
     dead = set(pg.ALLOWLIST) - bnlj_live
     assert not dead, f"stale allowlist entries (no BNLJ in plan): {dead}"
-
-
-#: the scale-SENSITIVE slice of the registry: families whose join
-#: strategy depends on file-size statistics (fact joins, top-k,
-#: set ops) — exactly where a broadcast decision can flip between
-#: sf0.001 and sf1. The heavy plan-BUILDERS (BPE train, graph edge
-#: materialization, mahalanobis fit) are excluded here because their
-#: plan CONSTRUCTION executes real driver-side jobs — at sf1 a
-#: full-registry explain measured >70 minutes wall and was still
-#: inside the heavy builders after 450 CPU-minutes (round 8), so the
-#: full sf1 gate is impractical by design of those builders, not an
-#: oversight. Their scale behavior is covered where it is observable:
-#: the full-registry sf1 RUNTIME sweep (sweep_sf1_r08.json, 0 errors)
-#: executes every one of them at sf1.
-_SCALE_SENSITIVE_PREFIXES = (
-    "q0", "q1", "q2", "join_", "window_topk", "sort_topk", "set_",
-    "scd2", "agg_orders", "agg_count", "agg_rollup", "agg_cube",
-)
+    # round-9 (verdict task 5): membership of the sf1-gate exemption
+    # list is MECHANICAL — a query that executes driver jobs during
+    # plan construction must be justified in pg.DRIVER_JOB_BUILDERS
+    # (or the documented affordable set) before it can silently slow
+    # or wedge the sf1 static gate
+    undocumented = job_builders - set(pg.DRIVER_JOB_BUILDERS) - set(
+        pg.SF1_AFFORDABLE_BUILDERS
+    )
+    assert not undocumented, (
+        "queries run driver jobs during plan construction but are not "
+        f"justified in tools/plan_gate.py: {sorted(undocumented)}"
+    )
 
 
 @pytest.mark.slow
 def test_gate_holds_at_replicated_sf1(spark, registry):
-    """Round-8 (verdict task 4b): the gate re-runs against the ~170 MB
-    replicated sf1 point for the scale-sensitive join families, where
-    file-size statistics differ enough to flip broadcast decisions —
-    a strategy that only looks safe at sf0.001 is caught here. Skips
-    loudly when the generated benchdata is absent
+    """Round-9 (verdict task 5): the sf1 gate now covers the WHOLE
+    registry except the justified construction-job builders
+    (pg.DRIVER_JOB_BUILDERS — explaining those at sf1 executes their
+    fit/convergence jobs at sf1 sizes; round-8 measured >70 CPU-min;
+    the sf1 RUNTIME sweep covers them instead). Round 8 gated only a
+    12-prefix inclusion subset (~45 names); the exemption is now 27
+    names, each justified, with membership enforced mechanically by
+    the fast gate above. File-size statistics at ~170 MB differ
+    enough from sf0.001 to flip broadcast decisions — a strategy
+    that only looks safe at toy scale is caught here. Skips loudly
+    when the generated benchdata is absent
     (``tools/make_benchdata.py`` creates it)."""
     import os
 
@@ -96,10 +109,10 @@ def test_gate_holds_at_replicated_sf1(spark, registry):
     sub = {
         n: fn
         for n, fn in registry.items()
-        if n.startswith(_SCALE_SENSITIVE_PREFIXES)
+        if n not in pg.DRIVER_JOB_BUILDERS
     }
-    assert len(sub) >= 40, f"subset shrank unexpectedly: {len(sub)}"
-    violations, _ = _gate_all(spark, sub, sf1)
+    assert len(sub) >= 260, f"gated subset shrank unexpectedly: {len(sub)}"
+    violations, _, _ = _gate_all(spark, sub, sf1)
     assert not violations, "\n".join(
         f"{n}: {'; '.join(b)}" for n, b in sorted(violations.items())
     )
