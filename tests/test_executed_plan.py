@@ -87,6 +87,12 @@ def test_bucketed_headliners_execute_shuffle_free(aqe_spark, registry):
     The round-8 one-file-per-bucket layout fix lives or dies here: a
     regression that breaks bucket metadata re-introduces the orderkey
     exchange and fails this test."""
+    # Scope note: zero-exchange for q03 holds while the customer dim
+    # fits the broadcast gate (sf1: 1.5 MB, sf10: 15 MB — both under
+    # the 24 MB threshold). At sf100 customer (134 MB) crosses the
+    # ceiling and the stats gate correctly demotes the dim join to a
+    # shuffled hash join, adding the one custkey exchange q10's plan
+    # always pays — measured and attributed in BENCH_NOTES round 9.
     plan = _run(registry, aqe_spark, "q03_shipping_priority_bucketed")
     assert "Exchange hashpartitioning" not in plan, plan
 
@@ -100,10 +106,19 @@ def test_bucketed_headliners_execute_shuffle_free(aqe_spark, registry):
             for ln in plan.splitlines()
             if "Exchange hashpartitioning" in ln
         ]
-        assert len(exchanges) == 1, f"{name}: {exchanges}"
-        assert allowed_key in exchanges[0], f"{name}: {exchanges[0]}"
-        for key in ("l_orderkey", "o_orderkey"):
-            assert key not in exchanges[0], f"{name} shuffles bucket key"
+        # the scale-INDEPENDENT invariant: the bucket key never
+        # shuffles — the layout's whole point. Exchange COUNT is
+        # scale-dependent (the dimension chain's broadcast decision
+        # flips when its size estimate crosses the gate: q05's
+        # customer chain stops broadcasting at sf10, customer itself
+        # at sf100 — attributed in BENCH_NOTES round 9), so the exact
+        # single-exchange shape is pinned only at the sf1 design point.
+        for ln in exchanges:
+            for key in ("l_orderkey", "o_orderkey"):
+                assert key not in ln, f"{name} shuffles bucket key: {ln}"
+        if _AT_SF1:
+            assert len(exchanges) == 1, f"{name}: {exchanges}"
+            assert allowed_key in exchanges[0], f"{name}: {exchanges[0]}"
 
 
 def test_plain_q05_fact_join_executes_as_shuffled_hash(aqe_spark, registry):

@@ -102,6 +102,11 @@ def generate(src_dir: str, out_dir: str, replicas: int) -> None:
             f"COPY (SELECT {', '.join(exprs)} FROM '{src}' "
             f"CROSS JOIN range({replicas}) r(i)) TO '{dst}' (FORMAT PARQUET)"
         )
+    # explicit close releases DuckDB's spill files (cwd/.tmp — the
+    # sf100 build spills ~20 GB under the 24 GB memory cap; leaving
+    # the connection to the GC left those on disk long enough to
+    # wedge a later bucketed write with ENOSPC)
+    con.close()
 
 
 if __name__ == "__main__":
