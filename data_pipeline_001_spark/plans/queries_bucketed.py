@@ -59,15 +59,39 @@ def _auto_buckets(sf_dir: str) -> int:
     return min(4096, 1 << (int(want) - 1).bit_length())
 
 
+def _bucket_files_complete(path: str, buckets: int) -> bool:
+    """True iff ``path`` holds a complete one-file-per-bucket layout
+    from a prior session's ``saveAsTable`` — the _SUCCESS marker plus
+    exactly one part file per bucket id (bucketed file names carry the
+    ``_NNNNN`` bucket suffix: ``part-...._00042....parquet``)."""
+    if not os.path.isdir(path) or not os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        return False
+    ids = set()
+    for f in os.listdir(path):
+        m = re.match(r"part-\d+-.*_(\d{5})(?:\.|-)", f)
+        if m:
+            ids.add(int(m.group(1)))
+    return len(ids) == buckets
+
+
 def ensure_bucketed(
     spark: SparkSession, sf_dir: str, buckets: int | None = None
 ) -> dict[str, str]:
     """Materialize orders/lineitem bucketed+sorted by orderkey.
 
-    Idempotent per session: the session catalog remembers the saved
-    table; a fresh session overwrites the files (the in-memory catalog
-    forgets metadata between sessions, and bucket metadata must come
-    from the catalog for the shuffle elision to apply).
+    Idempotent per session via the catalog; across sessions the FILES
+    persist but the in-memory catalog forgets the metadata that makes
+    shuffle elision apply. Round-9: instead of rewriting the data
+    (~17 GB at sf100, the dominant cost of every fresh-session
+    bucketed run), a complete prior layout is RE-REGISTERED with
+    bucketed-table DDL (``CREATE TABLE ... USING parquet CLUSTERED BY
+    ... INTO n BUCKETS LOCATION ...``) — the same one-time metastore
+    registration a real deployment does. The bucket count is
+    deterministic per sf_dir (``_auto_buckets``), and the layout is
+    validated file-by-file (one part file per bucket id + _SUCCESS)
+    before trusting it; anything incomplete is rebuilt from source.
     """
     buckets = buckets or _auto_buckets(sf_dir)
     sfx = _suffix(sf_dir)
@@ -78,32 +102,45 @@ def ensure_bucketed(
     t = load_tables(spark, sf_dir)
     specs = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
     for tbl, key in specs.items():
-        if not spark.catalog.tableExists(names[tbl]):
-            # the in-memory catalog forgets saved tables between
-            # sessions but their files persist; a stale location from a
-            # prior session blocks saveAsTable — it is our own derived
-            # artifact, so rebuild it from the source parquet
-            import shutil
-
-            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-            shutil.rmtree(os.path.join(wh, names[tbl]), ignore_errors=True)
-            (
-                t[tbl]
-                # ONE file per bucket: without this, every write task
-                # emits a file for every bucket it holds rows for
-                # (32 tasks x 128 buckets = 4096 ~1 MB files at sf30),
-                # and the resulting open/footer/tiny-row-group overhead
-                # made the bucketed SCAN 3-7x slower than the plain
-                # parquet scan — 35% of bucketed q05 before any join
-                # (round-8 decomposition). repartition on the bucket
-                # key uses the same murmur3 HashPartitioning bucketBy
-                # does, so each task receives exactly one bucket.
-                .repartition(buckets, F.col(key))
-                .write.mode("overwrite")
-                .bucketBy(buckets, key)
-                .sortBy(key)
-                .saveAsTable(names[tbl])
+        if spark.catalog.tableExists(names[tbl]):
+            continue
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        loc = os.path.join(wh, names[tbl])
+        if _bucket_files_complete(loc, buckets):
+            # files from a prior session with the same deterministic
+            # spec: register the metadata, skip the rewrite
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in t[tbl].schema.fields
             )
+            spark.sql(
+                f"CREATE TABLE {names[tbl]} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {buckets} BUCKETS LOCATION '{loc}'"
+            )
+            continue
+        # incomplete/stale layout: it is our own derived artifact, so
+        # rebuild it from the source parquet
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            t[tbl]
+            # ONE file per bucket: without this, every write task
+            # emits a file for every bucket it holds rows for
+            # (32 tasks x 128 buckets = 4096 ~1 MB files at sf30),
+            # and the resulting open/footer/tiny-row-group overhead
+            # made the bucketed SCAN 3-7x slower than the plain
+            # parquet scan — 35% of bucketed q05 before any join
+            # (round-8 decomposition). repartition on the bucket
+            # key uses the same murmur3 HashPartitioning bucketBy
+            # does, so each task receives exactly one bucket.
+            .repartition(buckets, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(names[tbl])
+        )
     return names
 
 

@@ -283,3 +283,49 @@ def test_sessionization_span_form_single_exchange(spark, registry):
     # and that one exchange clusters on user_id — the reused ordering
     detail = re.search(r"\(\d+\) Exchange\n(?:Input.*\n)?Arguments: ([^\n]*)", plan)
     assert detail and "user_id" in detail.group(1), plan
+
+
+def test_bucketed_reregistration_reuses_existing_files(spark, registry, tmp_path):
+    """Round-9: a fresh session must NOT rewrite the bucketed tables
+    when a complete prior layout exists on disk — ensure_bucketed
+    re-registers it with bucketed-table DDL (the metastore-equivalent
+    one-time registration; at sf100 the rewrite is ~17 GB and was the
+    dominant cost of every fresh-session bucketed run). Simulated by
+    stashing the files, dropping the managed table (metadata gone,
+    files preserved), restoring the files, and calling ensure_bucketed
+    again: the files must be byte-untouched, the row count identical,
+    and the bucket metadata must still elide the fact-join shuffle."""
+    import os
+    import shutil
+
+    from data_pipeline_001_spark.plans.queries_bucketed import (
+        ensure_bucketed,
+    )
+
+    names = ensure_bucketed(spark, SF)
+    n = names["orders"]
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, n)
+    rows_before = spark.table(n).count()
+
+    stash = str(tmp_path / "stash")
+    shutil.move(loc, stash)
+    spark.sql(f"DROP TABLE {n}")  # metadata only — files were moved out
+    shutil.move(stash, loc)
+    sig_before = {
+        f: (os.path.getmtime(os.path.join(loc, f)), os.path.getsize(os.path.join(loc, f)))
+        for f in os.listdir(loc)
+    }
+
+    names2 = ensure_bucketed(spark, SF)
+    assert names2 == names
+    sig_after = {
+        f: (os.path.getmtime(os.path.join(loc, f)), os.path.getsize(os.path.join(loc, f)))
+        for f in os.listdir(loc)
+    }
+    assert sig_after == sig_before, "re-registration rewrote the files"
+    assert spark.table(n).count() == rows_before
+    # the DDL-registered metadata must carry the bucket spec: the
+    # fact-fact join still plans with zero hash exchanges
+    plan = _plan(registry["q03_shipping_priority_bucketed"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
