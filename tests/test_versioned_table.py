@@ -533,3 +533,46 @@ def test_live_rollup_table_from_stream(spark, tmp_path):
         .collect()
     }
     assert got == want and len(vt.history()) >= 1
+
+
+def test_fold_sink_is_split_invariant(spark, tmp_path):
+    """Round-9 property pin: the fold sink's correctness rests on its
+    aggregates being associative AND commutative — ANY micro-batch
+    split (including duplicate keys scattered across batches, in any
+    order) must yield the identical maintained table. Exercised over
+    several adversarial splits of one keyed dataset; the min fold is
+    the interesting one (the batch carrying a key's min may arrive
+    first, last, or split around other batches)."""
+    from data_pipeline_001_spark.sources.versioned_table import (
+        VersionedTable,
+        versioned_stream_fold_sink,
+    )
+
+    rows = [(i % 5, i, 1) for i in range(40)]  # 5 keys, ids 0..39
+    want = {
+        k: (sum(1 for r in rows if r[0] == k), min(r[1] for r in rows if r[0] == k))
+        for k in range(5)
+    }
+    splits = [
+        [rows],                                # one batch
+        [rows[:1], rows[1:]],                  # singleton first
+        [rows[i::4] for i in range(4)],        # striped (keys everywhere)
+        [rows[::-1][:13], rows[::-1][13:]],    # reversed halves
+    ]
+    for si, batches in enumerate(splits):
+        vt = VersionedTable(spark, str(tmp_path / f"fold{si}"))
+        fold = versioned_stream_fold_sink(
+            vt, ["k"], {"n": "sum", "min_id": "min"}
+        )
+        for bi, batch in enumerate(batches):
+            fold(
+                spark.createDataFrame(
+                    [(k, 1, i) for (k, i, _one) in batch],
+                    "k long, n long, min_id long",
+                ),
+                bi,
+            )
+        got = {
+            r["k"]: (r["n"], r["min_id"]) for r in vt.read().collect()
+        }
+        assert got == want, f"split {si} diverged: {got}"
