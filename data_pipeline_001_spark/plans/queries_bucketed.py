@@ -59,14 +59,27 @@ def _auto_buckets(sf_dir: str) -> int:
     return min(4096, 1 << (int(want) - 1).bit_length())
 
 
-def _bucket_files_complete(path: str, buckets: int) -> bool:
+def _bucket_files_complete(path: str, buckets: int, src_path: str) -> bool:
     """True iff ``path`` holds a complete one-file-per-bucket layout
     from a prior session's ``saveAsTable`` — the _SUCCESS marker plus
     exactly one part file per bucket id (bucketed file names carry the
-    ``_NNNNN`` bucket suffix: ``part-...._00042....parquet``)."""
-    if not os.path.isdir(path) or not os.path.exists(
-        os.path.join(path, "_SUCCESS")
-    ):
+    ``_NNNNN`` bucket suffix: ``part-...._00042....parquet``) — AND
+    the layout is NEWER than the source parquet it derives from. The
+    freshness check is what makes cross-session reuse safe: if the
+    test data is regenerated (the driver rewrites /root/testdata
+    between rounds), a stale bucketed layout would silently serve the
+    OLD rows; mtime ordering forces a rebuild instead."""
+    success = os.path.join(path, "_SUCCESS")
+    if not os.path.isdir(path) or not os.path.exists(success):
+        return False
+    src_mtime = 0.0
+    if os.path.isdir(src_path):
+        for r, _d, fs in os.walk(src_path):
+            for f in fs:
+                src_mtime = max(src_mtime, os.path.getmtime(os.path.join(r, f)))
+    elif os.path.exists(src_path):
+        src_mtime = os.path.getmtime(src_path)
+    if os.path.getmtime(success) <= src_mtime:
         return False
     ids = set()
     for f in os.listdir(path):
@@ -106,7 +119,8 @@ def ensure_bucketed(
             continue
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         loc = os.path.join(wh, names[tbl])
-        if _bucket_files_complete(loc, buckets):
+        src = os.path.join(sf_dir, f"{tbl}.parquet")
+        if _bucket_files_complete(loc, buckets, src):
             # files from a prior session with the same deterministic
             # spec: register the metadata, skip the rewrite
             ddl = ", ".join(

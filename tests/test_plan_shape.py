@@ -329,3 +329,36 @@ def test_bucketed_reregistration_reuses_existing_files(spark, registry, tmp_path
     # fact-fact join still plans with zero hash exchanges
     plan = _plan(registry["q03_shipping_priority_bucketed"](spark, SF))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_bucketed_reregistration_rejects_stale_layout(spark, tmp_path):
+    """The freshness half of re-registration: a bucketed layout OLDER
+    than its source parquet (the driver regenerates testdata between
+    rounds) must NOT be re-registered — serving stale rows would be a
+    silent correctness hole. Simulated by aging the layout's _SUCCESS
+    marker behind the source file's mtime."""
+    import os
+
+    from data_pipeline_001_spark.plans.queries_bucketed import (
+        _bucket_files_complete,
+        ensure_bucketed,
+    )
+
+    names = ensure_bucketed(spark, SF)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, names["orders"])
+    src = os.path.join(SF, "orders.parquet")
+    from data_pipeline_001_spark.plans.queries_bucketed import _auto_buckets
+
+    buckets = _auto_buckets(SF)
+    assert _bucket_files_complete(loc, buckets, src) is True
+    # age the layout behind the source: stale => not reusable
+    old = os.path.getmtime(src) - 10
+    os.utime(os.path.join(loc, "_SUCCESS"), (old, old))
+    assert _bucket_files_complete(loc, buckets, src) is False
+    # restore freshness for the rest of the session's tests
+    import time as _t
+
+    now = _t.time()
+    os.utime(os.path.join(loc, "_SUCCESS"), (now, now))
+    assert _bucket_files_complete(loc, buckets, src) is True
