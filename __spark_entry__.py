@@ -179,6 +179,13 @@ _R6_BACKLOG = (
 #: the only entry owing a hash row — it leads the driver's sample.
 _R8_BACKLOG = ("agg_retention_daily",)
 
+#: round 9 adds ONE entry: the boundary-point interval sweep (peak
+#: concurrent activity per day) — the one classic windowed interval
+#: analytic the registry lacked. Oracle-backed at registration
+#: (exact hash parity incl. the half-open tie rule); queues behind
+#: the round-8 pin per the sampling contract.
+_R9_BACKLOG = ("window_peak_concurrency",)
+
 
 def _coverage_order(names, oracles=None) -> list[str]:
     """Queries with no driver CORRECTNESS row from any past round come
@@ -225,17 +232,20 @@ def _coverage_order(names, oracles=None) -> list[str]:
     r5 = {n: i for i, n in enumerate(_R5_BACKLOG)}
     r6 = {n: i for i, n in enumerate(_R6_BACKLOG)}
     r8 = {n: i for i, n in enumerate(_R8_BACKLOG)}
+    r9 = {n: i for i, n in enumerate(_R9_BACKLOG)}
 
     def rank(n: str):
         # the round-5 pinned backlog precedes everything, in its own
         # declared order (never-sampled entries first); the round-6
         # pin queues immediately behind it, then round-8's
         if n in r5:
-            return (-3, r5[n])
+            return (-4, r5[n])
         if n in r6:
-            return (-2, r6[n])
+            return (-3, r6[n])
         if n in r8:
-            return (-1, r8[n])
+            return (-2, r8[n])
+        if n in r9:
+            return (-1, r9[n])
         if n in r4 and n in oracles:
             return (0, 0)
         if n in oracles and n in seen:

@@ -718,3 +718,73 @@ def text_collocations_llr(spark, sf_dir):
             "llr",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Round 9: peak concurrency — the boundary-point interval sweep
+# ---------------------------------------------------------------------
+
+@query(
+    "window_peak_concurrency",
+    """
+    WITH spans AS (
+      SELECT ts AS s,
+             LEAST(ts + INTERVAL 5 MINUTE,
+                   CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)) AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT CAST(s AS DATE) AS day, s AS t, 1 AS delta FROM spans
+      UNION ALL
+      SELECT CAST(s AS DATE) AS day, e AS t, -1 AS delta FROM spans
+    ),
+    run AS (
+      SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS c
+      FROM pts
+    )
+    SELECT day, CAST(MAX(c) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day
+    """,
+)
+def window_peak_concurrency(spark, sf_dir):
+    """Peak concurrent activity per day via the classic boundary-point
+    sweep (gaps-and-islands family): each event opens a 5-minute
+    activity span, clipped at midnight so days are independent; the
+    span boundaries become (+1 at start, −1 at end) deltas, a
+    day-partitioned running sum sweeps them in time order, and the
+    day's peak is the max prefix sum. Engine-parity details that make
+    the hash gate exact: half-open [s, e) semantics come from the tie
+    rule ``ORDER BY t, delta`` (a −1 at instant t sorts before a +1
+    at t, so an interval ending exactly when another starts never
+    overlaps it), and BOTH engines' default window frame is RANGE …
+    CURRENT ROW, which sums all peers of a (t, delta) group at once —
+    so duplicate timestamps cannot make the running sum
+    order-dependent.
+
+    Scale: one union (no shuffle) and ONE shuffle on the day key for
+    the window + the same-keyed max (Catalyst reuses the exchange).
+    The per-day sweep needs a per-day total order; day keys are
+    bounded (~2.4k) and events are ~uniform per day, so partitions
+    are balanced at any corpus size. At extreme per-day volume the
+    hierarchical variant (per-hour partial sums + prefix offsets)
+    replaces the single in-partition sort; at this workload's shape
+    the one-sort form is the faster plan.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("ts")
+    day = F.col("ts").cast("date")
+    end = F.least(
+        F.col("ts") + F.expr("INTERVAL 5 MINUTES"),
+        (day + F.expr("INTERVAL 1 DAY")).cast("timestamp"),
+    )
+    starts = ev.select(
+        day.alias("day"), F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(day.alias("day"), end.alias("t"), F.lit(-1).alias("delta"))
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    return (
+        starts.unionByName(ends)
+        .withColumn("c", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("c").cast("bigint").alias("peak_concurrency"))
+    )

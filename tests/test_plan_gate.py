@@ -31,10 +31,17 @@ def _gate_all(spark, registry, sf):
     """Gate every registry plan; also record which queries executed
     driver jobs DURING construction/explain (job-group attribution) —
     the mechanical membership check for pg.DRIVER_JOB_BUILDERS."""
+    from data_pipeline_001_spark.session import load_tables
+
     sc = spark.sparkContext
     tracker = sc.statusTracker()
-    sc.setJobGroup("gate-warmup", "absorb session-init jobs")
+    sc.setJobGroup("gate-warmup", "absorb session-init + table-load jobs")
     spark.range(1).count()  # else the FIRST query inherits init jobs
+    # load_tables' one-time parquet footer reads run small jobs; they
+    # are shared infrastructure, not any query's construction cost —
+    # whichever query iterates first would otherwise be misattributed
+    # as a driver-job builder (q01 absorbed this before round 9)
+    load_tables(spark, sf)
     violations = {}
     bnlj_live = set()
     job_builders = set()

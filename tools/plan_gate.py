@@ -143,7 +143,6 @@ DRIVER_JOB_BUILDERS: dict[str, str] = {
 #: their probe is one bounded scan and they have been sf1-gated since
 #: round 8 (the lane-2 runtime budget already proves affordability).
 SF1_AFFORDABLE_BUILDERS: dict[str, str] = {
-    "q01_pricing_summary": "first-query attribution noise only (session init); no real construction jobs",
     "q22_idle_customers": "scalar avg-balance subquery evaluated once (zero-key agg)",
     "join_fuzzy_editdist1": "FastSS deletion-dictionary bound probe (one bounded scan)",
     "q03_shipping_priority_bucketed": "one-time bucketed-table materialization per scale point (amortized across the bucketed trio)",
