@@ -370,7 +370,20 @@ def main() -> None:
     # the ``giant`` section INTO bench_huge.json so the whole scale
     # ladder lives in one machine-readable artifact.
     if os.environ.get("SPARK_GRAFT_GIANT", "0") == "1":
-        giant_dir = _ensure_generated(repo_root, "sf30", 300)
+        # fail FAST on a missing huge snapshot — the section merges
+        # into bench_huge.json, so generating + measuring for hours
+        # before discovering there is nothing to merge into is the
+        # round-10 advice's ordering flaw
+        if not result.get("huge"):
+            print(
+                "bench_huge.json missing/unreadable — giant section "
+                "would have nowhere to merge (run SPARK_GRAFT_HUGE=1 "
+                "first); skipping giant measurement",
+                file=sys.stderr,
+            )
+            giant_dir = None
+        else:
+            giant_dir = _ensure_generated(repo_root, "sf30", 300)
         if giant_dir:
             _prepare_point(spark, giant_dir)
             gcon = _duck_con(giant_dir)
@@ -415,7 +428,17 @@ def main() -> None:
     # snapshot like the others: SPARK_GRAFT_COLOSSAL=1 measures and
     # writes the ``colossal`` section into bench_huge.json.
     if os.environ.get("SPARK_GRAFT_COLOSSAL", "0") == "1":
-        col_dir = _ensure_generated(repo_root, "sf100", 1000)
+        # same fail-fast ordering as the giant block above
+        if not result.get("huge"):
+            print(
+                "bench_huge.json missing/unreadable — colossal section "
+                "would have nowhere to merge (run SPARK_GRAFT_HUGE=1 "
+                "first); skipping colossal measurement",
+                file=sys.stderr,
+            )
+            col_dir = None
+        else:
+            col_dir = _ensure_generated(repo_root, "sf100", 1000)
         if col_dir:
             _prepare_point(spark, col_dir)
             ccon = _duck_con(col_dir)

@@ -83,6 +83,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # the plan gate attributes construction-time driver jobs to
+        # per-query job groups via statusTracker; the app status store
+        # retains only `retainedJobs` entries (default 1000), and a
+        # full-registry gate pass can run more than that — an evicted
+        # job would let an undocumented driver-job builder pass the
+        # mechanical DRIVER_JOB_BUILDERS membership check. Job infos
+        # are tiny; retain enough for the whole gate.
+        .config("spark.ui.retainedJobs", "100000")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type — read as long and convert in

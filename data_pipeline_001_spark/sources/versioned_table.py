@@ -219,9 +219,24 @@ class VersionedTable:
         dir BEFORE linking the manifest, so an unreferenced dir younger
         than the window may belong to a commit in progress and is
         skipped. Pass 0 only when the caller holds exclusive access to
-        the table (no concurrent writers)."""
+        the table (no concurrent writers).
+
+        The newest ``batch_id``-bearing manifest is ALWAYS retained
+        (round-10 advice): ``batch_already_committed`` dedups stream
+        replays by walking manifests newest-first to the first stream
+        commit, so if vacuum could prune every stream manifest (an
+        interleaved batch commit followed by ``vacuum(keep_versions=1)``
+        does exactly that), a replayed micro-batch would recommit and a
+        fold sink would double-count. The retained manifest is the
+        exactly-once high-water record — its DATA dirs are still
+        reclaimable like any other unreferenced version's; only the
+        commit record survives (Delta keeps ``txnAppId``/``txnVersion``
+        in the live snapshot state the same way)."""
         hist = self.history()
         keep = hist[-keep_versions:] if keep_versions else hist
+        stream_high = next(
+            (m for m in reversed(hist) if "batch_id" in m), None
+        )
         referenced = {rel for m in keep for rel in m["files"]}
         now = time.time()
         removed = []
@@ -239,6 +254,8 @@ class VersionedTable:
             shutil.rmtree(path, ignore_errors=True)
             removed.append(rel)
         for m in hist[: len(hist) - keep_versions if keep_versions else 0]:
+            if stream_high is not None and m["version"] == stream_high["version"]:
+                continue  # the stream high-water record must survive
             try:
                 os.remove(self._manifest_path(m["version"]))
             except OSError:

@@ -164,6 +164,36 @@ def test_replay_check_is_monotonic_and_reads_one_manifest(spark, vt):
     assert vt.read().count() == 3
 
 
+def test_vacuum_retains_stream_high_water_manifest(spark, vt):
+    """Round-10 (advice): the replay check walks manifests newest-first
+    to the FIRST batch_id-bearing one, so that manifest must survive
+    vacuum — an interleaved batch commit followed by
+    ``vacuum(keep_versions=1)`` used to delete every stream manifest,
+    after which a replayed micro-batch recommitted and a fold sink
+    would double-count. The high-water manifest is now always
+    retained (its data dirs remain reclaimable; only the commit
+    record survives)."""
+    from data_pipeline_001_spark.sources.versioned_table import (
+        batch_already_committed,
+        versioned_stream_sink,
+    )
+
+    handle = versioned_stream_sink(vt)
+    handle(_df(spark, [(1, "a")]), 0)
+    handle(_df(spark, [(2, "b")]), 1)
+    vt.append(_df(spark, [(9, "z")]))  # newest manifest has no batch_id
+    vt.vacuum(keep_versions=1, retention_seconds=0)
+    # the stream high-water record survived: a replayed batch is still
+    # recognized and writes nothing
+    assert batch_already_committed(vt, 1) is True
+    assert batch_already_committed(vt, 0) is True
+    n_before = vt.read().count()
+    handle(_df(spark, [(99, "dup")]), 1)
+    assert vt.read().count() == n_before
+    # and a genuinely new batch still commits
+    assert batch_already_committed(vt, 2) is False
+
+
 def test_additive_sink_rejects_data_sized_key_set(spark, vt):
     """Round-9 (advice): the additive sink's per-batch fold is
     O(table); its key-sized-table assumption is now enforced via

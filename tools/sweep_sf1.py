@@ -30,7 +30,18 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as mod
-from data_pipeline_001_spark.session import get_spark
+from data_pipeline_001_spark.session import get_spark, load_tables
+
+
+def _warm_up(spark, sf_dir: str) -> None:
+    """Absorb session-init + one-time table-registration cost BEFORE
+    the first timed query. Round-9 fixed exactly this attribution bug
+    in the plan gate (load_tables' parquet footer reads ran inside the
+    first query's job group) but not here: the r09 sweep recorded
+    q01_pricing_summary at 6.93 s vs 1.10 s in r08 — a 6.3x phantom
+    regression that would mask a real one."""
+    load_tables(spark, sf_dir)
+    spark.range(1).count()  # scheduler/codegen first-job cost
 
 
 def main() -> None:
@@ -48,6 +59,7 @@ def main() -> None:
         return
     spark = get_spark(app_name="sweep", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    _warm_up(spark, sf_dir)
     qs = mod.queries()
     # the exact oracle twins are deliberately quadratic (documented
     # small-sf baselines); at the replicated sf1 each would dominate
@@ -158,6 +170,7 @@ def _run_only(sf_dir: str, out: str, names: list[str]) -> None:
     """--only= mode: fresh session, exactly these queries, no resume."""
     spark = get_spark(app_name="sweep_tail", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    _warm_up(spark, sf_dir)
     qs = mod.queries()
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
