@@ -25,6 +25,7 @@ drive-table DDL); bucketing is the Spark-native equivalent.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -59,16 +60,57 @@ def _auto_buckets(sf_dir: str) -> int:
     return min(4096, 1 << (int(want) - 1).bit_length())
 
 
+#: sidecar recording the SOURCE parquet's identity at materialization
+#: time; reuse requires exact equality (round-10 advice: mtime
+#: ORDERING alone misses a source regenerated/restored with preserved
+#: timestamps — rsync -a, cp -p, snapshot restore)
+_SIG_NAME = "_SRC_SIGNATURE.json"
+
+
+def _src_signature(src_path: str) -> list[list]:
+    """Identity of the source parquet: per file (relpath, size,
+    mtime_ns, crc32 of the first+last 64 KiB). Size+mtime alone can
+    survive a timestamp-preserving restore of DIFFERENT data; parquet
+    bytes (footer stats, dictionary pages) essentially never do, so
+    the 128 KiB head/tail fingerprint closes that hole without
+    hashing multi-GB files."""
+    import zlib
+
+    files = []
+    if os.path.isdir(src_path):
+        for r, _d, fs in os.walk(src_path):
+            for f in fs:
+                files.append(os.path.join(r, f))
+    elif os.path.exists(src_path):
+        files.append(src_path)
+    sig = []
+    for p in sorted(files):
+        st = os.stat(p)
+        with open(p, "rb") as fh:
+            crc = zlib.crc32(fh.read(65536))
+            if st.st_size > 65536:
+                fh.seek(max(0, st.st_size - 65536))
+                crc = zlib.crc32(fh.read(65536), crc)
+        sig.append([os.path.relpath(p, src_path), st.st_size, st.st_mtime_ns, crc])
+    return sig
+
+
 def _bucket_files_complete(path: str, buckets: int, src_path: str) -> bool:
     """True iff ``path`` holds a complete one-file-per-bucket layout
     from a prior session's ``saveAsTable`` — the _SUCCESS marker plus
-    exactly one part file per bucket id (bucketed file names carry the
-    ``_NNNNN`` bucket suffix: ``part-...._00042....parquet``) — AND
-    the layout is NEWER than the source parquet it derives from. The
-    freshness check is what makes cross-session reuse safe: if the
-    test data is regenerated (the driver rewrites /root/testdata
-    between rounds), a stale bucketed layout would silently serve the
-    OLD rows; mtime ordering forces a rebuild instead."""
+    EXACTLY one part file per bucket id, covering ids 0..buckets-1
+    with no duplicates and no stray higher-numbered suffixes (bucketed
+    file names carry the ``_NNNNN`` bucket suffix:
+    ``part-...._00042....parquet``) — AND the layout derives from the
+    CURRENT source parquet. Freshness is two checks: mtime ordering
+    (_SUCCESS newer than every source file — catches in-place
+    regeneration) and, when the ``_SRC_SIGNATURE.json`` sidecar
+    exists, exact equality of the recorded source signature (catches
+    a timestamp-preserving restore mtime ordering cannot see). The
+    duplicate-id check matters because a multi-file-per-bucket layout
+    (the pre-round-8 write pathology) would pass a distinct-id count
+    yet reinstate the 3-7x small-file scan penalty AND break the
+    one-file-per-bucket assumption the SORTED BY DDL relies on."""
     success = os.path.join(path, "_SUCCESS")
     if not os.path.isdir(path) or not os.path.exists(success):
         return False
@@ -81,12 +123,21 @@ def _bucket_files_complete(path: str, buckets: int, src_path: str) -> bool:
         src_mtime = os.path.getmtime(src_path)
     if os.path.getmtime(success) <= src_mtime:
         return False
-    ids = set()
+    sig_path = os.path.join(path, _SIG_NAME)
+    if os.path.exists(sig_path):
+        try:
+            with open(sig_path) as fh:
+                recorded = json.load(fh)
+        except (OSError, ValueError):
+            return False
+        if recorded != _src_signature(src_path):
+            return False
+    ids = []
     for f in os.listdir(path):
         m = re.match(r"part-\d+-.*_(\d{5})(?:\.|-)", f)
         if m:
-            ids.add(int(m.group(1)))
-    return len(ids) == buckets
+            ids.append(int(m.group(1)))
+    return len(ids) == len(set(ids)) and set(ids) == set(range(buckets))
 
 
 def ensure_bucketed(
@@ -111,15 +162,30 @@ def ensure_bucketed(
     names = {
         "orders": f"orders_bkt_{sfx}",
         "lineitem": f"lineitem_bkt_{sfx}",
+        "customer": f"customer_bkt_{sfx}",
     }
     t = load_tables(spark, sf_dir)
-    specs = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    # round-10: customer joins the bucketed layout on c_custkey. The
+    # sf100 decomposition showed the ONLY superlinear bucketed stage is
+    # the post-broadcast-ceiling customer join (customer crosses the
+    # 24 MB gate at sf100 → AQE demotes to a partitioned join that
+    # exchanges AND sorts the whole dimension). Bucketing customer at
+    # the same bucket count makes the dimension side of every custkey
+    # join scan-local (no exchange, no sort — SORTED BY feeds the SMJ
+    # directly); only the fact side's custkey exchange remains, which
+    # is the documented irreducible re-clustering.
+    specs = {
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey",
+        "customer": "c_custkey",
+    }
     for tbl, key in specs.items():
         if spark.catalog.tableExists(names[tbl]):
             continue
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         loc = os.path.join(wh, names[tbl])
         src = os.path.join(sf_dir, f"{tbl}.parquet")
+        sig_path = os.path.join(loc, _SIG_NAME)
         if _bucket_files_complete(loc, buckets, src):
             # files from a prior session with the same deterministic
             # spec: register the metadata, skip the rewrite
@@ -132,6 +198,12 @@ def ensure_bucketed(
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                 f"INTO {buckets} BUCKETS LOCATION '{loc}'"
             )
+            if not os.path.exists(sig_path):
+                # grandfather a pre-sidecar layout that passed the
+                # mtime-ordering check: record the signature NOW so
+                # every future reuse gets the stronger equality check
+                with open(sig_path, "w") as fh:
+                    json.dump(_src_signature(src), fh)
             continue
         # incomplete/stale layout: it is our own derived artifact, so
         # rebuild it from the source parquet
@@ -155,6 +227,8 @@ def ensure_bucketed(
             .sortBy(key)
             .saveAsTable(names[tbl])
         )
+        with open(sig_path, "w") as fh:
+            json.dump(_src_signature(src), fh)
     return names
 
 
@@ -193,10 +267,13 @@ def q03_bucketed(spark, sf_dir):
     the per-order revenue pre-agg runs on the bucketed scan's own
     distribution (no exchange), the lineitem⋈orders sort merge join
     consumes one row per order on the same distribution (no
-    exchange), and the customer dim broadcasts — zero hash exchanges
-    in the whole plan (asserted in test_plan_shape)."""
+    exchange). The customer dim reads from its OWN c_custkey-bucketed
+    layout (round-10): below the broadcast ceiling AQE still
+    broadcasts it, and above the ceiling (sf100+, where customer
+    outgrows 24 MB) the partitioned join's dimension side is
+    scan-local — no customer exchange, no customer sort (SORTED BY) —
+    leaving only the irreducible fact-side custkey exchange."""
     n = ensure_bucketed(spark, sf_dir)
-    t = load_tables(spark, sf_dir)
     cut = F.lit("1998-06-15 00:00:00").cast("timestamp")
     li = (
         spark.table(n["lineitem"])
@@ -210,7 +287,9 @@ def q03_bucketed(spark, sf_dir):
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            t["customer"].where(F.col("c_mktsegment") == "BUILDING"),
+            spark.table(n["customer"]).where(
+                F.col("c_mktsegment") == "BUILDING"
+            ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
@@ -232,10 +311,11 @@ def q10_bucketed(spark, sf_dir):
     bucketed scan's distribution (no exchange — this is the rewrite
     bucketing makes free), the fact join is exchange-free, and the
     per-custkey re-aggregation then exchanges ONE row per order
-    instead of every joined lineitem. The custkey exchange itself is
-    irreducible (a different clustering by nature)."""
+    instead of every joined lineitem. The fact-side custkey exchange
+    is irreducible (a different clustering by nature); the customer
+    SIDE of that join is scan-local from the c_custkey-bucketed
+    layout (round-10) — no dimension exchange, no dimension sort."""
     n = ensure_bucketed(spark, sf_dir)
-    t = load_tables(spark, sf_dir)
     per_order = (
         spark.table(n["lineitem"])
         .where(F.col("l_returnflag") == "R")
@@ -252,7 +332,7 @@ def q10_bucketed(spark, sf_dir):
     )
     return (
         per_cust.join(
-            t["customer"],
+            spark.table(n["customer"]),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select("c_custkey", "c_name", F.round("rev", 2).alias("revenue"))
@@ -280,10 +360,13 @@ def q05_bucketed(spark, sf_dir):
     fact — measured slower, see queries.q05); bucketing flips that:
     the pre-agg runs on the bucketed scan's own distribution (no
     exchange) and reduces 4 lineitems/order to 1 BEFORE the
-    exchange-free orders join. The dimension chain (region→nation→
-    customer, region filter pushed down it) broadcasts onto the
-    orders side; the only hash exchange left is the 25-group n_name
-    rollup."""
+    exchange-free orders join. The bounded dimensions (region→nation,
+    region filter pushed down) broadcast onto the c_custkey-bucketed
+    customer scan (round-10), which keeps the scan's bucket
+    distribution — so above the broadcast ceiling the custkey join's
+    dimension side is scan-local (no exchange, no sort) and only the
+    fact side exchanges; the remaining rollup exchange is the
+    25-group n_name re-clustering."""
     n = ensure_bucketed(spark, sf_dir)
     t = load_tables(spark, sf_dir)
     nation_asia = (
@@ -295,7 +378,7 @@ def q05_bucketed(spark, sf_dir):
         .select("n_nationkey", "n_name")
     )
     cust_asia = (
-        t["customer"]
+        spark.table(n["customer"])
         .join(
             F.broadcast(nation_asia),
             F.col("c_nationkey") == F.col("n_nationkey"),

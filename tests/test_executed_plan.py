@@ -121,6 +121,30 @@ def test_bucketed_headliners_execute_shuffle_free(aqe_spark, registry):
             assert allowed_key in exchanges[0], f"{name}: {exchanges[0]}"
 
 
+def test_customer_join_above_ceiling_executes_scan_local(aqe_spark, registry):
+    """Round-10 (verdict task 1/5): when the customer dimension
+    crosses the broadcast ceiling (the sf100 regime — planted here by
+    a threshold below customer's sf1 size), the demoted partitioned
+    join must read its customer side SCAN-LOCAL from the
+    c_custkey-bucketed layout: the AQE-final plan exchanges ONLY the
+    fact side (o_custkey) — never c_custkey, and never the bucket
+    orderkeys. This is the layout extension that removed the sf100
+    q03 superlinear step (the dimension exchange+sort,
+    0.95 s -> 4.03 s sf30->sf100 before the fix)."""
+    aqe_spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(128 * 1024)
+    )
+    plan = _run(registry, aqe_spark, "q03_shipping_priority_bucketed")
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges, "expected the demoted dim join's fact-side exchange"
+    assert any("o_custkey" in ln for ln in exchanges), exchanges
+    for ln in exchanges:
+        assert "c_custkey" not in ln, f"customer side shuffled: {ln}"
+        assert "l_orderkey" not in ln and "o_orderkey" not in ln, ln
+
+
 def test_plain_q05_fact_join_executes_as_shuffled_hash(aqe_spark, registry):
     """The stats-gated SHJ default must actually bind at runtime: with
     a broadcast threshold the orders side exceeds (4 MB at sf1 — the

@@ -17,6 +17,25 @@ def _plan(df) -> str:
     )
 
 
+def _exchange_args(plan: str) -> list[str]:
+    """Arguments line of every shuffle Exchange detail block. In
+    FORMATTED explain the node header '(12) Exchange' and its
+    'Arguments: hashpartitioning(...)' live on separate lines, so a
+    substring check for 'Exchange hashpartitioning' matches NOTHING —
+    three bucketed-plan assertions were vacuous until round 10. This
+    parser pins the real shape."""
+    out = []
+    for b in re.split(r"\n(?=\(\d+\) )", plan):
+        head = b.splitlines()[0]
+        if re.match(r"\(\d+\) Exchange\b", head):
+            arg = next(
+                (ln for ln in b.splitlines() if ln.startswith("Arguments:")),
+                "",
+            )
+            out.append(arg)
+    return out
+
+
 @pytest.fixture(scope="module")
 def registry():
     import __spark_entry__ as entrymod
@@ -109,35 +128,46 @@ def test_embedding_near_dup_join_is_bucketed_not_cartesian(spark, registry):
     assert "tbl" in plan and "bucket" in plan
 
 
-def test_bucketed_q03_has_zero_hash_exchanges(spark, registry):
-    """The orderkey-bucketed Q3 variant must run the fact-fact join AND
-    the per-order aggregation on the scan's own bucket distribution:
-    zero hash exchanges in the whole plan (the customer dim broadcasts).
-    Broadcast is disabled for the fact join so the assertion holds at
-    any test scale, mirroring >threshold behavior at real scale."""
+def test_bucketed_q03_single_irreducible_exchange(spark, registry):
+    """The bucketed Q3 with EVERY broadcast disabled — the >ceiling
+    regime at any scale: the fact-fact join and the per-order pre-agg
+    run on the bucketed scans' own distribution, and the customer dim
+    (c_custkey-bucketed since round 10) joins scan-local — exactly ONE
+    exchange survives in the whole plan, the irreducible fact-side
+    re-clustering onto o_custkey. (Round-10 note: the old assertion
+    checked 'Exchange hashpartitioning' as a substring of FORMATTED
+    explain output, where header and arguments are separate lines — it
+    could never fail.)"""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = _plan(registry["q03_shipping_priority_bucketed"](spark, SF))
-        assert "Exchange hashpartitioning" not in plan
+        ex = _exchange_args(plan)
+        assert len(ex) == 1, ex
+        assert "o_custkey" in ex[0], ex
         assert "SortMergeJoin" in plan  # fact join co-located, not shuffled
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-def test_bucketed_q05_q10_orderkey_join_shuffle_free(spark, registry):
-    """The round-4 bucketed twins: the per-order pre-agg and the
-    lineitem⋈orders join must run on the bucket distribution — no
-    exchange keyed on either orderkey column anywhere in the plan.
-    (The custkey/n_name exchanges downstream are irreducible: a
-    different clustering by nature.)"""
+def test_bucketed_q05_q10_bucket_keys_never_shuffle(spark, registry):
+    """The bucketed twins under disabled broadcast: no exchange may
+    carry either orderkey column (the fact layout's point) NOR
+    c_custkey (the round-10 customer layout's point — the dimension
+    side of every custkey join is scan-local; only the FACT side
+    re-clusters). q05's surviving exchanges are o_custkey + the n_name rollup;
+    q10's are the per-custkey re-aggregation + its bucket alignment."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         for q in ("q05_nation_revenue_bucketed", "q10_returned_revenue_bucketed"):
             plan = _plan(registry[q](spark, SF))
-            assert "Exchange hashpartitioning(l_orderkey" not in plan, q
-            assert "Exchange hashpartitioning(o_orderkey" not in plan, q
+            ex = _exchange_args(plan)
+            assert ex, f"{q}: expected the irreducible custkey exchange"
+            for arg in ex:
+                assert "l_orderkey" not in arg, (q, arg)
+                assert "o_orderkey" not in arg, (q, arg)
+                assert "c_custkey" not in arg, (q, arg)
             assert "SortMergeJoin" in plan, q
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -325,10 +355,72 @@ def test_bucketed_reregistration_reuses_existing_files(spark, registry, tmp_path
     }
     assert sig_after == sig_before, "re-registration rewrote the files"
     assert spark.table(n).count() == rows_before
-    # the DDL-registered metadata must carry the bucket spec: the
-    # fact-fact join still plans with zero hash exchanges
+    # the DDL-registered metadata must carry the bucket spec: no
+    # exchange on any bucket key (fact orderkeys, dim custkey) —
+    # under the default threshold the dim join broadcasts, so the
+    # plan has NO shuffle exchange at all at this scale
     plan = _plan(registry["q03_shipping_priority_bucketed"](spark, SF))
-    assert "Exchange hashpartitioning" not in plan
+    assert _exchange_args(plan) == []
+
+
+def test_bucket_validation_rejects_multifile_and_restored_source(spark, tmp_path):
+    """Round-10 (advice): two holes in the reuse validation, both now
+    closed. (a) A multi-file-per-bucket layout (the pre-round-8 write
+    pathology, or external perturbation with _SUCCESS intact) passed a
+    DISTINCT-id count and would silently reinstate the 3-7x small-file
+    scan penalty — validation now requires exactly one file per bucket
+    id covering 0..n-1. (b) Freshness was mtime ORDERING only, so a
+    source regenerated/restored with preserved timestamps (rsync -a,
+    cp -p) passed and served stale rows — a source signature (sizes +
+    mtimes + head/tail crc) recorded at materialization is now
+    required to match exactly."""
+    import json
+    import os
+    import shutil
+
+    from data_pipeline_001_spark.plans.queries_bucketed import (
+        _SIG_NAME,
+        _auto_buckets,
+        _bucket_files_complete,
+        ensure_bucketed,
+    )
+
+    names = ensure_bucketed(spark, SF)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, names["orders"])
+    src = os.path.join(SF, "orders.parquet")
+    buckets = _auto_buckets(SF)
+    assert _bucket_files_complete(loc, buckets, src) is True
+
+    # (a) plant a duplicate part file for bucket 0: distinct ids still
+    # cover the range, but the layout is no longer one-file-per-bucket
+    part0 = next(
+        f for f in sorted(os.listdir(loc)) if re.match(r"part-\d+-.*_00000", f)
+    )
+    dup = os.path.join(loc, "part-99999-deadbeef_00000.c000.snappy.parquet")
+    shutil.copyfile(os.path.join(loc, part0), dup)
+    try:
+        assert _bucket_files_complete(loc, buckets, src) is False
+    finally:
+        os.remove(dup)
+    assert _bucket_files_complete(loc, buckets, src) is True
+
+    # (b) simulate a timestamp-preserving source restore: the recorded
+    # signature (content crc) must catch what mtime ordering cannot.
+    # Perturb the recorded signature rather than the read-only source.
+    sig_path = os.path.join(loc, _SIG_NAME)
+    with open(sig_path) as fh:
+        sig = json.load(fh)
+    assert sig, "materialization must record a non-empty source signature"
+    sig[0][3] ^= 1  # flip one crc bit: 'the source bytes changed'
+    with open(sig_path, "w") as fh:
+        json.dump(sig, fh)
+    assert _bucket_files_complete(loc, buckets, src) is False
+    # restore the true signature; the layout is reusable again
+    sig[0][3] ^= 1
+    with open(sig_path, "w") as fh:
+        json.dump(sig, fh)
+    assert _bucket_files_complete(loc, buckets, src) is True
 
 
 def test_bucketed_reregistration_rejects_stale_layout(spark, tmp_path):
