@@ -186,6 +186,13 @@ _R8_BACKLOG = ("agg_retention_daily",)
 #: the round-8 pin per the sampling contract.
 _R9_BACKLOG = ("window_peak_concurrency",)
 
+#: round 10 adds the two production-dictionary tokenizer APPLY paths
+#: (rank-heap BPE encode, Aho-Corasick keyword tagging) — scale twins
+#: registering the SAME oracles as their literal demo-size forms, so
+#: a green hash row proves the scale path exact. Queue behind the
+#: round-9 pin per the sampling contract.
+_R10_BACKLOG = ("text_bpe_encode_udf", "curation_keyword_tags_ac")
+
 
 def _coverage_order(names, oracles=None) -> list[str]:
     """Queries with no driver CORRECTNESS row from any past round come
@@ -233,6 +240,7 @@ def _coverage_order(names, oracles=None) -> list[str]:
     r6 = {n: i for i, n in enumerate(_R6_BACKLOG)}
     r8 = {n: i for i, n in enumerate(_R8_BACKLOG)}
     r9 = {n: i for i, n in enumerate(_R9_BACKLOG)}
+    r10 = {n: i for i, n in enumerate(_R10_BACKLOG)}
 
     def rank(n: str):
         # the round-5 pinned backlog precedes everything, in its own
@@ -246,6 +254,8 @@ def _coverage_order(names, oracles=None) -> list[str]:
             return (-2, r8[n])
         if n in r9:
             return (-1, r9[n])
+        if n in r10:
+            return (-0.5, r10[n])
         if n in r4 and n in oracles:
             return (0, 0)
         if n in oracles and n in seen:

@@ -860,3 +860,249 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
     )
+
+
+# -- round-10: tokenizer APPLY paths at production dictionary sizes --
+
+
+def _bpe_chain_pass(toks: list, a: str, b: str) -> list:
+    """One left-to-right non-overlapping merge pass of (a, b),
+    reproducing the DELIMITED-STRING semantics of the chained
+    ``replace(' a b ', ' ab ')`` oracle exactly: in the string form a
+    match consumes its trailing delimiter, so the pair starting at the
+    very next token lacks a leading delimiter and cannot match — after
+    merging (i, i+1) the earliest next match starts at (i+3, i+4).
+    ``test_bpe_trie_twin`` fuzzes this equivalence against literal
+    ``str.replace`` on random words."""
+    out = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            if i + 2 < n:
+                out.append(toks[i + 2])
+            i += 3
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _bpe_encode_n_tokens(word: str, merges: tuple, ranks: dict) -> int:
+    """Token count of ``word`` under the ordered merge table, with
+    cost INDEPENDENT of table size — the apply path for a production
+    (30k+) vocabulary. The chained-replace form applies every rule
+    unconditionally (one plan node / one string scan per rule: fine
+    for the 8-rule demo table, unusable at 30k). Here only the ranks
+    of pairs actually PRESENT in the word are visited, ascending via a
+    heap (the rank-dict + heap structure real BPE tokenizers use);
+    each merge can only create pairs involving its composite, whose
+    rules sit LATER in any valid ordered merge table, so ascending
+    ranks reproduce apply-each-rule-once-in-order semantics exactly.
+    Cost: O(pairs-present x log) heap ops + O(len) per applied rule.
+    """
+    import heapq
+
+    toks = list(word)
+    heap = sorted(
+        {ranks[p] for p in zip(toks, toks[1:]) if p in ranks}
+    )
+    done = set()
+    while heap:
+        r = heapq.heappop(heap)
+        if r in done:
+            continue
+        done.add(r)
+        a, b = merges[r]
+        if not any(
+            toks[i] == a and toks[i + 1] == b for i in range(len(toks) - 1)
+        ):
+            continue  # pair destroyed before its turn — the chain no-ops too
+        toks = _bpe_chain_pass(toks, a, b)
+        for p in zip(toks, toks[1:]):
+            nr = ranks.get(p)
+            if nr is not None and nr > r and nr not in done:
+                heapq.heappush(heap, nr)
+    return len(toks)
+
+
+def bpe_encode_ranked(
+    docs: DataFrame,
+    merges: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a BPE merge table via an Arrow-batched rank-heap encoder
+    — the scale twin of the chained-replace registry form
+    (plans/queries_mlprep.text_bpe_encode, whose per-rule plan depth
+    caps the table at demo size). Word extraction stays JVM-side
+    (identical ``lower`` + ``regexp_extract_all`` to the chained twin,
+    so the only Python surface is the encode step); the per-word
+    encoder is LRU-cached across the Zipf-distributed word stream, and
+    the whole path is one MapInPandas over the scan — zero shuffles
+    before the caller's aggregation. Output: per-doc word/char-token/
+    BPE-token counts + compression, bit-identical to the chained twin
+    (same oracle, parity-tested)."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    from pyspark.sql import functions as F
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    words = docs.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)").alias(
+            "_words"
+        ),
+    ).where(F.size("_words") > 0)
+
+    def encode(batches):
+        from functools import lru_cache
+
+        @lru_cache(maxsize=65536)
+        def n_tok(w: str) -> int:
+            return _bpe_encode_n_tokens(w, merges, ranks)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, ws in zip(pdf[id_col], pdf["_words"]):
+                rows.append(
+                    (
+                        doc_id,
+                        len(ws),
+                        sum(len(w) for w in ws),
+                        sum(n_tok(w) for w in ws),
+                    )
+                )
+            import pandas as pd
+
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_words", "n_tokens_char", "n_tokens_bpe"],
+            )
+
+    out = words.mapInPandas(
+        encode,
+        schema=(
+            f"{id_col} long, n_words long, n_tokens_char long, "
+            "n_tokens_bpe long"
+        ),
+    )
+    # rounding stays JVM-side (HALF_UP), matching the chained twin and
+    # the DuckDB oracle exactly — Python round() is half-even
+    return out.withColumn(
+        "compression",
+        F.round(
+            F.col("n_tokens_char").cast("double") / F.col("n_tokens_bpe"), 6
+        ),
+    )
+
+
+class _AhoCorasick:
+    """Dictionary-matching automaton (Aho & Corasick 1975): goto trie
+    + BFS failure links + output sets. One O(len) pass over the text
+    finds every occurrence of every dictionary term — cost independent
+    of dictionary size, vs one regex scan PER TERM in the literal
+    registry form (fine at 10 terms, unusable at 10k)."""
+
+    def __init__(self, terms):
+        self.goto = [{}]
+        self.out = [()]
+        self.fail = [0]
+        for term in terms:
+            node = 0
+            for ch in term:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append(())
+                    self.fail.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[node][ch] = nxt
+                node = nxt
+            self.out[node] = self.out[node] + (term,)
+        from collections import deque
+
+        q = deque()
+        for child in self.goto[0].values():
+            q.append(child)
+        while q:
+            node = q.popleft()
+            for ch, child in self.goto[node].items():
+                q.append(child)
+                f = self.fail[node]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[child] = self.goto[f].get(ch, 0)
+                if self.fail[child] == child:
+                    self.fail[child] = 0
+                self.out[child] = self.out[child] + self.out[self.fail[child]]
+
+    def matches(self, text: str):
+        """Set of dictionary terms occurring in ``text`` with RE2
+        ``\\b`` word boundaries (ASCII [0-9A-Za-z_] on both sides)."""
+        wordchar = self._WORDCHAR
+        found = set()
+        node = 0
+        for i, ch in enumerate(text):
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            for term in self.out[node]:
+                start = i - len(term) + 1
+                if start > 0 and text[start - 1] in wordchar:
+                    continue
+                if i + 1 < len(text) and text[i + 1] in wordchar:
+                    continue
+                found.add(term)
+        return found
+
+    _WORDCHAR = frozenset(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    )
+
+
+def keyword_tags_aho_corasick(
+    docs: DataFrame,
+    keywords: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dictionary topic-tagging via one Aho-Corasick pass per document
+    — the 10k-term scale twin of the literal filter-HOF registry form
+    (plans/queries_mlprep.curation_keyword_tags: one regexp scan per
+    term). ``lower`` stays JVM-side (same as the twin); the automaton
+    builds once per executor from the broadcast-literal term tuple;
+    matching is a single O(len) scan regardless of dictionary size,
+    with RE2-compatible ASCII word-boundary verification at each hit.
+    Tags join in dictionary order — identical output contract and
+    oracle as the literal form."""
+    from pyspark.sql import functions as F
+
+    lowered = docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_lo")
+    )
+    order = {k: i for i, k in enumerate(keywords)}
+
+    def tag(batches):
+        import pandas as pd
+
+        ac = _AhoCorasick(keywords)
+        for pdf in batches:
+            tags = []
+            for text in pdf["_lo"]:
+                hits = sorted(
+                    ac.matches(text or ""), key=order.__getitem__
+                )
+                tags.append((",".join(hits), len(hits)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tags": [t[0] for t in tags],
+                    "n_tags": [t[1] for t in tags],
+                }
+            )
+
+    return lowered.mapInPandas(
+        tag, schema=f"{id_col} long, tags string, n_tags long"
+    )

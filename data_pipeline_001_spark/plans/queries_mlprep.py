@@ -3054,3 +3054,52 @@ def orders_status_aging(spark, sf_dir):
         )
         .orderBy("status", "age_bucket")
     )
+
+
+# -- round-10: production-dictionary tokenizer apply paths ------------
+#
+# Both scale twins register the SAME oracle as their literal forms:
+# identical rows, different execution strategy — the twin pattern
+# (COVERAGE.md §2.13). The literal forms stay in the registry as the
+# demo-size baselines; these are the plans a 100 TB pass would run
+# (cost independent of dictionary size: rank-heap BPE, one-pass
+# Aho-Corasick), so the hash gate proves the scale path exact.
+
+
+@query("text_bpe_encode_udf", _BPE_ENCODE_ORACLE)
+def text_bpe_encode_udf(spark, sf_dir):
+    """The 30k-vocab BPE APPLY path (round-9 verdict: documented but
+    unbuilt): the chained-replace twin spends one plan node + one
+    string scan per merge rule — at a production merge table Catalyst
+    analysis alone explodes. This form extracts words JVM-side
+    (identical lower+regexp to the twin) and encodes through ONE
+    Arrow-batched MapInPandas running the rank-heap encoder
+    (operators/text_analysis.bpe_encode_ranked): only ranks of pairs
+    PRESENT in each word are visited, LRU-cached across the Zipf word
+    stream. Zero shuffles; same oracle as text_bpe_encode —
+    hash-equality proves the heap path reproduces chained-replace
+    semantics exactly (delimiter sharing included)."""
+    from data_pipeline_001_spark.operators.text_analysis import (
+        bpe_encode_ranked,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return bpe_encode_ranked(t["documents"], _BPE_MERGES)
+
+
+@query("curation_keyword_tags_ac", _TAGS_ORACLE)
+def curation_keyword_tags_ac(spark, sf_dir):
+    """The 10k-term dictionary-tagging path (round-9 verdict: the
+    literal filter-HOF twin scans the text once PER TERM): one
+    Aho-Corasick automaton pass per document, built once per executor
+    from the term tuple, with RE2-compatible word-boundary checks at
+    each hit (operators/text_analysis.keyword_tags_aho_corasick).
+    Same oracle as curation_keyword_tags — identical tags in
+    dictionary order, matching cost now O(len) regardless of
+    dictionary size."""
+    from data_pipeline_001_spark.operators.text_analysis import (
+        keyword_tags_aho_corasick,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return keyword_tags_aho_corasick(t["documents"], _TAG_KEYWORDS)

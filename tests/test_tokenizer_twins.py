@@ -1,0 +1,125 @@
+"""Round-10 tokenizer APPLY scale twins: the rank-heap BPE encoder
+and the Aho-Corasick dictionary tagger must reproduce their literal
+registry forms bit-for-bit (they register the SAME oracle, so a
+divergence would be a correctness failure, not a perf story).
+
+Layers: (1) fuzz the single-pass merge emulation against literal
+``str.replace`` — the delimiter-sharing semantics the SQL chain has;
+(2) fuzz the full heap encoder against the full replace chain;
+(3) fuzz Aho-Corasick matching against per-term ``\\b`` regexes;
+(4) row-for-row Spark parity of both twins at sf0.001.
+"""
+
+import random
+import re
+
+import pytest
+
+from data_pipeline_001_spark.operators.text_analysis import (
+    _AhoCorasick,
+    _bpe_chain_pass,
+    _bpe_encode_n_tokens,
+)
+from data_pipeline_001_spark.plans.queries_mlprep import (
+    _BPE_MERGES,
+    _TAG_KEYWORDS,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _replace_pass(word_tokens, a, b):
+    """Reference: the literal delimited-string single replace pass the
+    SQL oracle performs for one rule."""
+    s = " " + " ".join(word_tokens) + " "
+    s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    return s.split()
+
+
+def _chain_ref(word, merges):
+    """Reference: the whole chained-replace pipeline of the
+    ``text_bpe_encode`` registry form (and its DuckDB oracle)."""
+    s = " " + " ".join(word) + " "
+    for a, b in merges:
+        s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    return len(s.split())
+
+
+def test_chain_pass_matches_string_replace_fuzz():
+    rng = random.Random(10)
+    alphabet = "thab"
+    for _ in range(3000):
+        toks = [rng.choice(alphabet) for _ in range(rng.randint(0, 10))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        assert _bpe_chain_pass(toks, a, b) == _replace_pass(toks, a, b), (
+            toks,
+            a,
+            b,
+        )
+
+
+def test_heap_encoder_matches_chain_fuzz():
+    ranks = {p: i for i, p in enumerate(_BPE_MERGES)}
+    rng = random.Random(11)
+    alphabet = "theinaord"
+    adversarial = [
+        "banana",  # delimiter-shared adjacent repeat of (a, n)
+        "ththth",  # alternating run of rule 0
+        "erer",  # the documented one-fewer-merge residual case
+        "anand",  # (a,n) twice then (an,d)
+        "thethethe",  # composite rule (th,e) run
+        "", "t", "and", "inthe", "errer",
+    ]
+    words = adversarial + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        for _ in range(3000)
+    ]
+    for w in words:
+        got = _bpe_encode_n_tokens(w, _BPE_MERGES, ranks)
+        want = _chain_ref(w, _BPE_MERGES)
+        assert got == want, (w, got, want)
+
+
+def test_aho_corasick_matches_boundary_regex_fuzz():
+    terms = tuple(_TAG_KEYWORDS) + ("da", "a", "ata", "netword")
+    ac = _AhoCorasick(terms)
+    rng = random.Random(12)
+    alphabet = "datamodel pricesystem_19 .x-"
+    for _ in range(1500):
+        text = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 60))
+        )
+        want = {
+            t
+            for t in terms
+            if re.search(rf"\b{re.escape(t)}\b", text)
+        }
+        assert ac.matches(text) == want, text
+
+
+@pytest.mark.slow
+def test_bpe_twins_row_identical(spark):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    lit = {
+        tuple(r) for r in qs["text_bpe_encode"](spark, SF).collect()
+    }
+    udf = {
+        tuple(r) for r in qs["text_bpe_encode_udf"](spark, SF).collect()
+    }
+    assert lit == udf
+
+
+@pytest.mark.slow
+def test_keyword_twins_row_identical(spark):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    lit = {
+        tuple(r) for r in qs["curation_keyword_tags"](spark, SF).collect()
+    }
+    ac = {
+        tuple(r) for r in qs["curation_keyword_tags_ac"](spark, SF).collect()
+    }
+    assert lit == ac
