@@ -330,3 +330,45 @@ def sessionization_rollup(spans: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+def activity_points(
+    ev: DataFrame, ts_col: str = "ts", span_minutes: int = 5
+) -> DataFrame:
+    """Boundary points of per-event activity spans: each event opens a
+    ``span_minutes`` interval clipped at midnight (days independent),
+    emitted as (+1 at start, -1 at end) deltas — the input of the
+    classic interval sweep. Shared verbatim by the batch
+    ``window_peak_concurrency`` registry query and the streaming fold
+    sink (stream/batch parity analytic #5): the deltas are associative
+    and commutative, so per-(day, t) partial sums from ANY micro-batch
+    split fold to the identical table."""
+    day = F.col(ts_col).cast("date")
+    end = F.least(
+        F.col(ts_col) + F.expr(f"INTERVAL {int(span_minutes)} MINUTES"),
+        (day + F.expr("INTERVAL 1 DAY")).cast("timestamp"),
+    )
+    starts = ev.select(
+        day.alias("day"), F.col(ts_col).alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        day.alias("day"), end.alias("t"), F.lit(-1).alias("delta")
+    )
+    return starts.unionByName(ends)
+
+
+def peak_sweep(points: DataFrame) -> DataFrame:
+    """Per-day peak of the boundary-point running sum. Input rows are
+    (day, t, delta) where delta may be the raw ±1 points OR their
+    per-(day, t) net fold — the results are identical: with the
+    half-open tie rule (ORDER BY t, delta: -1 peers sum before +1
+    peers) the only intra-instant prefix the net form skips is the
+    one AFTER the -1 group, which is strictly below the pre-instant
+    prefix and therefore never the max. One exchange on the day key,
+    reused by the window and the same-keyed max."""
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    return (
+        points.withColumn("c", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("c").cast("bigint").alias("peak_concurrency"))
+    )

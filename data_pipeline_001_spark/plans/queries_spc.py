@@ -769,22 +769,16 @@ def window_peak_concurrency(spark, sf_dir):
     hierarchical variant (per-hour partial sums + prefix offsets)
     replaces the single in-partition sort; at this workload's shape
     the one-sort form is the faster plan.
+
+    Round-10: the span/sweep pieces are shared verbatim with the
+    streaming fold sink (operators/windows.activity_points /
+    peak_sweep; stream/batch parity analytic #5 in
+    streaming/stream_pipeline.py).
     """
+    from data_pipeline_001_spark.operators.windows import (
+        activity_points,
+        peak_sweep,
+    )
+
     t = load_tables(spark, sf_dir)
-    ev = t["events"].select("ts")
-    day = F.col("ts").cast("date")
-    end = F.least(
-        F.col("ts") + F.expr("INTERVAL 5 MINUTES"),
-        (day + F.expr("INTERVAL 1 DAY")).cast("timestamp"),
-    )
-    starts = ev.select(
-        day.alias("day"), F.col("ts").alias("t"), F.lit(1).alias("delta")
-    )
-    ends = ev.select(day.alias("day"), end.alias("t"), F.lit(-1).alias("delta"))
-    w = Window.partitionBy("day").orderBy("t", "delta")
-    return (
-        starts.unionByName(ends)
-        .withColumn("c", F.sum("delta").over(w))
-        .groupBy("day")
-        .agg(F.max("c").cast("bigint").alias("peak_concurrency"))
-    )
+    return peak_sweep(activity_points(t["events"].select("ts")))

@@ -593,3 +593,54 @@ def dedup_fingerprint_stream_sink(table, text_col: str = "text",
         fold(exact_duplicates(batch_df, text_col, id_col), batch_id)
 
     return handle
+
+
+# ---------------------------------------------------------------------
+# stream/batch parity analytic #5: peak concurrency (round-10)
+# ---------------------------------------------------------------------
+
+
+def activity_events_stream(stream, ts_col: str = "ts"):
+    """Projection feeding the peak-concurrency sink: event timestamps
+    from a raw event stream. No stream state — the maintained
+    boundary-point VersionedTable IS the state (the engagement /
+    sessionization / SPC / dedup design)."""
+    return stream.where(F.col(ts_col).isNotNull()).select(ts_col)
+
+
+def peak_concurrency_stream_sink(table, ts_col: str = "ts",
+                                 span_minutes: int = 5):
+    """foreachBatch handler maintaining the boundary-point delta table
+    behind ``window_peak_concurrency``: the batch operator
+    ``operators.windows.activity_points`` (shared verbatim — same span
+    clip, same half-open deltas) turns each micro-batch into (+1/-1)
+    points, and the fold sink merges them per (day, t) with a SUM —
+    associative and commutative, so ANY micro-batch split of the
+    events folds to the identical table. The downstream
+    ``operators.windows.peak_sweep`` over ``table.read()`` then equals
+    the batch registry query row for row (the net-delta form skips
+    only intra-instant prefixes that can never be the max — proof in
+    peak_sweep's docstring; asserted by the parity test).
+
+    State size: one row per distinct span boundary instant per day —
+    at most 2x events, in practice collapsed by the fold; a 100 TB
+    deployment quantizes ``t`` to a fixed tick (e.g. 1 s), making the
+    table calendar-bounded (86 400 x days keys) with identical sweep
+    semantics at tick resolution. The fold sink's ``max_rows`` guard
+    fails loudly if the key set outgrows the key-sized-table bound
+    instead of silently degrading every micro-batch."""
+    from data_pipeline_001_spark.operators.windows import activity_points
+    from data_pipeline_001_spark.sources.versioned_table import (
+        versioned_stream_fold_sink,
+    )
+
+    fold = versioned_stream_fold_sink(table, ["day", "t"], {"delta": "sum"})
+
+    def handle(batch_df, batch_id: int) -> None:
+        fold(
+            activity_points(batch_df, ts_col=ts_col,
+                            span_minutes=span_minutes),
+            batch_id,
+        )
+
+    return handle
