@@ -191,7 +191,11 @@ _R9_BACKLOG = ("window_peak_concurrency",)
 #: registering the SAME oracles as their literal demo-size forms, so
 #: a green hash row proves the scale path exact. Queue behind the
 #: round-9 pin per the sampling contract.
-_R10_BACKLOG = ("text_bpe_encode_udf", "curation_keyword_tags_ac")
+_R10_BACKLOG = (
+    "text_bpe_encode_udf",
+    "curation_keyword_tags_ac",
+    "text_vocab_tokenize",
+)
 
 
 def _coverage_order(names, oracles=None) -> list[str]:

@@ -1106,3 +1106,101 @@ def keyword_tags_aho_corasick(
     return lowered.mapInPandas(
         tag, schema=f"{id_col} long, tags string, n_tags long"
     )
+
+
+class _VocabTrie:
+    """Prefix trie over a fixed subword vocabulary for greedy
+    LONGEST-MATCH tokenization (the WordPiece/tokenizer APPLY walk):
+    at each position descend as deep as the input matches, remember
+    the deepest terminal, emit it, advance by its length. One O(len x
+    max_token_len) walk per word, independent of vocabulary size —
+    the structure a 30k-entry vocab needs (a per-token scan is one
+    regex/substr probe PER VOCAB ENTRY per position)."""
+
+    def __init__(self, vocab):
+        self.root = {}
+        for tok in vocab:
+            node = self.root
+            for ch in tok:
+                node = node.setdefault(ch, {})
+            node["$"] = True  # terminal marker; '$' is not a letter
+
+    def n_tokens(self, word: str) -> int:
+        """Greedy longest-match token count. Precondition (shared with
+        the SQL oracle): every single character of ``word`` is in the
+        vocabulary, so a match always exists and the walk advances."""
+        n = 0
+        i = 0
+        L = len(word)
+        while i < L:
+            node = self.root
+            best = 0
+            j = i
+            while j < L:
+                node = node.get(word[j])
+                if node is None:
+                    break
+                j += 1
+                if "$" in node:
+                    best = j - i
+            if best == 0:
+                raise ValueError(
+                    f"no vocab token matches at {word[i:]!r} — the "
+                    "vocabulary must cover every single character"
+                )
+            n += 1
+            i += best
+        return n
+
+
+def vocab_tokenize_greedy(
+    docs: DataFrame,
+    vocab: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy longest-match subword tokenization of every [a-z]+ word
+    against a fixed vocabulary — the WordPiece-style APPLY pass of a
+    trained tokenizer, as one Arrow-batched MapInPandas over the scan
+    (zero shuffles). Word extraction stays JVM-side (same lower +
+    regexp as the BPE twins); the trie builds once per executor; the
+    per-word walk is LRU-cached across the Zipf word stream. Output
+    per doc: word count, greedy token count, tokens/word — matched
+    exactly by a DuckDB RECURSIVE-CTE oracle that advances each word
+    by MAX(length(tok)) over matching vocab entries (identical greedy
+    semantics, engine-independently deterministic because the longest
+    matching token is unique per position)."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    words = docs.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)").alias(
+            "_words"
+        ),
+    ).where(F.size("_words") > 0)
+
+    def tokenize(batches):
+        from functools import lru_cache
+
+        trie = _VocabTrie(vocab)
+        n_tok = lru_cache(maxsize=65536)(trie.n_tokens)
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (doc_id, len(ws), sum(n_tok(w) for w in ws))
+                for doc_id, ws in zip(pdf[id_col], pdf["_words"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_words", "n_tokens"]
+            )
+
+    out = words.mapInPandas(
+        tokenize, schema=f"{id_col} long, n_words long, n_tokens long"
+    )
+    return out.withColumn(
+        "tokens_per_word",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 6),
+    )

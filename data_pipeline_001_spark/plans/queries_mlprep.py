@@ -3103,3 +3103,59 @@ def curation_keyword_tags_ac(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return keyword_tags_aho_corasick(t["documents"], _TAG_KEYWORDS)
+
+
+# Greedy longest-match vocabulary (WordPiece-style apply): all 26
+# letters (guaranteed progress — shared precondition with the oracle)
+# plus common English subwords. Both engines tokenize against the
+# SAME literal list, so the oracle is exact.
+_SUBWORD_VOCAB = tuple("abcdefghijklmnopqrstuvwxyz") + (
+    "the", "and", "ing", "ion", "tion", "ent", "ed", "er", "es", "re",
+    "in", "on", "at", "en", "an", "or", "ti", "st", "ar", "te", "ng",
+    "al", "it", "as", "is", "ha", "et", "se", "ou", "of", "to", "le",
+    "ve", "co", "me", "de", "hi", "ri", "ro", "ic",
+)
+
+_VOCAB_TOKENIZE_ORACLE = """
+WITH RECURSIVE vocab(tok) AS (
+  SELECT unnest([{toks}])
+), words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), step AS (
+  SELECT doc_id, w, 1 AS pos, 0 AS n_tok FROM words
+  UNION ALL
+  SELECT doc_id, w,
+         pos + (SELECT MAX(length(v.tok)) FROM vocab v
+                WHERE v.tok = substr(w, pos, length(v.tok))),
+         n_tok + 1
+  FROM step WHERE pos <= length(w)
+), done AS (
+  SELECT doc_id, n_tok FROM step WHERE pos = length(w) + 1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS tokens_per_word
+FROM done GROUP BY doc_id
+""".format(toks=", ".join(f"'{t}'" for t in _SUBWORD_VOCAB))
+
+
+@query("text_vocab_tokenize", _VOCAB_TOKENIZE_ORACLE)
+def text_vocab_tokenize(spark, sf_dir):
+    """Greedy longest-match subword tokenization against a fixed
+    vocabulary (the WordPiece-style APPLY walk; the third member of
+    the tokenizer family after BPE train/encode): one trie walk per
+    word via Arrow-batched MapInPandas
+    (operators/text_analysis.vocab_tokenize_greedy), cost independent
+    of vocabulary size. The DuckDB oracle implements the IDENTICAL
+    greedy semantics as a recursive CTE (advance each word position by
+    the longest matching vocab entry; single letters guarantee
+    progress), so the hash gate is an exact equality check of the
+    greedy walk itself."""
+    from data_pipeline_001_spark.operators.text_analysis import (
+        vocab_tokenize_greedy,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return vocab_tokenize_greedy(t["documents"], _SUBWORD_VOCAB)

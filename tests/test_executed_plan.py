@@ -134,15 +134,27 @@ def test_customer_join_above_ceiling_executes_scan_local(aqe_spark, registry):
     aqe_spark.conf.set(
         "spark.sql.autoBroadcastJoinThreshold", str(128 * 1024)
     )
-    plan = _run(registry, aqe_spark, "q03_shipping_priority_bucketed")
-    exchanges = [
-        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
-    ]
-    assert exchanges, "expected the demoted dim join's fact-side exchange"
-    assert any("o_custkey" in ln for ln in exchanges), exchanges
-    for ln in exchanges:
-        assert "c_custkey" not in ln, f"customer side shuffled: {ln}"
-        assert "l_orderkey" not in ln and "o_orderkey" not in ln, ln
+    for name in (
+        "q03_shipping_priority_bucketed",
+        "q05_nation_revenue_bucketed",
+        "q10_returned_revenue_bucketed",
+    ):
+        plan = _run(registry, aqe_spark, name)
+        exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert exchanges, (
+            f"{name}: expected the demoted dim join's fact-side exchange"
+        )
+        assert any("o_custkey" in ln for ln in exchanges), (name, exchanges)
+        for ln in exchanges:
+            assert "c_custkey" not in ln, f"{name} customer side shuffled: {ln}"
+            assert "l_orderkey" not in ln and "o_orderkey" not in ln, (
+                name,
+                ln,
+            )
 
 
 def test_plain_q05_fact_join_executes_as_shuffled_hash(aqe_spark, registry):

@@ -123,3 +123,43 @@ def test_keyword_twins_row_identical(spark):
         tuple(r) for r in qs["curation_keyword_tags_ac"](spark, SF).collect()
     }
     assert lit == ac
+
+
+def _greedy_ref(word, vocab):
+    """Reference greedy longest-match: max-length vocab probe at each
+    position — O(|vocab|) per position, the thing the trie avoids."""
+    n = 0
+    i = 0
+    while i < len(word):
+        best = max(
+            (len(t) for t in vocab if word.startswith(t, i)), default=0
+        )
+        assert best > 0
+        n += 1
+        i += best
+    return n
+
+
+def test_vocab_trie_matches_bruteforce_greedy_fuzz():
+    from data_pipeline_001_spark.operators.text_analysis import _VocabTrie
+    from data_pipeline_001_spark.plans.queries_mlprep import _SUBWORD_VOCAB
+
+    trie = _VocabTrie(_SUBWORD_VOCAB)
+    rng = random.Random(13)
+    alphabet = "theinaordsc"
+    words = ["the", "theorist", "ingestion", "a", "", "zzzz"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        for _ in range(3000)
+    ]
+    for w in words:
+        if not w:
+            continue
+        assert trie.n_tokens(w) == _greedy_ref(w, _SUBWORD_VOCAB), w
+
+
+def test_vocab_trie_rejects_uncovered_char():
+    from data_pipeline_001_spark.operators.text_analysis import _VocabTrie
+
+    trie = _VocabTrie(("a", "b", "ab"))
+    with pytest.raises(ValueError):
+        trie.n_tokens("abc")
