@@ -39,9 +39,25 @@ def _warm_up(spark, sf_dir: str) -> None:
     in the plan gate (load_tables' parquet footer reads ran inside the
     first query's job group) but not here: the r09 sweep recorded
     q01_pricing_summary at 6.93 s vs 1.10 s in r08 — a 6.3x phantom
-    regression that would mask a real one."""
+    regression that would mask a real one.
+
+    Round-10 addition, same bug class: the FIRST Arrow/Pandas-UDF
+    query in a JVM pays the Python worker-pool spawn + Arrow codepath
+    init — measured 13.1 s first-run vs 2.0 s steady-state on
+    dedup_minhash_lsh at sf1, which made isolated fresh-JVM
+    re-measures of Arrow-heavy queries meaningless. One trivial
+    32-partition Arrow job pre-spawns the pool so timed queries
+    measure plans, not interpreter startup. (r10's committed sweep
+    predates this — expect the first Arrow-heavy entry in sweep order
+    to show a one-off improvement in r11.)"""
     load_tables(spark, sf_dir)
     spark.range(1).count()  # scheduler/codegen first-job cost
+
+    def _touch(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(0, 32, 1, 32).mapInPandas(_touch, "id long").count()
 
 
 def main() -> None:
