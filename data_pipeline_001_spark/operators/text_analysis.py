@@ -927,6 +927,27 @@ def _bpe_encode_n_tokens(word: str, merges: tuple, ranks: dict) -> int:
     return len(toks)
 
 
+def _validate_merge_order(merges: tuple) -> None:
+    """Raise ValueError unless ``merges`` is valid ordered: every rule
+    that USES a composite token ranks strictly after the rule that
+    CREATES it. With several creators of the same composite string,
+    the LAST (highest-rank) creator is the binding one — all creators
+    must precede every user for the heap's ascending-rank replay to
+    equal the chained one-pass-per-rule form."""
+    creator = {}  # composite string -> highest creating rank
+    for r, (a, b) in enumerate(merges):
+        creator[a + b] = r
+    for r, (a, b) in enumerate(merges):
+        for side in (a, b):
+            cr = creator.get(side)
+            if cr is not None and cr >= r:
+                raise ValueError(
+                    f"merge table is not valid ordered: rule {r} "
+                    f"({a!r}, {b!r}) uses composite {side!r} created "
+                    f"by rule {cr}; the creator must rank first"
+                )
+
+
 def bpe_encode_ranked(
     docs: DataFrame,
     merges: tuple,
@@ -943,11 +964,21 @@ def bpe_encode_ranked(
     the whole path is one MapInPandas over the scan — zero shuffles
     before the caller's aggregation. Output: per-doc word/char-token/
     BPE-token counts + compression, bit-identical to the chained twin
-    (same oracle, parity-tested)."""
+    (same oracle, parity-tested).
+
+    Precondition (validated at entry, round-11 advice): the merge
+    table must be VALID ORDERED — any rule whose pair contains the
+    composite ``a+b`` of rule (a, b) at rank r must itself have rank
+    > r. BPE training produces this by construction (a pair can only
+    become frequent after its parts exist); the rank-heap encoder
+    relies on it to reproduce apply-each-rule-once-in-order semantics,
+    so an arbitrary/hand-edited table raises loudly here instead of
+    silently diverging from the chained-replace oracle."""
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
     from pyspark.sql import functions as F
 
+    _validate_merge_order(merges)
     ranks = {pair: i for i, pair in enumerate(merges)}
     words = docs.select(
         F.col(id_col),
@@ -1006,6 +1037,19 @@ class _AhoCorasick:
     registry form (fine at 10 terms, unusable at 10k)."""
 
     def __init__(self, terms):
+        # Precondition (round-11 advice): the boundary check in
+        # ``matches`` anchors \b at the term's FIRST and LAST chars
+        # assuming both are ASCII word chars; a term with leading/
+        # trailing punctuation would silently diverge from the
+        # per-term \b-regex twin (regex \b next to a non-word char
+        # anchors differently), so reject it loudly here.
+        for term in terms:
+            if not term or term[0] not in self._WORDCHAR or term[-1] not in self._WORDCHAR:
+                raise ValueError(
+                    f"dictionary term {term!r} must start and end with "
+                    "an ASCII word character [0-9A-Za-z_] for \\b "
+                    "boundary semantics to match the regex twin"
+                )
         self.goto = [{}]
         self.out = [()]
         self.fail = [0]

@@ -69,11 +69,15 @@ _SIG_NAME = "_SRC_SIGNATURE.json"
 
 def _src_signature(src_path: str) -> list[list]:
     """Identity of the source parquet: per file (relpath, size,
-    mtime_ns, crc32 of the first+last 64 KiB). Size+mtime alone can
-    survive a timestamp-preserving restore of DIFFERENT data; parquet
-    bytes (footer stats, dictionary pages) essentially never do, so
-    the 128 KiB head/tail fingerprint closes that hole without
-    hashing multi-GB files."""
+    crc32 of the first+last 64 KiB). Size alone can survive a
+    timestamp-preserving restore of DIFFERENT data; parquet bytes
+    (footer stats, dictionary pages) essentially never do, so the
+    128 KiB head/tail fingerprint closes that hole without hashing
+    multi-GB files. Deliberately NO mtime field (round-11 advice):
+    mtime is not content identity, and embedding it forced a full
+    rebucket on metadata-only changes (a ``touch`` that keeps the
+    source older than _SUCCESS); staleness ORDERING is a separate
+    check in ``_bucket_files_complete``."""
     import zlib
 
     files = []
@@ -91,8 +95,23 @@ def _src_signature(src_path: str) -> list[list]:
             if st.st_size > 65536:
                 fh.seek(max(0, st.st_size - 65536))
                 crc = zlib.crc32(fh.read(65536), crc)
-        sig.append([os.path.relpath(p, src_path), st.st_size, st.st_mtime_ns, crc])
+        sig.append([os.path.relpath(p, src_path), st.st_size, crc])
     return sig
+
+
+def _sig_matches(recorded, current) -> bool:
+    """Lenient signature equality: compare (relpath, size, crc) only.
+    Round-10 sidecars carried a 4th mtime_ns field; normalizing both
+    sides to the 3 content fields keeps those layouts valid without a
+    spurious multi-GB rebucket (crc is always the LAST element in
+    both formats)."""
+    def norm(sig):
+        return [[e[0], e[1], e[-1]] for e in sig]
+
+    try:
+        return norm(recorded) == norm(current)
+    except (TypeError, IndexError):
+        return False
 
 
 def _bucket_files_complete(path: str, buckets: int, src_path: str) -> bool:
@@ -102,11 +121,16 @@ def _bucket_files_complete(path: str, buckets: int, src_path: str) -> bool:
     with no duplicates and no stray higher-numbered suffixes (bucketed
     file names carry the ``_NNNNN`` bucket suffix:
     ``part-...._00042....parquet``) — AND the layout derives from the
-    CURRENT source parquet. Freshness is two checks: mtime ordering
-    (_SUCCESS newer than every source file — catches in-place
-    regeneration) and, when the ``_SRC_SIGNATURE.json`` sidecar
-    exists, exact equality of the recorded source signature (catches
-    a timestamp-preserving restore mtime ordering cannot see). The
+    CURRENT source parquet. Freshness is two checks, BOTH required:
+    mtime ordering (_SUCCESS newer than every source file — catches
+    in-place regeneration) and content equality of the recorded
+    ``_SRC_SIGNATURE.json`` sidecar against the live source (catches
+    a timestamp-preserving restore mtime ordering cannot see). A
+    layout with NO sidecar is rejected outright (round-11 advice: the
+    old grandfather path recorded the signature at first
+    post-upgrade registration, not at materialization — a
+    timestamp-preserving restore in that window would have been
+    permanently legitimized; rebuilding once is the safe close). The
     duplicate-id check matters because a multi-file-per-bucket layout
     (the pre-round-8 write pathology) would pass a distinct-id count
     yet reinstate the 3-7x small-file scan penalty AND break the
@@ -124,14 +148,13 @@ def _bucket_files_complete(path: str, buckets: int, src_path: str) -> bool:
     if os.path.getmtime(success) <= src_mtime:
         return False
     sig_path = os.path.join(path, _SIG_NAME)
-    if os.path.exists(sig_path):
-        try:
-            with open(sig_path) as fh:
-                recorded = json.load(fh)
-        except (OSError, ValueError):
-            return False
-        if recorded != _src_signature(src_path):
-            return False
+    try:
+        with open(sig_path) as fh:
+            recorded = json.load(fh)
+    except (OSError, ValueError):
+        return False  # absent/corrupt sidecar: rebuild, never grandfather
+    if not _sig_matches(recorded, _src_signature(src_path)):
+        return False
     ids = []
     for f in os.listdir(path):
         m = re.match(r"part-\d+-.*_(\d{5})(?:\.|-)", f)
@@ -198,12 +221,6 @@ def ensure_bucketed(
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                 f"INTO {buckets} BUCKETS LOCATION '{loc}'"
             )
-            if not os.path.exists(sig_path):
-                # grandfather a pre-sidecar layout that passed the
-                # mtime-ordering check: record the signature NOW so
-                # every future reuse gets the stronger equality check
-                with open(sig_path, "w") as fh:
-                    json.dump(_src_signature(src), fh)
             continue
         # incomplete/stale layout: it is our own derived artifact, so
         # rebuild it from the source parquet

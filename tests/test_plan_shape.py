@@ -412,15 +412,32 @@ def test_bucket_validation_rejects_multifile_and_restored_source(spark, tmp_path
     with open(sig_path) as fh:
         sig = json.load(fh)
     assert sig, "materialization must record a non-empty source signature"
-    sig[0][3] ^= 1  # flip one crc bit: 'the source bytes changed'
+    sig[0][-1] ^= 1  # flip one crc bit: 'the source bytes changed'
     with open(sig_path, "w") as fh:
         json.dump(sig, fh)
     assert _bucket_files_complete(loc, buckets, src) is False
     # restore the true signature; the layout is reusable again
-    sig[0][3] ^= 1
+    sig[0][-1] ^= 1
     with open(sig_path, "w") as fh:
         json.dump(sig, fh)
     assert _bucket_files_complete(loc, buckets, src) is True
+
+    # (c) round-11 advice closes: an ABSENT sidecar is rejected (the
+    # old grandfather path could permanently legitimize a
+    # timestamp-preserving restore), and a round-10 4-field sidecar
+    # (with mtime_ns at index 2) still matches leniently — no
+    # spurious multi-GB rebucket on the format upgrade.
+    os.rename(sig_path, sig_path + ".bak")
+    try:
+        assert _bucket_files_complete(loc, buckets, src) is False
+    finally:
+        os.rename(sig_path + ".bak", sig_path)
+    legacy = [[e[0], e[1], 0, e[-1]] for e in sig]  # old format, fake mtime
+    with open(sig_path, "w") as fh:
+        json.dump(legacy, fh)
+    assert _bucket_files_complete(loc, buckets, src) is True
+    with open(sig_path, "w") as fh:
+        json.dump(sig, fh)
 
 
 def test_bucketed_reregistration_rejects_stale_layout(spark, tmp_path):

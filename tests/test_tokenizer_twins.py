@@ -163,3 +163,36 @@ def test_vocab_trie_rejects_uncovered_char():
     trie = _VocabTrie(("a", "b", "ab"))
     with pytest.raises(ValueError):
         trie.n_tokens("abc")
+
+
+def test_bpe_merge_table_order_validated():
+    """Round-11 advice: bpe_encode_ranked's heap replay is only
+    equivalent to the chained oracle on a VALID ORDERED merge table
+    (creators before users). An out-of-order table must raise at
+    operator entry, not silently diverge."""
+    from data_pipeline_001_spark.operators.text_analysis import (
+        _validate_merge_order,
+    )
+
+    # valid: composite "th" created at 0, used at 1
+    _validate_merge_order((("t", "h"), ("th", "e")))
+    # invalid: rule 0 uses "th" before rule 1 creates it
+    with pytest.raises(ValueError, match="valid ordered"):
+        _validate_merge_order((("th", "e"), ("t", "h")))
+    # invalid: a LATER duplicate creator of "ab" (rank 2) means the
+    # user at rank 1 runs before the last creation — the heap replay
+    # and the chain diverge, so ALL creators must precede every user
+    with pytest.raises(ValueError, match="valid ordered"):
+        _validate_merge_order((("a", "b"), ("ab", "x"), ("a", "b")))
+
+
+def test_aho_corasick_rejects_nonword_term_edges():
+    """Round-11 advice: the AC boundary check assumes every term
+    starts/ends with an ASCII word char; punctuation-edged terms
+    would diverge from the \\b-regex twin and must raise."""
+    from data_pipeline_001_spark.operators.text_analysis import _AhoCorasick
+
+    _AhoCorasick(("spark", "data_pipeline", "k8s"))  # fine
+    for bad in ("-dash", "dash-", "", ".dot", "quo'"):
+        with pytest.raises(ValueError):
+            _AhoCorasick(("ok", bad))
