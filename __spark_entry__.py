@@ -197,6 +197,18 @@ _R10_BACKLOG = (
     "text_vocab_tokenize",
 )
 
+#: round 11 adds the three denormalized-fact headliner twins — the
+#: second (custkey-clustered) lineitem layout that removes the last
+#: structural exchange. Each registers the SAME oracle as its plain
+#: and orderkey-bucketed twins, so a green hash row proves the layout
+#: changed only the physical plan. Queue behind the round-10 pin per
+#: the sampling contract.
+_R11_BACKLOG = (
+    "q03_shipping_priority_denorm",
+    "q05_nation_revenue_denorm",
+    "q10_returned_revenue_denorm",
+)
+
 
 def _coverage_order(names, oracles=None) -> list[str]:
     """Queries with no driver CORRECTNESS row from any past round come
@@ -245,6 +257,7 @@ def _coverage_order(names, oracles=None) -> list[str]:
     r8 = {n: i for i, n in enumerate(_R8_BACKLOG)}
     r9 = {n: i for i, n in enumerate(_R9_BACKLOG)}
     r10 = {n: i for i, n in enumerate(_R10_BACKLOG)}
+    r11 = {n: i for i, n in enumerate(_R11_BACKLOG)}
 
     def rank(n: str):
         # the round-5 pinned backlog precedes everything, in its own
@@ -260,6 +273,8 @@ def _coverage_order(names, oracles=None) -> list[str]:
             return (-1, r9[n])
         if n in r10:
             return (-0.5, r10[n])
+        if n in r11:
+            return (-0.25, r11[n])
         if n in r4 and n in oracles:
             return (0, 0)
         if n in oracles and n in seen:

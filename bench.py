@@ -487,6 +487,19 @@ def main() -> None:
         compact["big_total_s"] = result["big"]["total_s"]
     if "huge" in result:
         compact["huge_total_s"] = result["huge"]["total_s"]
+    # round-11: the headline artifact carries its OWN same-session
+    # DuckDB reference. Two rounds running, the driver's snapshot and
+    # same-day HEAD refreshes disagreed by 10%+ from VM day-state
+    # alone; interleaved DuckDB totals move WITH the VM, so the
+    # ratio line stays comparable across days even when absolute
+    # seconds are not.
+    if duck:
+        compact["duckdb_total_s"] = round(sum(duck.values()), 3)
+        compact["ratios"] = {
+            n: p["ratio"]
+            for n, p in result["per_query"].items()
+            if p["ratio"]
+        }
     ratios = [
         p["ratio"] for p in result["per_query"].values() if p["ratio"]
     ]
@@ -495,9 +508,11 @@ def main() -> None:
             sorted(ratios)[len(ratios) // 2], 2
         )
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # still too fat? drop to totals only
-        compact.pop("queries", None)
-        line = json.dumps(compact, separators=(",", ":"))
+    # driver captures a bounded stdout tail: shed detail, never totals
+    for drop in ("ratios", "queries"):
+        if len(line) > 1900:
+            compact.pop(drop, None)
+            line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

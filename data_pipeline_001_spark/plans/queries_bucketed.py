@@ -114,6 +114,22 @@ def _sig_matches(recorded, current) -> bool:
         return False
 
 
+def _srcs_signature(src_paths) -> list[list]:
+    """Signature over one or several source tables. A single path keeps
+    the round-10 sidecar key format (relpath within the source) so
+    existing layouts stay valid; multiple paths (the denormalized
+    layout derives from lineitem AND orders) prefix each entry with
+    the source's basename so same-named part files cannot collide."""
+    if isinstance(src_paths, str):
+        return _src_signature(src_paths)
+    sig = []
+    for src in src_paths:
+        base = os.path.basename(src.rstrip("/"))
+        for e in _src_signature(src):
+            sig.append([base + "/" + e[0]] + e[1:])
+    return sig
+
+
 def _bucket_files_complete(path: str, buckets: int, src_path: str) -> bool:
     """True iff ``path`` holds a complete one-file-per-bucket layout
     from a prior session's ``saveAsTable`` — the _SUCCESS marker plus
@@ -138,13 +154,17 @@ def _bucket_files_complete(path: str, buckets: int, src_path: str) -> bool:
     success = os.path.join(path, "_SUCCESS")
     if not os.path.isdir(path) or not os.path.exists(success):
         return False
+    srcs = [src_path] if isinstance(src_path, str) else list(src_path)
     src_mtime = 0.0
-    if os.path.isdir(src_path):
-        for r, _d, fs in os.walk(src_path):
-            for f in fs:
-                src_mtime = max(src_mtime, os.path.getmtime(os.path.join(r, f)))
-    elif os.path.exists(src_path):
-        src_mtime = os.path.getmtime(src_path)
+    for src in srcs:
+        if os.path.isdir(src):
+            for r, _d, fs in os.walk(src):
+                for f in fs:
+                    src_mtime = max(
+                        src_mtime, os.path.getmtime(os.path.join(r, f))
+                    )
+        elif os.path.exists(src):
+            src_mtime = max(src_mtime, os.path.getmtime(src))
     if os.path.getmtime(success) <= src_mtime:
         return False
     sig_path = os.path.join(path, _SIG_NAME)
@@ -153,7 +173,7 @@ def _bucket_files_complete(path: str, buckets: int, src_path: str) -> bool:
             recorded = json.load(fh)
     except (OSError, ValueError):
         return False  # absent/corrupt sidecar: rebuild, never grandfather
-    if not _sig_matches(recorded, _src_signature(src_path)):
+    if not _sig_matches(recorded, _srcs_signature(src_path)):
         return False
     ids = []
     for f in os.listdir(path):
@@ -415,4 +435,218 @@ def q05_bucketed(spark, sf_dir):
         .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the SECOND fact layout — lineitem denormalized with its
+# order's drive columns, clustered by o_custkey. The orderkey-bucketed
+# layout left exactly one structural >2x residual at sf100: after the
+# exchange-free per-order pre-agg + fact join, the result is clustered
+# on orderkey but every customer-facing consumer (q03's customer
+# filter join, q05's nation rollup, q10's per-customer ranking) needs
+# o_custkey clustering — an irreducible ~1-row-per-order exchange that
+# three measured rewrites (r9-r10, tools/ab_sf100_dim.py) could not
+# remove. The structural fix is the storage-for-shuffle trade a 100 TB
+# deployment makes for its hottest join: carry o_custkey (plus
+# o_orderdate/o_orderpriority) ON the lineitem row at write time and
+# cluster THAT layout by o_custkey. Every custkey-keyed plan is then
+# bucket-local end-to-end: groupBy(o_custkey, ...) runs on the scan's
+# own distribution (HashPartitioning(o_custkey) satisfies any
+# grouping that CONTAINS o_custkey — orders nest inside customers, so
+# per-order rollups qualify by adding the functionally-determined
+# custkey to the grouping), and the customer join lines up with the
+# round-10 c_custkey-bucketed dimension with no exchange on either
+# side. Reference analog: the reference clusters its Snowflake drive
+# tables on the pipeline's drive keys (data_pipeline_001
+# main_pipeline_orchestrator.py drive-table DDL); a second clustering
+# of the same fact is the standard warehouse answer when two join
+# keys both matter.
+# ---------------------------------------------------------------------------
+
+
+#: exactly the columns the customer-facing headliners touch — parquet
+#: is columnar so extra width costs write time, not read time, but the
+#: layout is rebuilt whenever the source changes and write time IS the
+#: amortized cost; a deployment would widen this to every column its
+#:.custkey-keyed workload touches
+_DENORM_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderdate",
+    "o_orderpriority",
+    "l_extendedprice",
+    "l_discount",
+    "l_shipdate",
+    "l_returnflag",
+)
+
+
+def ensure_denorm_custkey(spark: SparkSession, sf_dir: str, buckets: int | None = None) -> str:
+    """Materialize ``lineitem ⋈ orders`` (orders' drive columns carried
+    onto each lineitem row) bucketed+sorted by ``o_custkey``.
+
+    Same idempotence/reuse contract as ``ensure_bucketed``: the
+    deterministic per-sf_dir name is re-registered from complete prior
+    files (validated one-file-per-bucket + signature sidecar over BOTH
+    sources), otherwise rebuilt. The join is itself exchange-light at
+    build time when the orderkey-bucketed layouts exist, but
+    correctness does not depend on them — the build reads the plain
+    parquet so the layout derives from (and is signature-checked
+    against) the canonical sources only."""
+    buckets = buckets or _auto_buckets(sf_dir)
+    sfx = _suffix(sf_dir)
+    name = f"lineitem_denorm_cust_{sfx}"
+    if spark.catalog.tableExists(name):
+        return name
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, name)
+    srcs = [
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(sf_dir, "orders.parquet"),
+    ]
+    t = load_tables(spark, sf_dir)
+    denorm = (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+            "l_returnflag",
+        )
+        .join(
+            t["orders"].select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(*_DENORM_COLS)
+    )
+    if _bucket_files_complete(loc, buckets, srcs):
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in denorm.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING parquet "
+            f"CLUSTERED BY (o_custkey) SORTED BY (o_custkey) "
+            f"INTO {buckets} BUCKETS LOCATION '{loc}'"
+        )
+        return name
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
+    (
+        denorm
+        # one file per bucket — same write discipline as ensure_bucketed
+        # (the round-8 multi-file pathology cost 3-7x on the scan)
+        .repartition(buckets, F.col("o_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(name)
+    )
+    with open(os.path.join(loc, _SIG_NAME), "w") as fh:
+        json.dump(_srcs_signature(srcs), fh)
+    return name
+
+
+@query("q03_shipping_priority_denorm", _Q03_ORACLE)
+def q03_denorm(spark, sf_dir):
+    """Q3 over the custkey-clustered denormalized fact: ZERO data
+    exchanges end-to-end. The per-order revenue rollup groups on
+    (o_custkey, o_orderkey, ...) — o_custkey is functionally
+    determined by o_orderkey, so adding it changes no groups while
+    letting the scan's HashPartitioning(o_custkey) satisfy the
+    aggregation's required distribution — and the customer join pairs
+    the agg's retained custkey clustering with the c_custkey-bucketed
+    dimension scan. Only TakeOrderedAndProject's single-partition
+    gather remains, which moves 10 rows."""
+    n = ensure_denorm_custkey(spark, sf_dir)
+    names = ensure_bucketed(spark, sf_dir)
+    cut = F.lit("1998-06-15 00:00:00").cast("timestamp")
+    per_order = (
+        spark.table(n)
+        .where((F.col("l_shipdate") > cut) & (F.col("o_orderdate") < cut))
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    return (
+        per_order.join(
+            spark.table(names["customer"]).where(
+                F.col("c_mktsegment") == "BUILDING"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey",
+            F.round("rev", 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query("q10_returned_revenue_denorm", _Q10_ORACLE)
+def q10_denorm(spark, sf_dir):
+    """Q10 over the custkey-clustered denormalized fact: the
+    per-customer revenue rollup runs directly on the scan's own
+    distribution (no per-order intermediate needed — o_custkey is on
+    every lineitem row) and the customer join is bucket-local against
+    the c_custkey layout. ZERO data exchanges; only the 20-row top-k
+    gather."""
+    n = ensure_denorm_custkey(spark, sf_dir)
+    names = ensure_bucketed(spark, sf_dir)
+    per_cust = (
+        spark.table(n)
+        .where(F.col("l_returnflag") == "R")
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    return (
+        per_cust.join(
+            spark.table(names["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", F.round("rev", 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query("q05_nation_revenue_denorm", _Q05_ORACLE)
+def q05_denorm(spark, sf_dir):
+    """Q5 over the custkey-clustered denormalized fact: region→nation
+    broadcast onto the c_custkey-bucketed customer scan (keeps the
+    bucket distribution), then ONE bucket-local SMJ against the
+    denormalized fact — no fact-side exchange at any scale, which is
+    exactly the exchange q05_bucketed could not remove (3.75x at
+    sf100). The only exchange left is the 25-group n_name rollup of
+    partial aggregates."""
+    n = ensure_denorm_custkey(spark, sf_dir)
+    names = ensure_bucketed(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    nation_asia = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust_asia = (
+        spark.table(names["customer"])
+        .join(
+            F.broadcast(nation_asia),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    return (
+        spark.table(n)
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
     )

@@ -471,3 +471,86 @@ def test_bucketed_reregistration_rejects_stale_layout(spark, tmp_path):
     now = _t.time()
     os.utime(os.path.join(loc, "_SUCCESS"), (now, now))
     assert _bucket_files_complete(loc, buckets, src) is True
+
+
+def test_denorm_custkey_queries_no_fact_exchange(spark, registry):
+    """Round-11 (verdict task 1): the denormalized custkey layout must
+    remove the LAST structural exchange. With every broadcast disabled
+    (the >ceiling regime at any scale): q03/q10 denorm plans contain
+    ZERO shuffle Exchanges — per-customer(/order) rollup and customer
+    join all run on the scans' own bucket distribution; q05 keeps
+    exactly ONE, the 25-group n_name rollup of partial aggregates
+    (bounded by nation count, never by data)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in ("q03_shipping_priority_denorm", "q10_returned_revenue_denorm"):
+            plan = _plan(registry[q](spark, SF))
+            assert _exchange_args(plan) == [], (q, _exchange_args(plan))
+            assert "SortMergeJoin" in plan, q  # customer join co-located
+        plan = _plan(registry["q05_nation_revenue_denorm"](spark, SF))
+        ex = _exchange_args(plan)
+        assert len(ex) == 1 and "n_name" in ex[0], ex
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_denorm_query_reads_denorm_layout(spark, registry):
+    """Round-11 (verdict task 6): the dual orders layouts must not
+    silently drift — q05/q03/q10 denorm plans must SCAN the
+    custkey-clustered denormalized table (not fall back to the
+    orderkey layout or the plain parquet)."""
+    for q in (
+        "q03_shipping_priority_denorm",
+        "q05_nation_revenue_denorm",
+        "q10_returned_revenue_denorm",
+    ):
+        plan = _plan(registry[q](spark, SF))
+        assert "lineitem_denorm_cust_" in plan, q
+        assert "customer_bkt_" in plan, q
+
+
+def test_denorm_layout_staleness_validation(spark):
+    """Round-11 (verdict task 6): the planted-perturbation contract
+    extends to the second fact layout. A perturbed or absent
+    signature sidecar (covering BOTH sources — lineitem and orders)
+    must reject reuse; the restored sidecar must re-validate."""
+    import json
+    import os
+
+    from data_pipeline_001_spark.plans.queries_bucketed import (
+        _SIG_NAME,
+        _auto_buckets,
+        _bucket_files_complete,
+        ensure_denorm_custkey,
+    )
+
+    name = ensure_denorm_custkey(spark, SF)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, name)
+    srcs = [
+        os.path.join(SF, "lineitem.parquet"),
+        os.path.join(SF, "orders.parquet"),
+    ]
+    buckets = _auto_buckets(SF)
+    assert _bucket_files_complete(loc, buckets, srcs) is True
+
+    sig_path = os.path.join(loc, _SIG_NAME)
+    with open(sig_path) as fh:
+        sig = json.load(fh)
+    # the signature must cover BOTH sources, basename-prefixed
+    prefixes = {e[0].split("/", 1)[0] for e in sig}
+    assert prefixes == {"lineitem.parquet", "orders.parquet"}, prefixes
+    # perturb the ORDERS half: 'orders was restored with different bytes'
+    bad = [list(e) for e in sig]
+    idx = next(i for i, e in enumerate(bad) if e[0].startswith("orders"))
+    bad[idx][-1] ^= 1
+    with open(sig_path, "w") as fh:
+        json.dump(bad, fh)
+    assert _bucket_files_complete(loc, buckets, srcs) is False
+    # absent sidecar: rejected outright (no grandfathering)
+    os.remove(sig_path)
+    assert _bucket_files_complete(loc, buckets, srcs) is False
+    with open(sig_path, "w") as fh:
+        json.dump(sig, fh)
+    assert _bucket_files_complete(loc, buckets, srcs) is True
