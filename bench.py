@@ -109,6 +109,12 @@ BUCKETED = [
     "q03_shipping_priority_bucketed",
     "q05_nation_revenue_bucketed",
     "q10_returned_revenue_bucketed",
+    # round-11: the custkey-clustered denormalized twins — the second
+    # fact layout that removes the last structural exchange; measured
+    # at every ladder rung alongside the orderkey-bucketed forms
+    "q03_shipping_priority_denorm",
+    "q05_nation_revenue_denorm",
+    "q10_returned_revenue_denorm",
 ]
 
 HUGE_SEL = [

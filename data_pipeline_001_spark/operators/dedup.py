@@ -162,8 +162,6 @@ def minhash_lsh_pairs(
     and at 100 TB this cap is the difference between a bounded
     per-bucket join and an O(n²) blowup.
     """
-    rows_per_band = num_hashes // bands
-
     # ONE shingle explode + ONE groupBy(id) shuffle feeds both the
     # minhash signatures and the exact-verify shingle sets. The three
     # consumers (banding, verify id_a, verify id_b) prune different
@@ -171,49 +169,41 @@ def minhash_lsh_pairs(
     # per-doc table instead (one row per doc: 32 longs + shingle set;
     # MEMORY_AND_DISK so a 100 TB corpus spills rather than OOMs, and
     # far smaller than re-exploding the corpus per consumer).
-    params = _hash_params(num_hashes, seed)
-    exploded = exploded_shingles(docs, text_col, id_col, shingle_words).select(
-        "id",
-        (F.abs(F.hash("sh")).cast("long") % F.lit(_MERSENNE)).alias("h"),
-    )
-    # verify sets hold HASHED shingles (8-byte longs, not strings):
-    # Jaccard over murmur3-hashed shingles equals string Jaccard up to
-    # vanishing collision probability (~k²/2³¹ per doc), and shrinks
-    # the persisted sets + array_intersect cost several-fold.
-    per_doc = exploded.groupBy("id").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"s{i}")
-            for i, (a, b) in enumerate(params)
-        ],
-        F.collect_set("h").alias("sh_set"),
+    # Round-11: the per-doc pass and the pair extraction are split so
+    # the streaming fold sink (minhash_signature_stream_sink) can
+    # maintain the per-doc table incrementally and share the EXACT
+    # extraction code — per-doc rows are a pure per-document function,
+    # the associative/fold-able half of the operator.
+    per_doc = _minhash_per_doc(
+        docs, text_col, id_col, num_hashes, shingle_words, seed
     )
     from pyspark import StorageLevel
 
     per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = per_doc.select(
-        "id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig")
+    return minhash_pairs_from_per_doc(
+        per_doc,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
     )
 
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.element_at("sig", i * rows_per_band + j + 1).cast("string")
-                                for j in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+
+def minhash_pairs_from_per_doc(
+    per_doc: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """Near-dup pairs from a (id, sig, sh_set) per-doc minhash table —
+    the extraction half of ``minhash_lsh_pairs``, shared verbatim by
+    the batch operator and the streaming-maintained signature table
+    (the per-doc table is the fold state; banding, the bucket-capped
+    self-join, and the exact Jaccard verify are deterministic
+    functions of it, so stream and batch agree row for row)."""
+    rows_per_band = num_hashes // bands
+    banded = _banded_buckets(per_doc.select("id", "sig"), bands, rows_per_band)
 
     if max_bucket_size:
         from pyspark.sql import Window

@@ -644,3 +644,56 @@ def peak_concurrency_stream_sink(table, ts_col: str = "ts",
         )
 
     return handle
+
+
+# ---------------------------------------------------------------------
+# stream/batch parity analytic #6: MinHash near-dup (round-11)
+# ---------------------------------------------------------------------
+
+
+def minhash_signature_stream_sink(table, text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  num_hashes: int = 32,
+                                  shingle_words: int = 3,
+                                  seed: int = 42):
+    """foreachBatch handler maintaining the per-doc MinHash table
+    behind ``dedup_minhash_lsh``: the batch helper
+    ``operators.dedup._minhash_per_doc`` (shared verbatim — same
+    shingling, same murmur3 base hash, same (a·h+b) mod p signature
+    rows, same hashed-shingle verify sets) turns each micro-batch into
+    (id, sig, sh_set) rows, and the fold sink merges them by id. The
+    per-doc row is a PURE per-document function — each document
+    contributes exactly one row regardless of the micro-batch split —
+    so the min-fold is the identity on first delivery and makes a
+    replayed document deterministic (same text ⇒ same sig; sh_set
+    arrays may differ only in collect_set order, which the
+    order-insensitive downstream set ops ignore).
+
+    Downstream, ``operators.dedup.minhash_pairs_from_per_doc`` over
+    ``table.read()`` — the SAME extraction code the batch operator
+    runs on its persisted per-doc table — yields the identical
+    verified pair set, row for row (asserted by the parity test).
+    Scale shape: the O(corpus) text processing (shingle explode +
+    signature groupBy) streams once per document; the maintained
+    table is one row per document (32 longs + the hashed shingle
+    set), the same artifact ``minhash_incremental`` treats as the
+    precomputed corpus side of its ingest gate — this sink is what
+    keeps that corpus side current between ingests."""
+    from data_pipeline_001_spark.operators.dedup import _minhash_per_doc
+    from data_pipeline_001_spark.sources.versioned_table import (
+        versioned_stream_fold_sink,
+    )
+
+    fold = versioned_stream_fold_sink(
+        table, ["id"], {"sig": "min", "sh_set": "min"}
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        fold(
+            _minhash_per_doc(
+                batch_df, text_col, id_col, num_hashes, shingle_words, seed
+            ),
+            batch_id,
+        )
+
+    return handle

@@ -1034,3 +1034,64 @@ def test_peak_concurrency_stream_batch_parity(spark, tables, tmp_path):
         )
     )
     assert got == want
+
+
+def test_minhash_stream_batch_parity(spark, tables, tmp_path):
+    """Round-11 (verdict task 5): the SIXTH stream/batch parity
+    analytic. The per-doc MinHash table maintained incrementally by
+    the fold sink (shared ``_minhash_per_doc`` rows, exactly-once via
+    batch_id-on-the-manifest) must yield — through the SAME
+    ``minhash_pairs_from_per_doc`` extraction the batch operator
+    uses — the identical verified near-dup pair set as the batch
+    ``minhash_lsh_pairs`` over the same corpus, row for row, under an
+    arbitrary micro-batch split (repartition scatters a copy and its
+    original across different batches; the per-doc fold absorbs any
+    split because each row is a pure per-document function)."""
+    from data_pipeline_001_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_pairs_from_per_doc,
+    )
+    from data_pipeline_001_spark.sources.versioned_table import VersionedTable
+    from data_pipeline_001_spark.streaming.stream_pipeline import (
+        dedup_documents_stream,
+        minhash_signature_stream_sink,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+
+    src = str(tmp_path / "src")
+    corpus.repartition(4).write.parquet(src)
+    vt = VersionedTable(spark, str(tmp_path / "sigs"))
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    handler = minhash_signature_stream_sink(vt)
+    q = (
+        dedup_documents_stream(stream)
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    committed = [m for m in vt.history() if "batch_id" in m]
+    assert len(committed) >= 2, "want multiple micro-batches folded"
+
+    # exactly-once: replaying a committed batch_id is a no-op
+    v_before = vt.current_version()
+    handler(corpus.limit(5), committed[0]["batch_id"])
+    assert vt.current_version() == v_before
+
+    # the maintained table is keyed: one row per shingleable doc
+    sigs = vt.read()
+    assert sigs.count() == sigs.select("id").distinct().count()
+
+    got = sorted(map(tuple, minhash_pairs_from_per_doc(sigs).collect()))
+    want = sorted(map(tuple, minhash_lsh_pairs(corpus).collect()))
+    assert got, "planted verbatim copies must surface as pairs"
+    assert got == want

@@ -128,6 +128,21 @@ def main() -> None:
             .agg(F.round(F.sum("rev"), 2).alias("revenue"))
         )
 
+    # round-11: the denormalized custkey layout vs the orderkey-bucketed
+    # form, per headliner — the structural A/B behind verdict task 1.
+    # Uses the registry callables so the measured plan IS the shipped
+    # plan; ensure_denorm_custkey materializes lazily on first call
+    # (one-time, excluded from timing by the warm-up run below).
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def _pair(q: str):
+        return (
+            ("denorm", lambda: qs[f"{q}_denorm"](spark, sf_dir)),
+            ("bucketed", lambda: qs[f"{q}_bucketed"](spark, sf_dir)),
+        )
+
     experiments = {
         "q03_customer": (
             ("bucketed_cust", lambda: q03(spark.table(names["customer"]))),
@@ -137,6 +152,9 @@ def main() -> None:
             ("current", q05_current),
             ("precust", q05_precust),
         ),
+        "denorm_q03": _pair("q03_shipping_priority"),
+        "denorm_q05": _pair("q05_nation_revenue"),
+        "denorm_q10": _pair("q10_returned_revenue"),
     }
     run = experiments if which == "all" else {which: experiments[which]}
     _noop(spark.table(names["lineitem"]).groupBy("l_returnflag").count())
