@@ -36,7 +36,14 @@ from data_pipeline_001_spark.plans.queries import _rev, query
 from data_pipeline_001_spark.session import load_tables
 
 def _suffix(sf_dir: str) -> str:
-    return re.sub(r"[^0-9a-z]+", "_", sf_dir.strip("/").lower())
+    """Deterministic per-sf_dir table-name suffix. abspath first
+    (round-11): a RELATIVE invocation (`.benchdata/sf100`) must map to
+    the same layout as the absolute one — without normalization it
+    silently rebuilt ~17 GB of duplicate layouts under a second name
+    and filled the disk."""
+    return re.sub(
+        r"[^0-9a-z]+", "_", os.path.abspath(sf_dir).strip("/").lower()
+    )
 
 
 def _auto_buckets(sf_dir: str) -> int:
@@ -489,11 +496,12 @@ def ensure_denorm_custkey(spark: SparkSession, sf_dir: str, buckets: int | None 
     Same idempotence/reuse contract as ``ensure_bucketed``: the
     deterministic per-sf_dir name is re-registered from complete prior
     files (validated one-file-per-bucket + signature sidecar over BOTH
-    sources), otherwise rebuilt. The join is itself exchange-light at
-    build time when the orderkey-bucketed layouts exist, but
-    correctness does not depend on them — the build reads the plain
-    parquet so the layout derives from (and is signature-checked
-    against) the canonical sources only."""
+    sources), otherwise rebuilt. The build join reads the validated
+    orderkey-bucketed layouts when they already exist (exchange-free
+    join; never triggers their build) and falls back to the plain
+    parquet; either way the layout's recorded identity is the
+    canonical source parquet, which the bucketed layouts are
+    themselves signature-checked against."""
     buckets = buckets or _auto_buckets(sf_dir)
     sfx = _suffix(sf_dir)
     name = f"lineitem_denorm_cust_{sfx}"
@@ -506,8 +514,28 @@ def ensure_denorm_custkey(spark: SparkSession, sf_dir: str, buckets: int | None 
         os.path.join(sf_dir, "orders.parquet"),
     ]
     t = load_tables(spark, sf_dir)
+    # Build-time source: prefer the validated orderkey-bucketed
+    # layouts when they ALREADY exist — the build join is then
+    # exchange-free (both sides scan-clustered on orderkey; only the
+    # final custkey repartition shuffles), which at sf100 halves the
+    # build's shuffle volume. Never triggered from here: a fresh
+    # environment builds from the plain parquet rather than paying a
+    # 17 GB bucketed rewrite it didn't ask for. Either source holds
+    # identical rows (the bucketed layouts are signature-validated
+    # against the same parquet), so the result is byte-equivalent.
+    sources = {}
+    for tbl in ("lineitem", "orders"):
+        bkt = f"{tbl}_bkt_{sfx}"
+        bkt_loc = os.path.join(wh, bkt)
+        bkt_src = os.path.join(sf_dir, f"{tbl}.parquet")
+        if spark.catalog.tableExists(bkt) or _bucket_files_complete(
+            bkt_loc, buckets, bkt_src
+        ):
+            sources[tbl] = spark.table(ensure_bucketed(spark, sf_dir)[tbl])
+        else:
+            sources[tbl] = t[tbl]
     denorm = (
-        t["lineitem"]
+        sources["lineitem"]
         .select(
             "l_orderkey",
             "l_extendedprice",
@@ -516,7 +544,7 @@ def ensure_denorm_custkey(spark: SparkSession, sf_dir: str, buckets: int | None 
             "l_returnflag",
         )
         .join(
-            t["orders"].select(
+            sources["orders"].select(
                 "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),

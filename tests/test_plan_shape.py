@@ -554,3 +554,16 @@ def test_denorm_layout_staleness_validation(spark):
     with open(sig_path, "w") as fh:
         json.dump(sig, fh)
     assert _bucket_files_complete(loc, buckets, srcs) is True
+
+
+def test_layout_suffix_path_normalized():
+    """Round-11: a relative sf_dir must resolve to the SAME layout
+    name as its absolute form — the unnormalized suffix silently
+    rebuilt ~17 GB of duplicate sf100 layouts under a second name."""
+    import os
+
+    from data_pipeline_001_spark.plans.queries_bucketed import _suffix
+
+    rel = os.path.relpath(SF)
+    assert _suffix(rel) == _suffix(SF)
+    assert _suffix(SF + "/") == _suffix(SF)
