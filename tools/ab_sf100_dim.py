@@ -21,8 +21,19 @@ session so neither side owns the page cache):
                  map-side partials reduce nothing) and the 15M-group
                  aggregation costs more than the smaller probe saves.
 
+  denorm_q03 / denorm_q05 / denorm_q10   (round-11, verdict task 1)
+                 each headliner's custkey-clustered DENORMALIZED form
+                 (queries_bucketed.ensure_denorm_custkey — zero fact
+                 exchanges) VS its orderkey-bucketed form, via the
+                 registry callables so the measured plan IS the
+                 shipped plan. The layout materializes lazily on
+                 first DataFrame construction (outside the timed
+                 region).
+
 Usage: python tools/ab_sf100_dim.py [sf_dir] [experiment] [n]
-       experiment in {q03_customer, q05_precust}; default sf100, both.
+       experiment in {q03_customer, q05_precust, denorm_q03,
+       denorm_q05, denorm_q10}; default sf100, all. Pass sf_dir
+       ABSOLUTE (layout names derive from the absolute path).
 """
 
 from __future__ import annotations
@@ -131,8 +142,9 @@ def main() -> None:
     # round-11: the denormalized custkey layout vs the orderkey-bucketed
     # form, per headliner — the structural A/B behind verdict task 1.
     # Uses the registry callables so the measured plan IS the shipped
-    # plan; ensure_denorm_custkey materializes lazily on first call
-    # (one-time, excluded from timing by the warm-up run below).
+    # plan; ensure_denorm_custkey materializes lazily during DataFrame
+    # construction (`fn()`), which happens BEFORE the timer starts —
+    # the one-time build never lands in a timed run.
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
