@@ -70,6 +70,25 @@ def _top_words(spark, limit: int) -> list[str]:
     return [r["w"] for r in rows]
 
 
+def _synth_words(n: int) -> list[str]:
+    """Deterministic pseudo-words ('zq' + base-26 suffix) that never
+    occur in the corpus. Production dictionaries are mostly like
+    this: a 10k-term taxonomy or a 30k-merge vocab overwhelmingly
+    contains entries absent from any single document — and the
+    literal forms pay per ENTRY (one regexp scan / one replace() per
+    rule) whether or not it matches, which is exactly the asymmetry
+    the crossover measures. The corpus's own top words stay at the
+    head of every dictionary so the hot entries are real."""
+    out = []
+    for i in range(n):
+        s, x = "", i
+        for _ in range(4):
+            s += chr(ord("a") + x % 26)
+            x //= 26
+        out.append("zq" + s)
+    return out
+
+
 def _merge_chains(words: list[str], n_rules: int) -> tuple:
     """A valid-ordered merge table: for each word, the left-to-right
     merge chain ('h','e'),('he','l'),('hel','l'),... — every composite
@@ -174,7 +193,9 @@ def run_cell(exp: str, size: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if exp.startswith("bpe"):
-        words = _top_words(spark, 12000)
+        # corpus chains first (hot rules are real), synthetic chains
+        # fill out to production size (see _synth_words)
+        words = _top_words(spark, 12000) + _synth_words(size)
         merges = _merge_chains(words, size)
         assert len(merges) == size, (len(merges), size)
         df = (_bpe_literal_df if exp == "bpe_literal" else _bpe_heap_df)(
@@ -183,6 +204,7 @@ def run_cell(exp: str, size: int) -> None:
         sum_col = "n_tokens_bpe"
     else:
         terms = _top_words(spark, size)
+        terms += _synth_words(size - len(terms))
         assert len(terms) == size
         df = (_ac_literal_df if exp == "ac_literal" else _ac_auto_df)(
             spark, terms
