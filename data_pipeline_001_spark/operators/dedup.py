@@ -427,15 +427,21 @@ def connected_components(
     (count of changed labels, an action per round on the small label
     table) is already the hook.
     """
-    # materialize the edge set ONCE: pairs is typically an expensive
-    # near-dup join (LSH verify / blocked Jaccard), and without this
-    # checkpoint every propagation round would re-execute it from scan
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .localCheckpoint()
+    # materialize the PAIR set once, then derive both edge directions
+    # from the checkpoint: pairs is typically an expensive near-dup
+    # join (LSH verify / blocked Jaccard), and the old form
+    # (union-then-checkpoint) embedded that join subtree TWICE in one
+    # plan — Spark executed the verify join once per union branch
+    # (round-11 sweep attribution: ~3-5 s of the
+    # dedup_cluster_components_lsh elevation). Checkpointing the
+    # directed half first makes the union two scans of a small
+    # in-memory table, and the loop's per-round joins read the same
+    # checkpoint.
+    pairs_ck = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint()
+    edges = pairs_ck.unionByName(
+        pairs_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
