@@ -148,6 +148,12 @@ SF1_AFFORDABLE_BUILDERS: dict[str, str] = {
     "q03_shipping_priority_bucketed": "one-time bucketed-table materialization per scale point (amortized across the bucketed trio)",
     "q05_nation_revenue_bucketed": "bucket materialization (if iterated first)",
     "q10_returned_revenue_bucketed": "bucket materialization (if iterated first)",
+    # round-11 second fact layout: whichever denorm twin is iterated
+    # first in a fresh warehouse materializes the custkey-clustered
+    # denormalized lineitem table (signature-validated reuse after)
+    "q03_shipping_priority_denorm": "one-time denorm-layout materialization per scale point (amortized across the denorm trio)",
+    "q05_nation_revenue_denorm": "denorm materialization (if iterated first)",
+    "q10_returned_revenue_denorm": "denorm materialization (if iterated first)",
 }
 
 #: node-body patterns that bound a subtree REGARDLESS of input size
