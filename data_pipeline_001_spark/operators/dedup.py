@@ -200,33 +200,60 @@ def minhash_pairs_from_per_doc(
     the extraction half of ``minhash_lsh_pairs``, shared verbatim by
     the batch operator and the streaming-maintained signature table
     (the per-doc table is the fold state; banding, the bucket-capped
-    self-join, and the exact Jaccard verify are deterministic
+    pair generation, and the exact Jaccard verify are deterministic
     functions of it, so stream and batch agree row for row)."""
     rows_per_band = num_hashes // bands
     banded = _banded_buckets(per_doc.select("id", "sig"), bands, rows_per_band)
 
     if max_bucket_size:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("_bsz", F.count("*").over(wb))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+        # ONE aggregation derives buckets, applies the size cap, and
+        # generates in-bucket pairs. The former shape (count() window
+        # for the cap, then a (band,bucket) self-join) derived the
+        # banded table TWICE — once per join side, each paying the
+        # band explode + exchange + sort — plus the join itself
+        # (round-11 plan read: the two derivations are operators
+        # 23-28 / 32-38 of the before-plan). collect_list is safe
+        # here by the same argument that caps the join: a bucket is
+        # either <= max_bucket_size rows (array of <= 100 ids) or
+        # dropped wholesale. sort_array gives id_a < id_b
+        # positionally, matching the old join predicate l.id < r.id.
+        buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.collect_list("id").alias("ids"))
+            .where(
+                (F.size("ids") >= 2)
+                & (F.size("ids") <= max_bucket_size)
+            )
+            .select(F.sort_array("ids").alias("ids"))
         )
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+        candidates = (
+            buckets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (a, i) -> "
+                        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                        "b -> struct(a AS id_a, b AS id_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .distinct()
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    else:
+        # uncapped path: keep the join form — an unbounded bucket must
+        # stream through the join, never into one aggregation buffer
+        left = banded.alias("l")
+        right = banded.alias("r")
+        candidates = (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
 
     sh = per_doc.select("id", F.col("sh_set").alias("sh"))
     return (

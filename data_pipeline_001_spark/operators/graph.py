@@ -104,22 +104,47 @@ def triangle_stats(edges: DataFrame, materialize: bool = True) -> DataFrame:
         )
     )
     fwd = F.struct("d_src", "src") < F.struct("d_dst", "dst")
+    # persisted unconditionally (``materialize`` only says whether the
+    # CALLER already persisted ``edges``): oriented is referenced
+    # twice below (adjacency build + probe side), and each lazy
+    # re-derivation would re-run the degree aggregation (a full
+    # union+groupBy over 2m rows) as well as the orientation joins
+    from pyspark.storagelevel import StorageLevel
+
     oriented = e.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
-    )
-    w1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
-    w2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
-    wedges = w1.join(w2, "u").where(F.col("v1") < F.col("v2"))
-    # closure check against the ID-canonical undirected edges (the
-    # input invariant src < dst), NOT the (degree, id)-oriented set:
-    # the wedge pair is id-ordered, and the closing edge's orientation
-    # under the degree order need not match it
-    closures = edges.select(
-        F.col("src").alias("v1"), F.col("dst").alias("v2")
-    )
-    tri = wedges.join(closures, ["v1", "v2"]).agg(
-        F.count("*").alias("n_triangles")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Compact-forward intersection (round-11 rework; Latapy 2008 /
+    # the "edge iterator" form of Suri-Vassilvitskii): n_triangles =
+    # Σ over oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)|. Each triangle
+    # {a,b,c} with a<b<c under the (degree,id) order is counted
+    # exactly once — at edge (a,b), via common out-neighbor c (at
+    # (a,c) and (b,c) the intersection is empty because c is the
+    # sink). The former shape materialized every oriented wedge as a
+    # ROW (Σ C(outdeg,2) rows ≈ 417M at sf1 for 12M edges) and pushed
+    # them through an Exchange into a 417M-row closure join; here the
+    # same Σ outdeg² information rides the v-side exchange as
+    # contiguous long arrays on 12M edge rows and the quadratic work
+    # happens inside array_intersect in the join stage — no wedge
+    # rows, no closure join, one aggregation. Out-degree ≤ √(2m)
+    # bounds every array (max 97 at sf1), so per-row memory is as
+    # bounded as the old per-bucket join was.
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    tri = (
+        oriented.join(
+            adj.select(F.col("u"), F.col("nbrs").alias("nbrs_u")), "u"
+        )
+        .join(
+            adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")),
+            "v",
+        )
+        .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("c"))
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
     counts = edges.agg(F.count("*").alias("n_edges")).crossJoin(
         deg.agg(
