@@ -88,27 +88,85 @@ def winnowing_fingerprints(
     Robust to insertions/reorderings in a way whole-document MD5 is
     not; two near-identical documents share most fingerprints, so a
     fingerprint-equality join is a dedup blocking key.
-    """
-    from pyspark.sql import Window
 
-    rh = rolling_hash_windows(docs, text_col, id_col, k)
-    wo = Window.partitionBy("id").orderBy("pos")
-    w = wo.rowsBetween(Window.currentRow, window - 1)
-    fps = rh.select(
-        "id",
-        "pos",
-        F.min("rh").over(w).alias("fp"),
-        # only full windows: the frame at the tail would clip
-        F.lead("pos", window - 1).over(wo).alias("_full"),
-    ).where(F.col("_full").isNotNull())
-    # winnowing repeats the same min across ~``window`` consecutive
-    # positions by construction; dropping rows equal to their
-    # predecessor (lag over the SAME sorted window — no extra shuffle)
-    # shrinks the distinct's input ~window-fold before it shuffles
-    fps = fps.withColumn("_prev", F.lag("fp").over(wo)).where(
-        F.col("_prev").isNull() | (F.col("fp") != F.col("_prev"))
+    Round-11 shape (guide §4.2): hash + sliding-min + per-doc dedup
+    are all per-document-local, so the whole operator is ONE
+    ``mapInArrow`` (NumPy-vectorized Rabin-Karp, bit-identical to
+    :func:`rolling_hash_windows` — same parity pin as
+    ``char_kgram_hashes``) followed by a JVM explode: ZERO shuffles,
+    where the former form exchanged one row per character and ran
+    three window passes plus a distinct shuffle. ``np.unique`` per
+    doc gives exactly the old per-(id,fp) distinct set."""
+    from data_pipeline_001_spark.functions.text import normalize_text
+
+    base, mod = 257, (1 << 31) - 1
+    powers = [pow(base, k - 1 - j, mod) for j in range(k)]
+    norm = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        normalize_text(F.col(text_col)).alias("_s"),
     )
-    return fps.select("id", "fp").distinct()
+    # same single-file parallelism guard as char_kgram_hashes
+    target = norm.sparkSession.sparkContext.defaultParallelism
+    if norm.rdd.getNumPartitions() < target:
+        norm = norm.repartition(target)
+
+    def fp_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        pw = np.array(powers, dtype=np.int64)
+        out_schema = pa.schema(
+            [("id", pa.int64()), ("fps", pa.list_(pa.int64()))]
+        )
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            lens = np.array(
+                [len(s) if s else 0 for s in texts], dtype=np.int64
+            )
+            big = np.frombuffer(
+                "".join(s or "" for s in texts).encode("utf-32-le"),
+                dtype="<u4",
+            ).astype(np.int64)
+            mbig = big.size - k + 1
+            if mbig > 0:
+                rh = np.zeros(mbig, dtype=np.int64)
+                for j in range(k):
+                    rh = (rh + (big[j : j + mbig] % mod) * pw[j]) % mod
+            else:
+                rh = np.empty(0, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            m_doc = np.maximum(lens - k + 1, 0)
+            chunks = []
+            counts = []
+            for s, m in zip(starts, m_doc):
+                if m >= window:
+                    u = np.unique(
+                        sliding_window_view(rh[s : s + m], window).min(axis=1)
+                    )
+                    chunks.append(u)
+                    counts.append(u.size)
+                else:
+                    counts.append(0)
+            values = (
+                np.concatenate(chunks)
+                if chunks
+                else np.empty(0, dtype=np.int64)
+            )
+            offsets = np.concatenate(
+                ([0], np.cumsum(np.array(counts, dtype=np.int64)))
+            )
+            fps = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), pa.array(values)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), fps], schema=out_schema
+            )
+
+    return (
+        norm.mapInArrow(fp_batches, "id long, fps array<long>")
+        .select("id", F.explode("fps").alias("fp"))
+    )
 
 
 def best_language(text):
@@ -387,6 +445,101 @@ def decontaminate(
     )
 
 
+def char_kgram_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    base: int = 257,
+    mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    """(id, pos, hk) — Rabin-Karp degree-(k-1) polynomial hash of
+    every complete ``k``-char window of the normalized text:
+    hk(pos) = Σ_i c_{pos+i} · base^(k-1-i) mod m, pos 0-based.
+
+    Round-11 shape (guide §4.2): one ``mapInArrow`` over
+    (id, normalized-text) — normalization stays JVM-side so only the
+    two needed columns cross the Python boundary — with the hash
+    arithmetic vectorized in NumPy (k shifted multiply-adds over the
+    codepoint array; int64 exact since (c mod m)·p < 2^62) and the
+    per-doc hash arrays exploded back in JVM codegen. The former form
+    (posexplode per CHARACTER → Window lead() per id) pushed one row
+    per char through an Exchange + two sorts: ~75M rows at sf1 for
+    what is per-doc-local arithmetic. Values are bit-identical to the
+    old composition of 8-gram rolling hashes (the power-weighted
+    composition telescopes to this same polynomial), pinned by a
+    parity test. Codepoints come from a vectorized utf-32 decode —
+    the exact integers JVM ``ascii()`` produced per char."""
+    from data_pipeline_001_spark.functions.text import normalize_text
+
+    powers = [pow(base, k - 1 - j, mod) for j in range(k)]
+    norm = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        normalize_text(F.col(text_col)).alias("_s"),
+    )
+    # parallelism guard: a single-file scan (one row group) is ONE
+    # partition, which would serialize the whole hash stage through
+    # one Python worker. Round-robin the (id, text) rows out to the
+    # core count first — a shuffle of one row per DOC (~75 MB at
+    # sf1), vs the one-row-per-CHAR exchange this operator replaced.
+    # When the source already has >= cores partitions (any real
+    # deployment), this is a no-op.
+    target = norm.sparkSession.sparkContext.defaultParallelism
+    if norm.rdd.getNumPartitions() < target:
+        norm = norm.repartition(target)
+
+    def hash_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        pw = np.array(powers, dtype=np.int64)
+        out_schema = pa.schema(
+            [("id", pa.int64()), ("hks", pa.list_(pa.int64()))]
+        )
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            lens = np.array(
+                [len(s) if s else 0 for s in texts], dtype=np.int64
+            )
+            # ONE vectorized k-pass over the batch's concatenated
+            # codepoint array (per-doc numpy calls are fixed-cost
+            # bound at ~1.4 KB/doc); positions whose window would
+            # cross a doc boundary are simply never selected below.
+            big = np.frombuffer(
+                "".join(s or "" for s in texts).encode("utf-32-le"),
+                dtype="<u4",
+            ).astype(np.int64)
+            mbig = big.size - k + 1
+            if mbig > 0:
+                h = np.zeros(mbig, dtype=np.int64)
+                for j in range(k):
+                    h = (h + (big[j : j + mbig] % mod) * pw[j]) % mod
+            else:
+                h = np.empty(0, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            m_doc = np.maximum(lens - k + 1, 0)
+            chunks = [
+                h[s : s + m] for s, m in zip(starts, m_doc) if m > 0
+            ]
+            values = (
+                np.concatenate(chunks)
+                if chunks
+                else np.empty(0, dtype=np.int64)
+            )
+            offsets = np.concatenate(([0], np.cumsum(m_doc)))
+            hks = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), pa.array(values)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), hks], schema=out_schema
+            )
+
+    hashed = norm.mapInArrow(hash_batches, "id long, hks array<long>")
+    return hashed.select(
+        "id", F.posexplode("hks").alias("pos", "hk")
+    )
+
+
 def duplicated_substring_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -420,25 +573,13 @@ def duplicated_substring_spans(
     if k % 8 != 0:
         raise ValueError(f"k must be a multiple of 8, got {k}")
     base, mod = 257, (1 << 31) - 1
-    rh8 = rolling_hash_windows(docs, text_col, id_col, k=8, base=base, mod=mod)
-
-    # H_k(pos) = Σ_j h8(pos + 8j) · base^(8·(n_chunks-1-j)) mod m
-    n_chunks = k // 8
-    w = Window.partitionBy("id").orderBy("pos")
-    h = None
-    for j in range(n_chunks):
-        p = pow(base, 8 * (n_chunks - 1 - j), mod)
-        term = (
-            (F.lead("rh", 8 * j).over(w) if j else F.col("rh")) * F.lit(p)
-        ) % F.lit(mod)
-        h = term if h is None else (h + term) % F.lit(mod)
-    # a full k-window exists iff the last composed 8-gram exists
-    grams = rh8.select(
-        "id",
-        "pos",
-        h.alias("hk"),
-        F.lead("rh", 8 * (n_chunks - 1)).over(w).alias("_tail"),
-    ).where(F.col("_tail").isNotNull()).drop("_tail")
+    # round-11: the k-gram hashes come straight from the vectorized
+    # Arrow path (one mapInArrow, per-doc-local NumPy) instead of the
+    # former per-char posexplode + two Window passes, which exchanged
+    # and sorted one row per character (~75M at sf1) to compose 8-gram
+    # rolling hashes. Same polynomial, bit-identical hk values
+    # (parity-tested against the composition in the test suite).
+    grams = char_kgram_hashes(docs, text_col, id_col, k, base=base, mod=mod)
     # grams feeds BOTH the shared-hash agg and the candidate join; the
     # per-side column sets differ so ReusedExchange can't kick in —
     # persist the (id, pos, hk) triples (longs only, never the text)

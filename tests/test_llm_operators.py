@@ -346,6 +346,59 @@ def test_duplicated_substring_spans_planted(spark):
         assert shared in covered
 
 
+def test_char_kgram_hashes_match_window_composition(spark):
+    """Round-11 parity pin: the Arrow/NumPy k-gram hash path must be
+    bit-identical to the former JVM form (8-gram rolling hashes via
+    posexplode + Window lead, composed with power weights) — on
+    ASCII, non-ASCII codepoints, and docs shorter than k."""
+    from pyspark.sql import Window
+
+    from data_pipeline_001_spark.operators.text_analysis import (
+        char_kgram_hashes,
+        rolling_hash_windows,
+    )
+
+    k, base, mod = 16, 257, (1 << 31) - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick   brown fox JUMPS over the lazy dog again"),
+            (2, "naïve café über-résumé — çédille and ß sharp s mix"),
+            (3, "short"),  # shorter than k → no windows
+            (4, "exactly sixteen!"),  # length == k → one window
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+
+    # the former formulation, verbatim
+    rh8 = rolling_hash_windows(docs, "text", "doc_id", k=8, base=base, mod=mod)
+    n_chunks = k // 8
+    w = Window.partitionBy("id").orderBy("pos")
+    h = None
+    for j in range(n_chunks):
+        p = pow(base, 8 * (n_chunks - 1 - j), mod)
+        term = (
+            (F.lead("rh", 8 * j).over(w) if j else F.col("rh")) * F.lit(p)
+        ) % F.lit(mod)
+        h = term if h is None else (h + term) % F.lit(mod)
+    old = (
+        rh8.select(
+            "id",
+            "pos",
+            h.alias("hk"),
+            F.lead("rh", 8 * (n_chunks - 1)).over(w).alias("_tail"),
+        )
+        .where(F.col("_tail").isNotNull())
+        .drop("_tail")
+    )
+
+    new = char_kgram_hashes(docs, "text", "doc_id", k, base=base, mod=mod)
+    old_rows = sorted(map(tuple, old.collect()))
+    new_rows = sorted(map(tuple, new.collect()))
+    assert old_rows == new_rows
+    assert len(new_rows) > 0
+
+
 def test_duplicated_substring_spans_requires_multiple_of_8(spark):
     from data_pipeline_001_spark.operators.text_analysis import (
         duplicated_substring_spans,
