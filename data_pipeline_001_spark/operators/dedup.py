@@ -392,22 +392,73 @@ def ngram_jaccard_pairs(
 
     from data_pipeline_001_spark.functions.text import normalize_text
 
-    # char n-grams via posexplode + lead (codegen), not the
-    # transform/substring array form (interpreted HOF — see
-    # exploded_shingles for the measured cost of that trap)
-    chars = docs.select(
-        F.col(id_col).alias("id"),
-        *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
-        F.posexplode(F.split(normalize_text(F.col(text_col)), "")).alias("pos", "ch"),
-    ).where(F.col("ch") != "")
-    w = Window.partitionBy("id").orderBy("pos")
-    gram = F.concat(*([F.col("ch")] + [F.lead("ch", j).over(w) for j in range(1, n)]))
-    grams = (
-        chars.select("id", "blk", gram.alias("g1"))
-        .where(F.length("g1") == n)  # tail rows have NULL leads → NULL concat, dropped
-        .groupBy("id", "blk")
-        .agg(F.collect_set("g1").alias("g"))
-    )
+    from pyspark.sql import types as _T
+
+    if n <= 3 and isinstance(
+        docs.schema[id_col].dataType, (_T.IntegralType,)
+    ):
+        # round-11: an n<=3 char gram packs BIJECTIVELY into one
+        # int64 (each codepoint <= 0x10FFFF fits 21 bits; n*21 <= 63),
+        # so gram sets become long arrays — identical distinct/
+        # intersect/union SIZES by bijection, hence identical Jaccard,
+        # but the per-pair array_intersect runs over longs instead of
+        # hashing ~n-char strings per element (the dominant cost of
+        # the pairwise stage). The packed grams are exactly the
+        # char_kgram_hashes polynomial with base 2^21 and a modulus
+        # (2^63-1) the values never reach — no reduction ever fires,
+        # so this is packing, not hashing: NO collision class exists.
+        # That also swaps the per-char posexplode + Window lead build
+        # for the vectorized Arrow pass.
+        from data_pipeline_001_spark.operators.text_analysis import (
+            char_kgram_hashes,
+        )
+
+        packed = char_kgram_hashes(
+            docs, text_col, id_col, k=n, base=1 << 21, mod=(1 << 63) - 1
+        )
+        blk = docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            *(
+                [F.col(block_col).alias("blk")]
+                if block_col
+                else [F.lit(1).alias("blk")]
+            ),
+        )
+        grams = (
+            packed.groupBy("id")
+            .agg(F.collect_set("hk").alias("g"))
+            .join(blk, "id")
+        )
+    else:
+        # char n-grams via posexplode + lead (codegen), not the
+        # transform/substring array form (interpreted HOF — see
+        # exploded_shingles for the measured cost of that trap)
+        chars = docs.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+            F.posexplode(F.split(normalize_text(F.col(text_col)), "")).alias("pos", "ch"),
+        ).where(F.col("ch") != "")
+        w = Window.partitionBy("id").orderBy("pos")
+        gram = F.concat(*([F.col("ch")] + [F.lead("ch", j).over(w) for j in range(1, n)]))
+        grams = (
+            chars.select("id", "blk", gram.alias("g1"))
+            .where(F.length("g1") == n)  # tail rows have NULL leads → NULL concat, dropped
+            .groupBy("id", "blk")
+            .agg(F.collect_set("g1").alias("g"))
+        )
+    # persist before the self-join (round-11; same discipline as
+    # minhash_lsh_pairs' per-doc table): unpersisted, BOTH join sides
+    # re-derive the whole gram build, and with unknown stats the
+    # planner shuffle-joins on the low-cardinality block key —
+    # parallelism collapses to the number of blocks (4 langs at the
+    # 2k slice) on exactly the quadratic stage. With the per-doc
+    # table cached and its stats known, the small side broadcasts and
+    # the pairwise stage stays scan-parallel. Measured at the 2k
+    # slice: 30.0 → 7.6 s best-of-3 (the decomposition: gram build
+    # 5.3 s once vs twice, pairwise intersect 1.6 s).
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = grams.alias("l"), grams.alias("r")
     return (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
