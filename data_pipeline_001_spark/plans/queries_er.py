@@ -352,10 +352,25 @@ def stats_theil_sen(spark, sf_dir):
             / F.datediff("day_b", "day_a")
         ).alias("slope")
     )
-    s = pairs.agg(
-        F.expr("percentile(slope, 0.5)").alias("slope"),
-        F.count("*").cast("long").alias("n_pairs"),
-    )
+    # round-11: the builtin exact percentile built a value→count hash
+    # map over all ~2.9M mostly-distinct slopes and merged it
+    # single-threaded — 10.4 s of the query's 14.4 s at sf1. Rank
+    # selection (operators/quantiles.exact_quantiles) computes the
+    # SAME interpolated median through codegen sort/window operators:
+    # measured 4.5 s for the whole pairs→median pipeline, result
+    # bit-identical (asserted in tests + the unchanged oracle hash).
+    # The intercept percentile below stays builtin: its input is the
+    # bounded ~2.4k-row daily spine, where the hash map is trivial.
+    from data_pipeline_001_spark.operators.quantiles import exact_quantiles
+
+    # filter_nulls=False: slope is non-null by construction
+    # (datediff > 0 on every joined row), and the generic null filter
+    # would be pushed into the BNLJ condition, evaluating the division
+    # on day_a == day_b candidates — an ANSI divide-by-zero on rows
+    # the join itself rejects.
+    s = exact_quantiles(
+        pairs, "slope", [0.5], ["slope"], filter_nulls=False
+    ).select("slope", F.col("n").alias("n_pairs"))
     anchored = daily.crossJoin(F.broadcast(s)).select(
         "slope",
         "n_pairs",

@@ -114,3 +114,67 @@ def test_wav_missing_data_chunk_raises():
     )
     with pytest.raises(ValueError, match="data chunk"):
         _wav_pcm(payload)
+
+
+class TestExactQuantiles:
+    """Round-11: rank-selection exact quantiles must be
+    value-identical to the builtin ``percentile`` aggregate."""
+
+    def _parity(self, spark, values, ps):
+        import pyspark.sql.functions as F
+
+        from data_pipeline_001_spark.operators.quantiles import (
+            exact_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [(v,) for v in values], "v double"
+        )
+        out_cols = [f"q{i}" for i in range(len(ps))]
+        got = exact_quantiles(df, "v", ps, out_cols).collect()[0]
+        exp = df.agg(
+            *[
+                F.expr(f"percentile(v, {p})").alias(f"q{i}")
+                for i, p in enumerate(ps)
+            ],
+            F.count("v").alias("n"),
+        ).collect()[0]
+        assert got["n"] == exp["n"]
+        for c in out_cols:
+            assert got[c] == exp[c], (c, got[c], exp[c])
+
+    def test_median_odd_even(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for n in (1, 2, 3, 4, 101, 1000):
+            vals = [rng.uniform(-1e6, 1e6) for _ in range(n)]
+            self._parity(spark, vals, [0.5])
+
+    def test_multiple_quantiles_with_ties(self, spark):
+        import random
+
+        rng = random.Random(11)
+        vals = [float(rng.randint(0, 20)) for _ in range(500)]
+        self._parity(spark, vals, [0.01, 0.25, 0.5, 0.9, 0.99])
+
+    def test_nulls_excluded_like_builtin(self, spark):
+        import random
+
+        rng = random.Random(13)
+        vals = [
+            None if i % 7 == 0 else rng.uniform(0, 100)
+            for i in range(200)
+        ]
+        self._parity(spark, vals, [0.5, 0.75])
+
+    def test_more_partitions_than_rows(self, spark):
+        from data_pipeline_001_spark.operators.quantiles import (
+            exact_quantiles,
+        )
+
+        df = spark.createDataFrame([(1.0,), (2.0,), (4.0,)], "v double")
+        row = exact_quantiles(
+            df, "v", [0.5], ["med"], num_partitions=16
+        ).collect()[0]
+        assert row["med"] == 2.0 and row["n"] == 3
