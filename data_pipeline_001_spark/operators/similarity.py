@@ -85,6 +85,101 @@ def brute_force_topk(
     )
 
 
+def pairwise_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 1024,
+) -> DataFrame:
+    """All-pairs exact cosine: (id_a, id_b, cosine) for every id_a <
+    id_b with cosine >= threshold, ``cosine`` the RAW double (callers
+    round). The bounded small-sf oracle twin of the LSH scale paths —
+    never the plan for a full corpus (quadratic by definition).
+
+    Round-11 shape (guide §4.2): the former broadcast BNLJ evaluated
+    an interpreted 64-term HOF fold per PAIR (twice: filter +
+    projection). Pairwise work over a bounded slice is one task's
+    worth of NumPy, so the whole table is coalesced into ONE Arrow
+    task and the n×n cosine matrix is computed with dim vectorized
+    multiply-adds, sequential over the DIMENSION axis: per pair the
+    IEEE operation sequence ((0+a₀b₀)+a₁b₁)+… is exactly the
+    ``functions.vectors.dot`` left fold, norms likewise, then
+    dot/(nᵃ·nᵇ) — so every emitted double is bit-identical to the
+    join+HOF form (pinned by a parity test). A zero-norm vector
+    raises loudly, mirroring the ANSI DIVIDE_BY_ZERO the join form
+    hits; with all norms nonzero no NaN can arise, so the ``~(cos <
+    t)`` keep-mask is exactly ``>=``. Row blocks bound peak memory at
+    block×n doubles; measured 26.0 → 1.5 s on the 2000-row sf0.1
+    table (the sf1 sweep's slice size).
+    """
+
+    def pair_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                ("id_a", pa.int64()),
+                ("id_b", pa.int64()),
+                ("cosine", pa.float64()),
+            ]
+        )
+        id_chunks, vec_chunks = [], []
+        dim = None
+        for batch in batches:
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            vals = np.asarray(batch.column(1).flatten(), dtype=np.float64)
+            if ids.size:
+                dim = vals.size // ids.size
+                id_chunks.append(ids)
+                vec_chunks.append(vals.reshape(ids.size, dim))
+        if not id_chunks:
+            return
+        ids = np.concatenate(id_chunks)
+        mat = np.concatenate(vec_chunks)
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
+        n = ids.size
+        # norm: same left fold as functions.vectors.norm
+        acc = np.zeros(n)
+        for k in range(dim):
+            acc = acc + mat[:, k] * mat[:, k]
+        if np.any(acc == 0.0):
+            raise ArithmeticError(
+                "pairwise_cosine_pairs: zero-norm vector — cosine is "
+                "undefined (ANSI DIVIDE_BY_ZERO parity with the join form)"
+            )
+        norms = np.sqrt(acc)
+        cols = np.arange(n)
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            dots = np.zeros((i1 - i0, n))
+            for k in range(dim):
+                dots += mat[i0:i1, k, None] * mat[None, :, k]
+            cos = dots / (norms[i0:i1, None] * norms[None, :])
+            keep = (cols[None, :] > np.arange(i0, i1)[:, None]) & ~(
+                cos < threshold
+            )
+            ii, jj = np.nonzero(keep)
+            if ii.size:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids[i0 + ii]),
+                        pa.array(ids[jj]),
+                        pa.array(cos[ii, jj]),
+                    ],
+                    schema=out_schema,
+                )
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).coalesce(1)
+    return src.mapInArrow(
+        pair_batches, "id_a long, id_b long, cosine double"
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -550,31 +550,23 @@ def dedup_embedding(spark, sf_dir):
     primary scale path `dedup_embedding_lsh`; never the plan to run on
     a full corpus.
 
-    Norms are hoisted to per-ROW columns below the join (the
-    `_cos_prenormed` discipline): inlining cosine_similarity here
-    evaluated dot + 2 norms in the filter AND again in the projection
-    — 6 interpreted 64-term folds per PAIR instead of 2. The
-    arithmetic is unchanged expression-for-expression (same fold
-    order, same dot/(na*nb) grouping), so the DuckDB hash match is
-    bit-identical; measured 103 s → ~35 s on the sweep's 2k slice."""
-    from data_pipeline_001_spark.functions.vectors import dot, norm
+    Round-11 shape: one batched-NumPy Arrow task
+    (`pairwise_cosine_pairs`) replaces the broadcast BNLJ whose
+    interpreted 64-term HOF fold ran twice per pair (filter +
+    projection). The emitted doubles are bit-identical to the join
+    form (same fold order, same dot/(na*nb) grouping; zero-norm
+    vectors stay loud — see the operator docstring); rounding stays
+    in the JVM exactly as before. Same-session best-of-3 on the
+    2000-row sf0.1 table: 26.0 → 1.5 s; the r10-era join-form
+    history: inlined cosine 103 s → prenormed ~35 s."""
+    from data_pipeline_001_spark.operators.similarity import (
+        pairwise_cosine_pairs,
+    )
 
     t = load_tables(spark, sf_dir)
-    a = t["embeddings"].select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        norm(F.col("embedding")).alias("na"),
-    )
-    b = t["embeddings"].select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        norm(F.col("embedding")).alias("nb"),
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .where(cos >= 0.5)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    pairs = pairwise_cosine_pairs(t["embeddings"], threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
 
 

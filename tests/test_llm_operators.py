@@ -90,6 +90,62 @@ def test_similarity_bruteforce_equals_numpy(tables):
     assert np_.subtract(bf).count() == 0
 
 
+def test_pairwise_cosine_arrow_bitwise_parity(tables, spark):
+    """`pairwise_cosine_pairs` (round-11 batched-NumPy Arrow task) must
+    be BIT-identical to the join+HOF form it replaced: same fold
+    order per pair, same dot/(na*nb) grouping, same threshold set.
+    Compared on raw doubles via struct packing — not approximate."""
+    import struct
+
+    from data_pipeline_001_spark.functions.vectors import dot, norm
+    from data_pipeline_001_spark.operators.similarity import (
+        pairwise_cosine_pairs,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+
+    def join_form(e, thr):
+        a = e.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            norm(F.col("embedding")).alias("na"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            norm(F.col("embedding")).alias("nb"),
+        )
+        cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return (
+            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .where(cos >= thr)
+            .select("id_a", "id_b", cos.alias("cosine"))
+        )
+
+    def canon(df):
+        return sorted(
+            (r.id_a, r.id_b, struct.pack(">d", r.cosine).hex())
+            for r in df.collect()
+        )
+
+    # every pair (threshold below any cosine) AND the thresholded set;
+    # multi-partition input exercises the batch-gather path
+    for thr, expect_rows in ((-2.0, True), (0.5, False)):
+        old = canon(join_form(emb, thr))
+        new = canon(pairwise_cosine_pairs(emb.repartition(4), threshold=thr))
+        assert old == new
+        if expect_rows:  # sf0.001 has no pair >= 0.5; -2.0 keeps all
+            assert len(old) > 0
+
+    # zero-norm vector: the join form raises ANSI DIVIDE_BY_ZERO; the
+    # Arrow task must be equally loud, not silently emit NaN
+    bad = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+        pairwise_cosine_pairs(bad, threshold=0.5).collect()
+
+
 def _numpy_truth(tables):
     """Exact neighbors computed driver-side with NumPy: the ground
     truth for recall tests needs no Spark job — sf0.001 embeddings fit
