@@ -540,6 +540,123 @@ def char_kgram_hashes(
     )
 
 
+def char_ngram_group_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n: int = 3,
+) -> DataFrame:
+    """(g, tg, c) — per-group counts of every char ``n``-gram of
+    ``lower(text)``, the n-gram PACKED bijectively into one int64
+    (each codepoint ≤ 0x10FFFF fits 21 bits; n·21 ≤ 63). Packing is
+    order-preserving for equal-length grams (codepoint order = UTF-8
+    binary string order), so rank tie-breaks on the packed value
+    agree with tie-breaks on the string.
+
+    Round-11 shape (guide §2.3 "aggregate before you shuffle" +
+    §4.2): the explode form materialized one 3-char STRING row per
+    character (~13M at sf1) into a hash aggregate; here one
+    ``mapInArrow`` packs each batch's windows vectorized (same
+    codepoint machinery as `char_kgram_hashes`) and pre-counts them
+    with `np.unique` per (batch, group) — what crosses the exchange
+    is partial counts over the bounded distinct-gram space, not one
+    row per character position.
+
+    Semantics matched to the explode form exactly: rows with
+    ``length(text) < n`` are dropped BEFORE lowering (the raw-length
+    filter); if lowering ever shrinks a surviving text below ``n``
+    chars (no such char in this corpus, but kept exact), the single
+    short window packs right-zero-padded — same output as
+    ``substring(low, 1, n)`` under the bijection (no real text
+    contains codepoint 0)."""
+    src = docs.where(F.length(text_col) >= n).select(
+        F.col(group_col).alias("g"),
+        F.lower(F.col(text_col)).alias("_s"),
+    )
+    # same single-file parallelism guard as char_kgram_hashes
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+
+    shifts = [21 * (n - 1 - j) for j in range(n)]
+
+    def count_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [("g", pa.string()), ("tg", pa.int64()), ("c", pa.int64())]
+        )
+        for batch in batches:
+            groups = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            if not texts:
+                continue
+            lens = np.array(
+                [len(s) if s else 0 for s in texts], dtype=np.int64
+            )
+            big = np.frombuffer(
+                "".join(s or "" for s in texts).encode("utf-32-le"),
+                dtype="<u4",
+            ).astype(np.int64)
+            mbig = big.size - n + 1
+            if mbig > 0:
+                packed = np.zeros(mbig, dtype=np.int64)
+                for j, sh in enumerate(shifts):
+                    packed += big[j : j + mbig] << sh
+            else:
+                packed = np.empty(0, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            m_doc = np.maximum(lens - n + 1, 0)
+            gid = {g: k for k, g in enumerate(sorted(set(groups)))}
+            gnames = sorted(gid)
+            chunks, rep_chunks = [], []
+            for i, (s, m) in enumerate(zip(starts, m_doc)):
+                if m > 0 and lens[i] >= n:
+                    chunks.append(packed[s : s + m])
+                    rep_chunks.append(np.full(m, gid[groups[i]]))
+            win = (
+                np.concatenate(chunks)
+                if chunks
+                else np.empty(0, dtype=np.int64)
+            )
+            rep = (
+                np.concatenate(rep_chunks)
+                if rep_chunks
+                else np.empty(0, dtype=np.int64)
+            )
+            out_g, out_tg, out_c = [], [], []
+            for gname in gnames:
+                mask = rep == gid[gname]
+                if mask.any():
+                    u, cnt = np.unique(win[mask], return_counts=True)
+                    out_g.extend([gname] * u.size)
+                    out_tg.append(u)
+                    out_c.append(cnt)
+            # the lower()-shrank-below-n edge: one right-padded window
+            for i in np.nonzero((lens > 0) & (lens < n))[0]:
+                s, ln = starts[i], lens[i]
+                v = 0
+                for j in range(n):
+                    v += (int(big[s + j]) if j < ln else 0) << shifts[j]
+                out_g.append(groups[i])
+                out_tg.append(np.array([v], dtype=np.int64))
+                out_c.append(np.array([1], dtype=np.int64))
+            if not out_g:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_g, type=pa.string()),
+                    pa.array(np.concatenate(out_tg)),
+                    pa.array(np.concatenate(out_c)),
+                ],
+                schema=out_schema,
+            )
+
+    partial = src.mapInArrow(count_batches, "g string, tg long, c long")
+    return partial.groupBy("g", "tg").agg(F.sum("c").alias("c"))
+
+
 def duplicated_substring_spans(
     docs: DataFrame,
     text_col: str = "text",

@@ -2344,23 +2344,25 @@ def text_trigram_coverage(spark, sf_dir):
     transform lambda: inlined it is re-evaluated per trigram —
     O(len²) per document, measured 40.7 s vs 17.9 s for the explode
     at sf1. The hoist survives CollapseProject because the non-cheap
-    ``low`` is referenced twice (sequence bound + lambda body)."""
-    t = load_tables(spark, sf_dir)
-    tri = (
-        t["documents"]
-        .where(F.length("text") >= 3)
-        .select("lang", F.lower("text").alias("low"))
-        .select(
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(length(low) - 2, 1)),"
-                    " i -> substring(low, i, 3))"
-                )
-            ).alias("tg"),
-        )
+    ``low`` is referenced twice (sequence bound + lambda body).
+
+    Round-11: the explode (one 3-char STRING row per character into
+    the hash aggregate) is replaced by `char_ngram_group_counts` —
+    trigrams pack bijectively into int64 and are pre-counted per
+    Arrow batch, so the exchange carries partial counts over the
+    bounded distinct-trigram space instead of ~13M rows at sf1.
+    Packing preserves equal-length string order, so the rn tie-break
+    (c DESC, tg ASC) ranks identically — and the output aggregates
+    are tie-order-invariant anyway (tied c contribute the same sum
+    whichever side of rank 100 they land). Oracle hash unchanged."""
+    from data_pipeline_001_spark.operators.text_analysis import (
+        char_ngram_group_counts,
     )
-    tc = tri.groupBy("lang", "tg").agg(F.count("*").alias("c"))
+
+    t = load_tables(spark, sf_dir)
+    tc = char_ngram_group_counts(
+        t["documents"], text_col="text", group_col="lang", n=3
+    ).select(F.col("g").alias("lang"), "tg", "c")
     wl = Window.partitionBy("lang")
     ranked = tc.select(
         "lang",
