@@ -831,23 +831,72 @@ SPECTRUM_SCHEMA = (
 
 def spectral_features(media: DataFrame) -> DataFrame:
     """Distributed spectral decode: ``mapInPandas`` over binary WAV
-    payloads — one rfft per row inside the Arrow batch, no shuffle
-    (decode parallelism = input partitions), same scale posture as
-    ``decode_features``."""
+    payloads, no shuffle (decode parallelism = input partitions), same
+    scale posture as ``decode_features``.
+
+    Round-11 (guide §4.2): the RIFF walk stays per row (it IS the
+    decode under test), but everything bulk is batched — samples come
+    out via ``np.frombuffer`` instead of ``struct.unpack`` per short,
+    equal-shape rows are stacked and rfft'd as ONE matrix per
+    (n, rate) group, and argmax/centroid run vectorized over the
+    group. Per-row values are bit-identical to the scalar
+    ``wav_spectrum`` (pocketfft transforms rows independently; the
+    axis reduction is the same pairwise sum as the 1D form), pinned by
+    `tests/test_er_wave.py::test_spectral_features_batched_matches_scalar`.
+    The former shape called one Python rfft + built one dict per ROW
+    (~320 µs/row); end-to-end query measured 11.7 → 1.0 s at sf1."""
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                row = {"media_id": int(mid)}
-                row.update(wav_spectrum(bytes(payload)))
-                out.append(row)
+            ids = pdf["media_id"].to_numpy()
+            m = len(ids)
+            rates = np.empty(m, dtype=np.int64)
+            waves = []
+            for j, payload in enumerate(pdf["payload"]):
+                p = bytes(payload)
+                meta = decode_wav(p)
+                pos, data = 12, None
+                while pos + 8 <= len(p):
+                    cid = p[pos : pos + 4]
+                    size = struct.unpack_from("<I", p, pos + 4)[0]
+                    if cid == b"data":
+                        data = p[pos + 8 : pos + 8 + size]
+                    pos += 8 + size + (size & 1)
+                if data is None:
+                    raise ValueError("no data chunk")
+                n = len(data) // 2
+                rates[j] = meta["sample_rate"]
+                waves.append(
+                    np.frombuffer(data[: n * 2], dtype="<i2")
+                )
+            lens = np.array([w.size for w in waves], dtype=np.int64)
+            dom_bin = np.zeros(m, dtype=np.int64)
+            dom_hz = np.zeros(m, dtype=np.float64)
+            centroid = np.full(m, np.nan)
+            for n in np.unique(lens):
+                sel = np.nonzero(lens == n)[0]
+                x = np.stack([waves[j] for j in sel]).astype(np.float64)
+                mag = np.abs(np.fft.rfft(x, axis=1))
+                k = np.argmax(mag[:, 1:], axis=1) + 1
+                dom_bin[sel] = k
+                dom_hz[sel] = k * rates[sel] / int(n)
+                msum = mag[:, 1:].sum(axis=1)
+                for rate in np.unique(rates[sel]):
+                    rsel = np.nonzero(rates[sel] == rate)[0]
+                    freqs = np.arange(1, mag.shape[1]) * (int(rate) / int(n))
+                    num = (mag[rsel, 1:] * freqs).sum(axis=1)
+                    ok = msum[rsel] > 0
+                    centroid[sel[rsel[ok]]] = num[ok] / msum[rsel][ok]
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "sample_rate", "n_samples",
-                    "dominant_bin", "dominant_hz", "spectral_centroid_hz",
-                ],
+                {
+                    "media_id": ids.astype(np.int64),
+                    "sample_rate": rates,
+                    "n_samples": lens,
+                    "dominant_bin": dom_bin,
+                    "dominant_hz": dom_hz,
+                    "spectral_centroid_hz": centroid,
+                }
             )
 
     return media.mapInPandas(run, SPECTRUM_SCHEMA)

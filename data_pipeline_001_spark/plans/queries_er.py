@@ -267,7 +267,18 @@ def multimodal_wav_spectrum(spark, sf_dir):
     peak analytically — a green hash proves the RIFF walk, the PCM
     unpack, and the FFT peak-pick all ran correctly on every payload.
     ``spectral_centroid_hz`` has no closed form (quantization noise
-    shifts it ~0.3%) and is pytest-verified instead."""
+    shifts it ~0.3%) and is pytest-verified instead.
+
+    Round-11 (guide §4.2/§4.5): the tone payload is a pure function
+    of ``doc_id % 120`` (40 bins × 3 rates), so the synth memoizes
+    per task on that key — each distinct payload is still built by
+    the REAL ``make_tone_wav`` (bit-identical by construction; this
+    is per-task memoization of a deterministic builder, not cross-run
+    caching — the decode side still walks every payload). A
+    round-robin repartition to the core count fixes the single-file
+    scan serializing both Python stages through one worker, and the
+    decode+FFT side is batched in `spectral_features`. Measured
+    11.7 → 1.0 s at sf1 (same-session best-of-3, identical 50k rows)."""
     import pandas as pd
 
     from data_pipeline_001_spark.operators.multimodal import (
@@ -276,16 +287,22 @@ def multimodal_wav_spectrum(spark, sf_dir):
     )
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
 
     def build(batches):
+        cache = {}
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "payload": [make_tone_wav(int(d)) for d in ids],
-                }
-            )
+            payloads = []
+            for d in ids:
+                key = int(d) % 120
+                p = cache.get(key)
+                if p is None:
+                    p = cache[key] = make_tone_wav(int(d))
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
     return spectral_features(media).select(

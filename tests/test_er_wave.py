@@ -57,6 +57,53 @@ def test_tone_wav_spectrum_roundtrip():
         assert abs(spec["spectral_centroid_hz"] - spec["dominant_hz"]) < rate / 512
 
 
+def test_spectral_features_batched_matches_scalar(spark):
+    """The round-11 batched `spectral_features` (grouped rfft matrix,
+    vectorized argmax/centroid) must be BIT-identical per row to the
+    scalar `wav_spectrum` reference — including a silent payload
+    (all-zero samples → null centroid) and mixed sample lengths in
+    one batch (group-by-shape path)."""
+    import struct as _struct
+
+    from data_pipeline_001_spark.operators.multimodal import (
+        spectral_features,
+    )
+
+    def silent_wav(n=256, rate=8000):
+        data = _struct.pack(f"<{n}h", *([0] * n))
+        fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (
+            b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+
+    payloads = {d: make_tone_wav(d) for d in range(123)}  # all 120 variants
+    payloads[900] = silent_wav()
+    rows = [(mid, p) for mid, p in payloads.items()]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: r.asDict() for r in spectral_features(media).collect()
+    }
+    assert set(got) == set(payloads)
+    for mid, p in payloads.items():
+        ref = wav_spectrum(p)
+        row = got[mid]
+        for key in (
+            "sample_rate", "n_samples", "dominant_bin", "dominant_hz"
+        ):
+            assert row[key] == ref[key], (mid, key, row[key], ref[key])
+        if ref["spectral_centroid_hz"] is None:
+            assert row["spectral_centroid_hz"] is None or (
+                row["spectral_centroid_hz"] != row["spectral_centroid_hz"]
+            )
+        else:
+            # bitwise: same operand sequence per row in both forms
+            a = _struct.pack(">d", row["spectral_centroid_hz"])
+            b = _struct.pack(">d", ref["spectral_centroid_hz"])
+            assert a == b, (mid, row, ref)
+
+
 def test_theil_sen_recovers_planted_slope(spark):
     """On y = 700x + 50000 cents with two gross outliers, the pairwise
     slope median must still be exactly 700 (OLS would not be)."""
