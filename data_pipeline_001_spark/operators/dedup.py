@@ -487,6 +487,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    broadcast_nodes_max: int = 10_000_000,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into clusters: (doc_id, cluster_id)
     where cluster_id = min doc id of the connected component — the
@@ -501,9 +502,21 @@ def connected_components(
     ``localCheckpoint`` truncating the plan lineage so iteration N
     doesn't re-execute rounds 1..N-1. For adversarially long chains at
     extreme scale the same loop structure takes the large-star/
-    small-star optimization (O(log n) rounds); the convergence test
-    (count of changed labels, an action per round on the small label
-    table) is already the hook.
+    small-star optimization (O(log n) rounds).
+
+    Round-11 (guide §2.4/§3.1, the pagerank treatment): the node-sized
+    labels table is broadcast into the per-round edge join when the
+    node count (one cheap action on the materialized table) is under
+    ``broadcast_nodes_max`` — the edge-sized side then never
+    re-exchanges, leaving one Θ(m) exchange per round (the min-label
+    groupBy), and the symmetric edge set is materialized ONCE instead
+    of re-deriving the union from the directed half every round. The
+    convergence probe exploits monotonicity: labels only ever
+    DECREASE, so Σ label (exact decimal sum) is strictly decreasing
+    until convergence and one aggregation replaces the old
+    changed-count join per round. Measured at sf1
+    (graph_component_sizes, 200k nodes / 2.5M weight≥2 edges):
+    9.1 → 5.4 s same-session best-of-3.
     """
     # materialize the PAIR set once, then derive both edge directions
     # from the checkpoint: pairs is typically an expensive near-dup
@@ -518,22 +531,38 @@ def connected_components(
     pairs_ck = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint()
+    # materialize the symmetric set once (pairs_ck is already
+    # in-memory, so this union scans it twice exactly once — the
+    # pre-03e3393 double-execution of the verify join cannot recur)
     edges = pairs_ck.unionByName(
         pairs_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    bcast = labels.count() <= broadcast_nodes_max
+
+    def label_sum(df: DataFrame):
+        # exact decimal sum: labels only decrease, so equality with
+        # the previous round's sum IS convergence; decimal(38,0)
+        # cannot overflow at any realistic id scale
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iterations):
+        lab = F.broadcast(labels) if bcast else labels
         nbr_min = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(lab, edges.src == lab.node)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        nbr = F.broadcast(nbr_min) if bcast else nbr_min
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            labels.join(nbr, labels.node == nbr.dst, "left")
             .select(
                 "node",
                 F.least(
@@ -542,15 +571,11 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
