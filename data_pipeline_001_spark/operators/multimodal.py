@@ -317,8 +317,17 @@ def decode_wav(payload: bytes) -> dict:
     if audio_format != 1 or bits != 16:
         raise NotImplementedError("only 16-bit PCM WAV")
     n = len(data) // block_align
-    samples = struct.unpack(f"<{n * channels}h", data[: n * block_align])
-    rms = math.sqrt(sum(s * s for s in samples) / max(len(samples), 1))
+    # round-11 (guide §4.2): the square sum runs vectorized in int64 —
+    # EXACT integer arithmetic, so the value is bit-identical to the
+    # former per-sample Python fold (samples ≤ 2^15, counts ≤ 2^32 →
+    # no overflow); the python loop was ~35 µs per payload
+    import numpy as np
+
+    samples = np.frombuffer(
+        data[: n * block_align][: n * channels * 2], dtype="<i2"
+    ).astype(np.int64)
+    total = int((samples * samples).sum())
+    rms = math.sqrt(total / max(samples.size, 1))
     return {
         "sample_rate": rate,
         "channels": channels,
@@ -349,12 +358,30 @@ def attach_media_fixtures(docs: DataFrame) -> DataFrame:
     content."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # round-11 (guide §4.5): the fixtures are pure functions of a
+        # small residue — make_bmp of doc_id % 300 (w,h,channels:
+        # lcm(5,3,100)), make_wav of doc_id % 5250 (rate,len,step:
+        # lcm(3,250,7)) — so each distinct payload is built ONCE per
+        # task by the real builder and reused (bit-identical by
+        # construction; per-task memo, not cross-run caching — the
+        # decode side still walks every payload)
+        bmp_cache, wav_cache = {}, {}
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
-            payloads = [
-                make_bmp(int(d)) if d % 2 == 0 else make_wav(int(d))
-                for d in ids
-            ]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                if d % 2 == 0:
+                    key = d % 300
+                    p = bmp_cache.get(key)
+                    if p is None:
+                        p = bmp_cache[key] = make_bmp(d)
+                else:
+                    key = d % 5250
+                    p = wav_cache.get(key)
+                    if p is None:
+                        p = wav_cache[key] = make_wav(d)
+                payloads.append(p)
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -366,7 +393,13 @@ def attach_media_fixtures(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    src = docs.select("doc_id")
+    # single-file parallelism guard (same as char_kgram_hashes): one
+    # scan partition would serialize the build through one worker
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(
         build, "media_id long, payload binary, media_type string"
     )
 
@@ -386,12 +419,16 @@ def decode_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                d = decode_media(bytes(r["payload"]), r["media_type"])
+            # zip over columns, not iterrows(): ~100 µs/row of Series
+            # construction for an operator whose decode is ~10 µs
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                d = decode_media(bytes(payload), mtype)
                 rows.append(
                     (
-                        int(r["media_id"]),
-                        r["media_type"],
+                        int(mid),
+                        mtype,
                         d.get("width"),
                         d.get("height"),
                         d.get("mean_r"),
@@ -517,14 +554,31 @@ def wav_frame_energy(payload: bytes, frame_samples: int = 100) -> dict:
             data_off = (pos + 8, size)
         pos += 8 + size + (size & 1)
     start, size = data_off
-    samples = struct.unpack(f"<{size // 2}h", payload[start : start + size // 2 * 2])
-    frames = [
-        samples[i : i + frame_samples]
-        for i in range(0, len(samples), frame_samples)
-    ]
-    rms = [math.sqrt(sum(s * s for s in f) / len(f)) for f in frames]
+    # round-11: per-frame square sums vectorized in exact int64 (same
+    # bit-identity argument as decode_wav), then the max/mean folds
+    # run over the same python float list as before
+    import numpy as np
+
+    samples = np.frombuffer(
+        payload[start : start + size // 2 * 2], dtype="<i2"
+    ).astype(np.int64)
+    n_full = samples.size // frame_samples
+    sq = samples * samples
+    sums = []
+    if n_full:
+        sums.extend(
+            sq[: n_full * frame_samples]
+            .reshape(n_full, frame_samples)
+            .sum(axis=1)
+            .tolist()
+        )
+    tail = samples.size - n_full * frame_samples
+    if tail:
+        sums.append(int(sq[n_full * frame_samples :].sum()))
+    lens = [frame_samples] * n_full + ([tail] if tail else [])
+    rms = [math.sqrt(s / ln) for s, ln in zip(sums, lens)]
     return {
-        "n_frames": len(frames),
+        "n_frames": len(rms),
         "frame_samples": frame_samples,
         # a valid WAV with an empty data chunk has no frames: report
         # NULL energies rather than crashing the whole Arrow batch
@@ -551,8 +605,10 @@ def sampled_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                raw, mt = bytes(r["payload"]), r["media_type"]
+            for mid, payload, mt in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                raw = bytes(payload)
                 # same dispatch contract as decode_media: unsupported
                 # types raise the documented NotImplementedError, not
                 # a misleading parse error from the wrong decoder
@@ -564,7 +620,7 @@ def sampled_features(
                     decode_stub(raw, mt)
                 rows.append(
                     (
-                        int(r["media_id"]), mt,
+                        int(mid), mt,
                         d.get("thumb_w"), d.get("thumb_h"),
                         d.get("thumb_mean_r"), d.get("thumb_mean_g"),
                         d.get("thumb_mean_b"), d.get("n_frames"),
@@ -976,12 +1032,25 @@ def video_frame_features(docs: DataFrame, stride: int = 3) -> DataFrame:
             "media_id", "n_frames", "frame_idx", "width", "height",
             "mean_r", "mean_g", "mean_b",
         ]
+        # round-11: the MBMP container is a pure function of
+        # doc_id % 300 (frame count: %5; per-frame BMP: %300) — memo
+        # per task, payloads still built by the real make_mbmp; every
+        # payload is still container-walked and frame-decoded below
+        cache = {}
         for pdf in batches:
             out = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                for row in mbmp_frame_features(make_mbmp(did), stride):
+                key = did % 300
+                payload = cache.get(key)
+                if payload is None:
+                    payload = cache[key] = make_mbmp(did)
+                for row in mbmp_frame_features(payload, stride):
                     out.append({"media_id": did, **row})
             yield pd.DataFrame(out, columns=cols)
 
-    return docs.select("doc_id").mapInPandas(run, VIDEO_FRAME_SCHEMA)
+    src = docs.select("doc_id")
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(run, VIDEO_FRAME_SCHEMA)

