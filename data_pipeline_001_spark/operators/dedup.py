@@ -348,14 +348,43 @@ def simhash_near_duplicates(
         ).alias("bk"),
     ).select("id", "sig", "bk.block", "bk.key")
     if max_block_size:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("block", "key")
-        blocks = (
-            blocks.withColumn("_bsz", F.count("*").over(wb))
-            .where(F.col("_bsz") <= max_block_size)
-            .drop("_bsz")
+        # round-11: one aggregation derives blocks, applies the size
+        # cap, and generates in-block pairs — the same shape as
+        # minhash_pairs_from_per_doc, replacing the count() window +
+        # self-join whose two sides each re-derived the WHOLE
+        # signature pipeline (token explode + 64 bit-sums).
+        # collect_list is bounded by the same cap that bounded the
+        # join; sort_array over struct(id, sig) orders by the unique
+        # id, so positional pairs match the old l.id < r.id predicate.
+        buckets = (
+            blocks.groupBy("block", "key")
+            .agg(F.collect_list(F.struct("id", "sig")).alias("xs"))
+            .where(
+                (F.size("xs") >= 2) & (F.size("xs") <= max_block_size)
+            )
+            .select(F.sort_array("xs").alias("xs"))
         )
+        pairs = (
+            buckets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(xs, (a, i) -> "
+                        "transform(slice(xs, i + 2, size(xs) - i - 1), "
+                        "b -> struct(a.id AS id_a, b.id AS id_b, "
+                        "a.sig AS sig_a, b.sig AS sig_b))))"
+                    )
+                ).alias("p")
+            )
+            .select(
+                "p.id_a",
+                "p.id_b",
+                F.bit_count(
+                    F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b"))
+                ).alias("hamming"),
+            )
+            .distinct()
+        )
+        return pairs
     l, r = blocks.alias("l"), blocks.alias("r")
     pairs = (
         l.join(

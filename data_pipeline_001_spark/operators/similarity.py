@@ -349,6 +349,15 @@ def embedding_near_dup_lsh(
             .drop("_bsz")
         )
 
+    # round-11 measured-and-kept: converting this window-cap +
+    # self-join to the minhash-style collect_list + positional pair
+    # expansion was a WASH here (16.0 vs 16.4 s best-of-3 at sf1) —
+    # AQE ReusedExchange already dedups the banded derivation across
+    # the two join sides at runtime, and with buckets capped at 500
+    # the interpreted transform/slice pair expansion loses to the
+    # codegen'd join on the ~6M pre-distinct candidates. The cost of
+    # this operator is candidate VOLUME (tables × bucket²), a recall
+    # parameter, not a plan defect.
     candidates = (
         banded.alias("l")
         .join(
