@@ -996,22 +996,62 @@ def bpe_pair_stats(
     (Sennrich et al. 2016, the public BPE formulation): the pair with
     the highest corpus count is the next merge rule.
 
-    Plan shape: explode words → explode char bigrams (generated as a
-    codegen ``transform(sequence(...))``, no UDF) → one count shuffle
-    keyed by pair (small cardinality, map-side partials) →
-    TakeOrdered top-k with a deterministic (count desc, pair asc)
-    tiebreak so the boundary row is engine-independent."""
+    Plan shape (round-11, guide §2.3/§4.2): explode words in the JVM
+    (split semantics stay Java's), then ONE ``mapInArrow`` packs each
+    batch's within-word char bigrams vectorized and pre-counts them
+    with ``np.unique`` — the count exchange carries partial counts
+    over the bounded distinct-bigram space instead of one 2-char
+    string row per character (~13M at sf1; measured 6.5 → 1.5 s
+    same-session). Bigram strings are rebuilt from the packed
+    codepoints (chr ∘ utf-32 decode roundtrips exactly, the
+    char_kgram_hashes argument), so the aggregate keys are identical
+    to ``substring(w, i, 2)``. TakeOrdered top-k keeps the
+    deterministic (count desc, pair asc) tiebreak."""
     words = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
     ).where(F.length("w") >= 2)
-    pairs = words.select(
-        F.explode(
-            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-        ).alias("pair")
-    )
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if words.rdd.getNumPartitions() < target:
+        words = words.repartition(target)
+
+    def count_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema([("pair", pa.string()), ("c", pa.int64())])
+        for batch in batches:
+            texts = batch.column(0).to_pylist()
+            if not texts:
+                continue
+            lens = np.array(
+                [len(s) if s else 0 for s in texts], dtype=np.int64
+            )
+            big = np.frombuffer(
+                "".join(s or "" for s in texts).encode("utf-32-le"),
+                dtype="<u4",
+            ).astype(np.int64)
+            mbig = big.size - 1
+            if mbig <= 0:
+                continue
+            packed = (big[:mbig] << 21) + big[1 : mbig + 1]
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            m_doc = np.maximum(lens - 1, 0)
+            chunks = [
+                packed[s : s + m] for s, m in zip(starts, m_doc) if m > 0
+            ]
+            if not chunks:
+                continue
+            u, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+            pairs = [chr(v >> 21) + chr(v & 0x1FFFFF) for v in u.tolist()]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pairs, type=pa.string()), pa.array(cnt)],
+                schema=out_schema,
+            )
+
+    partial = words.mapInArrow(count_batches, "pair string, c long")
     return (
-        pairs.groupBy("pair")
-        .agg(F.count("*").alias("n"))
+        partial.groupBy("pair")
+        .agg(F.sum("c").alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_k)
     )
