@@ -262,39 +262,34 @@ def test_phash_near_dup_join_is_band_bucketed_not_cartesian(spark, registry):
     assert "band" in plan and "key" in plan
 
 
-def test_trigram_lower_hoisted_out_of_generate(spark, registry):
-    """Round-8 regression pin: lower(text) must be computed in its
-    own projection BELOW the trigram explode — inlined into the
-    transform lambda it re-evaluates per trigram, O(len²) per
-    document (measured 2.3× the explode stage at sf1)."""
+def test_trigram_counts_are_arrow_packed_not_exploded(spark, registry):
+    """Round-11 plan pin (supersedes the round-8 lower()-hoist pin,
+    whose Generate node no longer exists): trigram counting must run
+    through the packed Arrow map-side counter — no per-character
+    Generate/explode, no Window in the gram build, and lower(text)
+    still computed JVM-side in the projection feeding MapInArrow."""
     plan = _plan(registry["text_trigram_coverage"](spark, SF))
-    # formatted explain: node details live in "(N) Generate" blocks
+    assert "MapInArrow" in plan
     blocks = re.split(r"\n(?=\(\d+\) )", plan)
-    gen = [b for b in blocks if b.startswith("(") and ") Generate" in b.splitlines()[0]]
-    assert gen, "expected a Generate node detail block"
-    assert all("lower(" not in b for b in gen), (
-        "lower(text) re-inlined into the explode lambda:\n" + gen[0]
-    )
-    assert "lower(" in plan  # the hoisted projection still exists
+    gen = [
+        b
+        for b in blocks
+        if b.startswith("(") and ") Generate" in b.splitlines()[0]
+    ]
+    assert not gen, "trigram build regressed to a per-char explode"
+    assert "lower(" in plan  # normalization stays JVM-side
 
 
-def test_embedding_cosine_norms_hoisted_below_join(spark, registry):
-    """Round-8 regression pin: per-vector norms must be per-ROW
-    columns below the pairwise join — inlined cosine evaluates
-    dot + 2 norms in both the join filter and the projection
-    (6 interpreted 64-term folds per pair, measured 103 s → 28 s on
-    the sweep's 2k slice). Mechanically: no sqrt anywhere at or
-    above the BroadcastNestedLoopJoin region of the plan tree."""
+def test_embedding_cosine_is_single_arrow_task(spark, registry):
+    """Round-11 plan pin (supersedes the round-8 norm-hoist pin, whose
+    BroadcastNestedLoopJoin no longer exists): the exact pairwise
+    cosine twin must be the one-task batched-NumPy form — a single
+    MapInArrow over a Coalesce(1), no join of any kind in the plan
+    (bit-identity with the old join+HOF arithmetic is pinned
+    separately in test_llm_operators)."""
     plan = _plan(registry["dedup_embedding_cosine"](spark, SF))
-    lines = plan.splitlines()
-    join_idx = next(
-        i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln
-    )
-    above_and_at_join = "\n".join(lines[: join_idx + 1])
-    assert "SQRT" not in above_and_at_join.upper(), (
-        "norm (sqrt) evaluated per PAIR instead of per row"
-    )
-    assert "SQRT" in plan.upper()  # per-row norms still computed below
+    assert "MapInArrow" in plan and "Coalesce" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
 
 
 def test_sessionization_span_form_single_exchange(spark, registry):
