@@ -246,22 +246,24 @@ def pagerank(
     (the hub-slice projection costs a few seconds of array copy —
     the price of bounded rows).
 
-    Round-11 (guide §2.4/§3.1): ``persist()`` instead of
-    ``localCheckpoint`` — a checkpointed RDD scan reports UNKNOWN
-    output partitioning, so every iteration re-exchanged the
-    adjacency arrays for the pr join; the InMemoryRelation keeps the
-    groupBy(src) hash partitioning visible to the planner. And the
-    pr side — node-sized, two narrow columns — is broadcast when the
-    node count (already computed for the rounding literal) is under
-    ``broadcast_nodes_max``, removing the adjacency side from the
-    join exchange entirely: one Θ(m) exchange per step (the contrib
+    Round-11 (guide §2.4/§3.1): the pr side — node-sized, two narrow
+    columns — is broadcast when the node count (already computed for
+    the rounding literal) is under ``broadcast_nodes_max``, removing
+    the adjacency side from the per-step join exchange entirely
+    (the checkpointed scan's unknown partitioning is irrelevant to a
+    broadcast join): one Θ(m) exchange per step (the contrib
     groupBy) remains, the algorithmic floor for synchronous PR.
-    Same-session best-of-3 at sf1: 14.4 → 12.7 s (persist only) →
-    **7.8 s** (persist + broadcast), identical top-20. Above the
-    threshold (a 10M-node graph ≈ 160 MB broadcast) the shuffle join
-    form is kept — node count, not edge count, gates the trade.
+    Same-session interleaved best-of-3 at sf1: 14.4 → 7.8 s,
+    identical top-20. Above the threshold (a 10M-node graph ≈ 160 MB
+    broadcast) the shuffle join form is kept — node count, not edge
+    count, gates the trade. The adjacency stays ``localCheckpoint``
+    rather than ``persist``: measured equivalent under broadcast
+    (10.3 vs 10.1 s same-session), and a persisted relation lives in
+    the CacheManager for the session's lifetime while checkpoint
+    blocks are GC-cleaned — the round-11 sweep measured exactly that
+    accumulation class (aged-session slowdowns on untouched queries).
     Construction was already action-bearing here (the node-count
-    scalar), so the persist adds no new purity class."""
+    scalar), so the checkpoint adds no new purity class."""
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -294,11 +296,11 @@ def pagerank(
                 )
             ).alias("nbrs"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # bounded scalar: the node count (needed as a literal so
     # per-iteration rounding is identical in both engines); a cheap
-    # distinct over the persisted node-sized table (chunked hubs
+    # distinct over the checkpointed node-sized table (chunked hubs
     # contribute several rows but one node)
     nodes = adj.select("src").distinct()
     n = nodes.count()
