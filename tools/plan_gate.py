@@ -79,12 +79,9 @@ ALLOWLIST: dict[str, str] = {
         "force ORACLE TWIN of the LSH/IVF scale paths, never the "
         "full-corpus plan (operators/similarity.py)"
     ),
-    "dedup_embedding_cosine": (
-        "exact O(n²) pairwise cosine — the documented small-sf "
-        "ORACLE TWIN of dedup_embedding_lsh ('never the plan to run "
-        "on a full corpus', queries_llm.py:548); exists to hash-"
-        "check the scale path's recall"
-    ),
+    # dedup_embedding_cosine left this list in round 11: its BNLJ was
+    # replaced by the one-task batched-NumPy MapInArrow form
+    # (operators/similarity.pairwise_cosine_pairs)
     "agg_ab_experiment_lift": (
         "build side is the per-arm conversion summary — one row per "
         "experiment arm (2 arms), bounded by design cardinality"
