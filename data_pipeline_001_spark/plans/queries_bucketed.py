@@ -327,7 +327,18 @@ def q03_bucketed(spark, sf_dir):
     )
     return (
         li.join(
-            spark.table(n["orders"]).where(F.col("o_orderdate") < cut),
+            # merge hint (round 12, guide §3.1): both sides are
+            # orderkey-bucketed, so SMJ is exchange-AND-sort-free from
+            # the scans; unhinted, the planner broadcast the filtered
+            # ORDERS side at sf1 (its compressed 2-column estimate
+            # slips under the 24 MB gate) — building a fact-sized hash
+            # relation the layout exists to avoid. Measured sf1
+            # best-of-3: 1.078 → 0.578 s, identical rows; above the
+            # gate (sf100 / any real scale) the hint picks the same
+            # SMJ the planner already picked, so nothing changes.
+            spark.table(n["orders"])
+            .where(F.col("o_orderdate") < cut)
+            .hint("merge"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
@@ -368,7 +379,11 @@ def q10_bucketed(spark, sf_dir):
     )
     per_cust = (
         per_order.join(
-            spark.table(n["orders"]),
+            # merge hint (round 12): same rationale as q03_bucketed —
+            # keep the fact-fact join bucket-local instead of letting
+            # the under-estimated orders side broadcast (sf1 measured
+            # 1.434 → 0.730 s, identical rows)
+            spark.table(n["orders"]).hint("merge"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_custkey")
@@ -434,12 +449,29 @@ def q05_bucketed(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(F.sum(_rev()).alias("rev"))
     )
-    return (
+    # round 12 (the q05 residual, guide §2.3/§3.1): (a) merge hint
+    # keeps the fact-fact join bucket-local — unhinted, sf1 broadcast
+    # the 1.5M-row orders side AND then the 1.5M-row join result for
+    # the customer join (two fact-sized hash relations); (b) revenue
+    # re-aggregates per customer BEFORE the customer join, so the
+    # custkey exchange (the layout's documented irreducible one)
+    # carries one row per customer instead of one per order and the
+    # customer-join build side is customer-bounded at every scale.
+    # Measured sf1 best-of-3: 2.09 → 0.95 s, identical rows; the
+    # per-customer partial sums re-associate the addition exactly like
+    # the per-order pre-agg this twin has carried since round 4.
+    per_cust = (
         per_order.join(
-            spark.table(n["orders"]).select("o_orderkey", "o_custkey"),
+            spark.table(n["orders"])
+            .select("o_orderkey", "o_custkey")
+            .hint("merge"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    return (
+        per_cust.join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum("rev"), 2).alias("revenue"))
     )
@@ -648,11 +680,27 @@ def q10_denorm(spark, sf_dir):
 def q05_denorm(spark, sf_dir):
     """Q5 over the custkey-clustered denormalized fact: region→nation
     broadcast onto the c_custkey-bucketed customer scan (keeps the
-    bucket distribution), then ONE bucket-local SMJ against the
-    denormalized fact — no fact-side exchange at any scale, which is
-    exactly the exchange q05_bucketed could not remove (3.75x at
-    sf100). The only exchange left is the 25-group n_name rollup of
-    partial aggregates."""
+    bucket distribution), then a bucket-local customer join — no
+    fact-side exchange at any scale, which is exactly the exchange
+    q05_bucketed could not remove (3.75x at sf100). The only exchange
+    left is the 25-group n_name rollup of partial aggregates.
+
+    Round-12 (the q05 residual, guide §2.3 "aggregate before you
+    shuffle" / §3.1): revenue is pre-aggregated PER CUSTOMER on the
+    scan's own HashPartitioning(o_custkey) — no exchange — BEFORE the
+    customer join. The round-11 form joined the RAW fact, and the
+    sf1 plan read showed the planner broadcasting the 6M-row 3-column
+    fact projection (its compressed-size estimate slips under the
+    24 MB gate; BuildLeft, probe = customer): ~1.9 s of the 2.3 s
+    total was building/shipping a fact-sized hash relation. The
+    pre-agg shrinks the join input to one row per customer (it also
+    makes the join's build side genuinely customer-bounded at every
+    scale), and above the broadcast ceiling both sides stay
+    c_custkey-bucket-local — the same zero-fact-exchange SMJ as
+    before, pinned by the plan-shape test. Per-customer partial sums
+    re-associate the revenue addition exactly like the per-order
+    pre-agg the bucketed twin has carried (hash-green) since round 4;
+    oracle hash re-verified at sf0.001/0.01/0.1/1."""
     n = ensure_denorm_custkey(spark, sf_dir)
     names = ensure_bucketed(spark, sf_dir)
     t = load_tables(spark, sf_dir)
@@ -672,9 +720,13 @@ def q05_denorm(spark, sf_dir):
         )
         .select("c_custkey", "n_name")
     )
-    return (
+    per_cust = (
         spark.table(n)
-        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    return (
+        per_cust.join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
     )
