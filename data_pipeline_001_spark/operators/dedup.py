@@ -177,9 +177,17 @@ def minhash_lsh_pairs(
     per_doc = _minhash_per_doc(
         docs, text_col, id_col, num_hashes, shingle_words, seed
     )
-    from pyspark import StorageLevel
+    # round-12 cache hygiene (guide §5): bounded_intermediate is a
+    # lazy localCheckpoint, not a persist — same one-materialization
+    # semantics, but the blocks are released when the caller drops the
+    # frame instead of living in the CacheManager for the session
+    # lifetime (the round-11 aged-session finding: up to 3.5x
+    # late-session degradation from accumulated operator persists)
+    from data_pipeline_001_spark.operators._scoped import (
+        bounded_intermediate,
+    )
 
-    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = bounded_intermediate(per_doc)
     return minhash_pairs_from_per_doc(
         per_doc,
         num_hashes=num_hashes,
@@ -206,24 +214,29 @@ def minhash_pairs_from_per_doc(
     banded = _banded_buckets(per_doc.select("id", "sig"), bands, rows_per_band)
 
     if max_bucket_size:
-        # ONE aggregation derives buckets, applies the size cap, and
-        # generates in-bucket pairs. The former shape (count() window
-        # for the cap, then a (band,bucket) self-join) derived the
-        # banded table TWICE — once per join side, each paying the
-        # band explode + exchange + sort — plus the join itself
-        # (round-11 plan read: the two derivations are operators
-        # 23-28 / 32-38 of the before-plan). collect_list is safe
-        # here by the same argument that caps the join: a bucket is
-        # either <= max_bucket_size rows (array of <= 100 ids) or
-        # dropped wholesale. sort_array gives id_a < id_b
+        # ONE derivation of the banded table generates in-bucket
+        # pairs. The round-10 shape (count() window for the cap, then
+        # a (band,bucket) self-join) derived the banded table TWICE —
+        # once per join side, each paying the band explode + exchange
+        # + sort — plus the join itself. sort_array gives id_a < id_b
         # positionally, matching the old join predicate l.id < r.id.
+        # round-12 (ADVICE): filter oversized buckets BEFORE collect_list
+        # — the round-11 form applied the size cap to the aggregated
+        # array, so an adversarially skewed bucket materialized whole in
+        # one non-spillable aggregation buffer before being dropped. A
+        # count WINDOW over the same (band,bucket) partitioning (the
+        # pattern minhash_incremental already uses) buffers spillably
+        # in WindowExec, drops oversized buckets, and the groupBy then
+        # reuses the window's exchange — one derivation, one shuffle,
+        # and the collect_list buffer is genuinely bounded by the cap.
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
         buckets = (
-            banded.groupBy("band", "bucket")
+            banded.withColumn("_n", F.count("*").over(wb))
+            .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+            .groupBy("band", "bucket")
             .agg(F.collect_list("id").alias("ids"))
-            .where(
-                (F.size("ids") >= 2)
-                & (F.size("ids") <= max_bucket_size)
-            )
             .select(F.sort_array("ids").alias("ids"))
         )
         candidates = (
@@ -353,15 +366,22 @@ def simhash_near_duplicates(
         # minhash_pairs_from_per_doc, replacing the count() window +
         # self-join whose two sides each re-derived the WHOLE
         # signature pipeline (token explode + 64 bit-sums).
-        # collect_list is bounded by the same cap that bounded the
-        # join; sort_array over struct(id, sig) orders by the unique
-        # id, so positional pairs match the old l.id < r.id predicate.
+        # sort_array over struct(id, sig) orders by the unique id, so
+        # positional pairs match the old l.id < r.id predicate.
+        # Round-12 (ADVICE): the size cap moved BEFORE collect_list —
+        # a count WINDOW on the same (block,key) partitioning buffers
+        # spillably, drops oversized blocks, and the groupBy reuses
+        # the window's exchange, so the aggregation buffer is bounded
+        # by the cap, not by the largest adversarial block (and the
+        # signature pipeline is still derived exactly once).
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("block", "key")
         buckets = (
-            blocks.groupBy("block", "key")
+            blocks.withColumn("_n", F.count("*").over(wb))
+            .where((F.col("_n") >= 2) & (F.col("_n") <= max_block_size))
+            .groupBy("block", "key")
             .agg(F.collect_list(F.struct("id", "sig")).alias("xs"))
-            .where(
-                (F.size("xs") >= 2) & (F.size("xs") <= max_block_size)
-            )
             .select(F.sort_array("xs").alias("xs"))
         )
         pairs = (
@@ -475,19 +495,23 @@ def ngram_jaccard_pairs(
             .groupBy("id", "blk")
             .agg(F.collect_set("g1").alias("g"))
         )
-    # persist before the self-join (round-11; same discipline as
-    # minhash_lsh_pairs' per-doc table): unpersisted, BOTH join sides
-    # re-derive the whole gram build, and with unknown stats the
+    # materialize before the self-join (round-11; same discipline as
+    # minhash_lsh_pairs' per-doc table): re-derived lazily, BOTH join
+    # sides re-run the whole gram build, and with unknown stats the
     # planner shuffle-joins on the low-cardinality block key —
     # parallelism collapses to the number of blocks (4 langs at the
     # 2k slice) on exactly the quadratic stage. With the per-doc
-    # table cached and its stats known, the small side broadcasts and
-    # the pairwise stage stays scan-parallel. Measured at the 2k
-    # slice: 30.0 → 7.6 s best-of-3 (the decomposition: gram build
-    # 5.3 s once vs twice, pairwise intersect 1.6 s).
-    from pyspark import StorageLevel
+    # table materialized and its stats known, the small side
+    # broadcasts and the pairwise stage stays scan-parallel. Measured
+    # at the 2k slice: 30.0 → 7.6 s best-of-3. Round-12: persist →
+    # bounded_intermediate (localCheckpoint keeps the origin stats,
+    # so the broadcast decision survives; blocks are GC-released
+    # instead of accumulating in the CacheManager — guide §5).
+    from data_pipeline_001_spark.operators._scoped import (
+        bounded_intermediate,
+    )
 
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    grams = bounded_intermediate(grams)
     l, r = grams.alias("l"), grams.alias("r")
     return (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
@@ -516,7 +540,11 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
-    broadcast_nodes_max: int = 10_000_000,
+    # 2M, not 10M: same driver-pressure arithmetic as graph.pagerank
+    # (round-12, ADVICE) — per-round broadcasts collect the node-sized
+    # table through the driver, and the JVM overhead is several x the
+    # on-wire size
+    broadcast_nodes_max: int = 2_000_000,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into clusters: (doc_id, cluster_id)
     where cluster_id = min doc id of the connected component — the
@@ -732,9 +760,11 @@ def minhash_incremental(
     batch_pd = _minhash_per_doc(
         new_batch, text_col, id_col, num_hashes, shingle_words, seed
     )
-    from pyspark import StorageLevel
+    from data_pipeline_001_spark.operators._scoped import (
+        bounded_intermediate,
+    )
 
-    batch_pd = batch_pd.persist(StorageLevel.MEMORY_AND_DISK)
+    batch_pd = bounded_intermediate(batch_pd)
     corpus_pd = _minhash_per_doc(
         corpus, text_col, id_col, num_hashes, shingle_words, seed
     )

@@ -89,9 +89,11 @@ def triangle_stats(edges: DataFrame, materialize: bool = True) -> DataFrame:
     the caller already persisted the frame; the cache entry lives
     until the caller unpersists or the session ends."""
     if materialize:
-        from pyspark.storagelevel import StorageLevel
+        from data_pipeline_001_spark.operators._scoped import (
+            bounded_intermediate,
+        )
 
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges = bounded_intermediate(edges)
     deg = degrees(edges)
     e = (
         edges.join(deg.withColumnRenamed("node", "src"), "src")
@@ -104,17 +106,23 @@ def triangle_stats(edges: DataFrame, materialize: bool = True) -> DataFrame:
         )
     )
     fwd = F.struct("d_src", "src") < F.struct("d_dst", "dst")
-    # persisted unconditionally (``materialize`` only says whether the
-    # CALLER already persisted ``edges``): oriented is referenced
-    # twice below (adjacency build + probe side), and each lazy
-    # re-derivation would re-run the degree aggregation (a full
-    # union+groupBy over 2m rows) as well as the orientation joins
-    from pyspark.storagelevel import StorageLevel
+    # materialized unconditionally (``materialize`` only says whether
+    # the CALLER already materialized ``edges``): oriented is
+    # referenced twice below (adjacency build + probe side), and each
+    # lazy re-derivation would re-run the degree aggregation (a full
+    # union+groupBy over 2m rows) as well as the orientation joins.
+    # Round-12: persist → bounded_intermediate (GC-released blocks
+    # instead of a session-lifetime CacheManager entry — guide §5).
+    from data_pipeline_001_spark.operators._scoped import (
+        bounded_intermediate,
+    )
 
-    oriented = e.select(
-        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
-        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    oriented = bounded_intermediate(
+        e.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        )
+    )
     # Compact-forward intersection (round-11 rework; Latapy 2008 /
     # the "edge iterator" form of Suri-Vassilvitskii): n_triangles =
     # Σ over oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)|. Each triangle
@@ -194,12 +202,14 @@ def triangle_estimate(edges: DataFrame, keep_buckets: int = 64) -> DataFrame:
     coin = F.substring(
         F.md5(F.concat_ws("_", F.col("src"), F.col("dst"))), 1, 2
     )
-    # persist the FULL edge list (not the kept subset): the full-count
-    # branch and all four sparsified references then share one build
-    # of the expensive co-occurrence self-join
-    from pyspark.storagelevel import StorageLevel
+    # materialize the FULL edge list (not the kept subset): the
+    # full-count branch and all four sparsified references then share
+    # one build of the expensive co-occurrence self-join
+    from data_pipeline_001_spark.operators._scoped import (
+        bounded_intermediate,
+    )
 
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = bounded_intermediate(edges)
     kept = edges.where(coin <= F.lit(hex_max))
     sparse = triangle_stats(kept, materialize=False)
     full = edges.agg(F.count("*").alias("n_edges_full"))
@@ -222,7 +232,14 @@ def pagerank(
     damping: float = 0.85,
     inter_round: int = 8,
     hub_chunk_cap: int = 100_000,
-    broadcast_nodes_max: int = 10_000_000,
+    # 2M, not 10M (round-12, ADVICE): each iteration collects the pr
+    # table through the DRIVER to build the broadcast; on-wire bytes
+    # are ~16/node but the driver-side JVM row/hash-relation overhead
+    # is several x, and N iterations pay it N times — 10M nodes was a
+    # driver-OOM cliff on default driver memory where the shuffle
+    # join form ran fine. 2M nodes ≈ 32 MB on-wire, ~100-200 MB
+    # driver-resident per build: comfortably inside a 1 GB driver.
+    broadcast_nodes_max: int = 2_000_000,
 ) -> DataFrame:
     """(node, pr) after ``iterations`` synchronous power-method steps
     over the symmetrized edge set, uniform 1/n start, rounded to
@@ -254,7 +271,7 @@ def pagerank(
     broadcast join): one Θ(m) exchange per step (the contrib
     groupBy) remains, the algorithmic floor for synchronous PR.
     Same-session interleaved best-of-3 at sf1: 14.4 → 7.8 s,
-    identical top-20. Above the threshold (a 10M-node graph ≈ 160 MB
+    identical top-20. Above the threshold (a near-gate graph's
     broadcast) the shuffle join form is kept — node count, not edge
     count, gates the trade. The adjacency stays ``localCheckpoint``
     rather than ``persist``: measured equivalent under broadcast

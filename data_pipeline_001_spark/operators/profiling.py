@@ -47,7 +47,16 @@ def profile(
     exact_distinct: bool = False,
 ) -> DataFrame:
     """Per-column profile: (column, n_rows, n_null, n_distinct,
-    min_num, max_num, mean_num, min_str, max_str) — one scan."""
+    min_num, max_num, mean_num, min_str, max_str).
+
+    Plan shape (round-12 doc fix, ADVICE): the HLL default is ONE
+    aggregation over ONE scan. ``exact_distinct=True`` builds one
+    aggregation subtree PER column unioned together — on a prunable
+    columnar SCAN total bytes read still match one full-width scan
+    (each subtree prunes to its own column), but on a DERIVED or
+    computed input the upstream plan re-executes once per column;
+    localCheckpoint/cache non-scan inputs before profiling them in
+    exact mode."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = columns or list(fields)
     for c in cols:

@@ -91,6 +91,7 @@ def pairwise_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block: int = 1024,
+    max_rows: int = 20_000,
 ) -> DataFrame:
     """All-pairs exact cosine: (id_a, id_b, cosine) for every id_a <
     id_b with cosine >= threshold, ``cosine`` the RAW double (callers
@@ -127,10 +128,37 @@ def pairwise_cosine_pairs(
         )
         id_chunks, vec_chunks = [], []
         dim = None
+        n_seen = 0
         for batch in batches:
             ids = np.asarray(batch.column(0), dtype=np.int64)
-            vals = np.asarray(batch.column(1).flatten(), dtype=np.float64)
+            vec_col_arr = batch.column(1)
             if ids.size:
+                # round-12 (ADVICE): ListArray.flatten() silently DROPS
+                # null entries, so a null/ragged embedding would
+                # misalign the reshape (or mispair rows when sizes
+                # happen to divide) — refuse loudly instead
+                if vec_col_arr.null_count:
+                    raise ValueError(
+                        "pairwise_cosine_pairs: null embedding in batch"
+                    )
+                vals = np.asarray(vec_col_arr.flatten(), dtype=np.float64)
+                if vals.size % ids.size:
+                    raise ValueError(
+                        "pairwise_cosine_pairs: ragged embeddings — "
+                        f"{vals.size} values over {ids.size} rows"
+                    )
+                n_seen += ids.size
+                # round-12 (VERDICT task 7): this operator is the
+                # BOUNDED quadratic oracle twin — one task computes an
+                # n x n matrix, which is only correct because callers
+                # pass a documented small slice. Enforce the bound
+                # instead of documenting it.
+                if n_seen > max_rows:
+                    raise ValueError(
+                        f"pairwise_cosine_pairs: over {max_rows} rows in "
+                        "one task — this is the bounded oracle twin; use "
+                        "the LSH scale path for a real corpus"
+                    )
                 dim = vals.size // ids.size
                 id_chunks.append(ids)
                 vec_chunks.append(vals.reshape(ids.size, dim))

@@ -608,8 +608,14 @@ def char_ngram_group_counts(
                 packed = np.empty(0, dtype=np.int64)
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             m_doc = np.maximum(lens - n + 1, 0)
-            gid = {g: k for k, g in enumerate(sorted(set(groups)))}
-            gnames = sorted(gid)
+            # None-safe group ordering (round-12, ADVICE): the explode
+            # form this replaced grouped null lang as a key; a plain
+            # sorted() over mixed None/str raises TypeError and would
+            # fail the whole query on one null row. Nulls sort last
+            # and pass through as a None group.
+            gkey = lambda g: (g is None, g or "")  # noqa: E731
+            gid = {g: k for k, g in enumerate(sorted(set(groups), key=gkey))}
+            gnames = sorted(gid, key=gkey)
             chunks, rep_chunks = [], []
             for i, (s, m) in enumerate(zip(starts, m_doc)):
                 if m > 0 and lens[i] >= n:
@@ -699,11 +705,14 @@ def duplicated_substring_spans(
     grams = char_kgram_hashes(docs, text_col, id_col, k, base=base, mod=mod)
     # grams feeds BOTH the shared-hash agg and the candidate join; the
     # per-side column sets differ so ReusedExchange can't kick in —
-    # persist the (id, pos, hk) triples (longs only, never the text)
-    # rather than re-running the char explode + two window passes
-    from pyspark import StorageLevel
+    # materialize the (id, pos, hk) triples (longs only, never the
+    # text) rather than re-running the Arrow hash pass per branch.
+    # Round-12: persist → bounded_intermediate (guide §5).
+    from data_pipeline_001_spark.operators._scoped import (
+        bounded_intermediate,
+    )
 
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    grams = bounded_intermediate(grams)
 
     # "appears in >= 2 docs" as min(id) != max(id): same predicate,
     # but min/max partial-aggregate map-side for free while
@@ -947,13 +956,15 @@ def line_dedup(
     to a line-hash-sharded join, which is exactly CCNet's sharding
     shape).
     """
-    from pyspark import StorageLevel
+    from data_pipeline_001_spark.operators._scoped import (
+        bounded_intermediate,
+    )
 
     lines = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("_lh", F.xxhash64("line"))
-    lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
+    lines = bounded_intermediate(lines)
     boiler = (
         lines.groupBy("_lh")
         .agg(F.count_distinct("_id").alias("df"))

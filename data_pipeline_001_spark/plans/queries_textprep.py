@@ -191,11 +191,14 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
 
 @query("profile_lineitem_columns", _PROFILE_ORACLE)
 def profile_lineitem_columns(spark, sf_dir):
-    """Deequ-style one-pass column profile of the fact table: null
-    counts, exact distinct cardinality, numeric min/max, string
-    lexicographic bounds — ONE scan with all aggregates fused, then a
-    stack() unpivot. The oracle recomputes each column's row
-    relationally (its 6 scans vs our 1 is the point of the operator).
+    """Deequ-style column profile of the fact table: null counts,
+    exact distinct cardinality, numeric min/max, string lexicographic
+    bounds. Exact mode plans one single-distinct aggregate PER column
+    (round 11 removed the fused form's Expand row-blowup) — six
+    one-column parquet scans whose total bytes equal one full-width
+    scan; the genuinely ONE-scan fused plan is the operator's HLL
+    default (see operators/profiling.py for the derived-input
+    caveat).
     Exact distinct here for cross-engine equality; the operator's
     default is the mergeable HLL estimate for 100 TB-width profiles.
     ``mean_num`` is computed by the operator (pytest-verified) but

@@ -96,9 +96,15 @@ def test_bucketed_headliners_execute_shuffle_free(aqe_spark, registry):
     plan = _run(registry, aqe_spark, "q03_shipping_priority_bucketed")
     assert "Exchange hashpartitioning" not in plan, plan
 
-    for name, allowed_key in (
-        ("q05_nation_revenue_bucketed", "n_name"),
-        ("q10_returned_revenue_bucketed", "o_custkey"),
+    # round-12: q05_bucketed pre-aggregates per customer before the
+    # customer join (the merge-hint + double-eager-agg rework measured
+    # 2.09 -> 0.95 s at sf1), so it now pays the SAME documented
+    # irreducible custkey exchange q10 always paid — one row per
+    # customer — plus its 25-group n_name rollup. Two exchanges, both
+    # scale-independent keys; the bucket keys still never shuffle.
+    for name, allowed_keys in (
+        ("q05_nation_revenue_bucketed", ("o_custkey", "n_name")),
+        ("q10_returned_revenue_bucketed", ("o_custkey",)),
     ):
         plan = _run(registry, aqe_spark, name)
         exchanges = [
@@ -117,8 +123,9 @@ def test_bucketed_headliners_execute_shuffle_free(aqe_spark, registry):
             for key in ("l_orderkey", "o_orderkey"):
                 assert key not in ln, f"{name} shuffles bucket key: {ln}"
         if _AT_SF1:
-            assert len(exchanges) == 1, f"{name}: {exchanges}"
-            assert allowed_key in exchanges[0], f"{name}: {exchanges[0]}"
+            assert len(exchanges) == len(allowed_keys), f"{name}: {exchanges}"
+            for ln in exchanges:
+                assert any(k in ln for k in allowed_keys), f"{name}: {ln}"
 
 
 def test_customer_join_above_ceiling_executes_scan_local(aqe_spark, registry):

@@ -138,26 +138,39 @@ def test_ngram_novelty_distinct_grams(spark):
 
 def test_covariance_plan_no_python_row_udf(tables):
     """mapInPandas (Arrow-batched) is the only Python boundary — no
-    row-at-a-time BatchEvalPython anywhere in the plan."""
+    row-at-a-time BatchEvalPython anywhere. Round-12: the partial-agg
+    is materialized behind a local checkpoint, so the Arrow node is
+    asserted on the partials subtree (the final plan reads the
+    checkpoint) and the row-UDF absence on both."""
+    from data_pipeline_001_spark.operators.vector_stats import (
+        _gram_partials,
+    )
+
+    partials = _gram_partials(tables["embeddings"], "embedding")
+    pplan = partials._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in pplan
+    assert "MapInPandas" in pplan
     plan = covariance_matrix(tables["embeddings"])._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" in plan
 
 
 def test_covariance_single_corpus_scan(tables):
-    """The n/s/G branches share one persisted partial-agg, so the
-    corpus parquet is computed once and every branch reads the cache
-    (4 independent corpus scans before the persist fix). The printed
-    plan repeats the cached lineage per branch, so assert the cache
-    boundary rather than counting scan strings."""
+    """The n/s/G branches share one MATERIALIZED partial-agg (round-12:
+    a GC-scoped local checkpoint, previously a persist), so the corpus
+    parquet is computed once and every branch reads the checkpoint
+    boundary (4 independent corpus scans before the fix)."""
     df = covariance_matrix(tables["embeddings"])
     df.write.mode("overwrite").format("noop").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     # all three branches (Gram entries, per-dim sums, count) hit the
-    # in-memory relation, never the raw parquet directly
-    assert plan.count("InMemoryTableScan") >= 3 or plan.count(
-        "TableCacheQueryStage"
-    ) >= 3
+    # materialized boundary, never the raw parquet directly
+    cached_reads = (
+        plan.count("InMemoryTableScan")
+        + plan.count("TableCacheQueryStage")
+        + plan.count("Scan ExistingRDD")
+    )
+    assert cached_reads >= 3, plan
+    assert "Scan parquet" not in plan, plan
 
 
 def test_ngram_novelty_exchange_count(tables):

@@ -33,13 +33,16 @@ PROBES = [
 #: each iteration leaves N cache entries behind under the persist
 #: form and none (post-GC) under the checkpoint form
 AGERS = [
+    # NOT dedup_cluster_components / dedup_substring_spans: the former
+    # is quadratic-by-design on a full corpus (the sweep runs it on a
+    # 2k slice only) and the latter runs ~50 s at sf1 — the canary
+    # needs cache-entry COUNT, not per-query weight
     "dedup_minhash_lsh",
     "dedup_simhash",
     "graph_triangle_stats",
-    "dedup_substring_spans",
     "text_line_dedup",
     "text_winnowing_fingerprints",
-    "dedup_cluster_components",
+    "dedup_incremental_near",
 ]
 
 
@@ -53,8 +56,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".benchdata/sf1"
     n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     import bench
+    import data_pipeline_001_spark.operators._scoped as scoped
     from data_pipeline_001_spark.session import get_spark
 
+    if len(sys.argv) > 3:  # "persist" re-creates the round-11 shape
+        scoped.USE_CHECKPOINT = sys.argv[3] != "persist"
+    print("mode:", "checkpoint" if scoped.USE_CHECKPOINT else "persist")
     spark = get_spark(app_name="aged_canary_r12")
     spark.sparkContext.setLogLevel("ERROR")
     bench._prepare_point(spark, sf_dir)
@@ -72,14 +79,16 @@ def main():
             run(spark, qs, n, sf_dir)
         print(f"aging round {r}: {time.perf_counter()-t0:.1f}s")
 
-    jvm = spark._jvm
-    sc = spark.sparkContext._jsc.sc()
-    n_cached = sc.getRDDStorageInfo()
-    used = sum(i.memUsed() for i in n_cached)
-    print(
-        f"cached RDDs after aging: {len(n_cached)}"
-        f"  storage mem used: {used/1e6:.1f} MB"
-    )
+    try:
+        sc = spark.sparkContext._jsc.sc()
+        infos = list(sc.getRDDStorageInfo())
+        used = sum(i.memSize() for i in infos)
+        print(
+            f"cached RDDs after aging: {len(infos)}"
+            f"  storage mem used: {used/1e6:.1f} MB"
+        )
+    except Exception as exc:  # noqa: BLE001
+        print("storage probe failed:", exc)
     try:
         n_cm = spark._jsparkSession.sharedState().cacheManager()
         print("cacheManager isEmpty:", n_cm.isEmpty())
